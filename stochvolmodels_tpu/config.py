@@ -1,0 +1,62 @@
+"""
+Global configuration: dtype policy, variable types, option-type encoding.
+
+TPU-first design notes
+----------------------
+* float64 is enabled globally (the pricing/transform layer needs ~1e-12
+  internal accuracy to hit 1e-8 parity with the reference analytics,
+  ``/root/reference/stochvolmodels/pricers/analytic/bsm.py:445-489``).
+  Monte-Carlo hot kernels explicitly request float32.
+* complex128 is NOT supported by XLA:TPU.  Everything complex in the
+  transform engine uses a (real, imag) float64 pair representation,
+  see ``stochvolmodels_tpu.utils.cplx``.
+* Option types are strings ('C','P','IC','IP') at the API boundary
+  (mirroring ``/root/reference/stochvolmodels/pricers/analytic/bsm.py:15-23``)
+  and int8 codes inside jitted code.
+"""
+from __future__ import annotations
+
+import os
+from enum import Enum
+
+import jax
+import numpy as np
+
+if not os.environ.get("SVMTPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+
+class VariableType(Enum):
+    """transform variable: log-return, quadratic variance, or instantaneous vol.
+
+    Mirrors /root/reference/stochvolmodels/utils/config.py:8-14.
+    """
+    LOG_RETURN = 1
+    Q_VAR = 2
+    SIGMA = 3
+    POINT_VALUE = 4
+
+
+class OptionType(str, Enum):
+    """'C'/'P' vanilla, 'IC'/'IP' inverse (payoff divided by terminal spot)."""
+    CALL = 'C'
+    PUT = 'P'
+    INVERSE_CALL = 'IC'
+    INVERSE_PUT = 'IP'
+
+
+# int codes used inside jit: bit0 = is_call, bit1 = is_inverse
+OPTION_CODES = {'P': 0, 'C': 1, 'IP': 2, 'IC': 3}
+OPTION_CODES_INV = {v: k for k, v in OPTION_CODES.items()}
+
+
+def encode_optiontypes(optiontypes: np.ndarray) -> np.ndarray:
+    """map string option types to int8 codes for use inside jitted pricers."""
+    return np.asarray([OPTION_CODES[str(t)] for t in np.asarray(optiontypes).ravel()],
+                      dtype=np.int8).reshape(np.asarray(optiontypes).shape)
+
+
+def decode_optiontypes(codes: np.ndarray) -> np.ndarray:
+    """inverse of :func:`encode_optiontypes`."""
+    return np.asarray([OPTION_CODES_INV[int(c)] for c in np.asarray(codes).ravel()],
+                      dtype='<U2').reshape(np.asarray(codes).shape)

@@ -1,0 +1,364 @@
+"""
+Heston stochastic-volatility model: analytic Fourier pricing, Monte Carlo,
+and gradient-based calibration.
+
+TPU-native rebuild of /root/reference/stochvolmodels/pricers/heston_pricer.py.
+The closed-form MGF (Sepp 2007, formula 14; heston_pricer.py:169-200) is pure
+elementwise complex math evaluated over the whole 1000-point transform grid as
+(re, im) float64 pairs; maturities are chained by carrying the Riccati state
+(a, b) across slices exactly as the reference does (heston_pricer.py:223-260).
+Monte Carlo runs a full-truncation Euler scheme under ``lax.scan`` with
+stateless per-step threefry normals (no (steps x paths) materialization).
+Calibration replaces finite-difference SLSQP with scipy SLSQP driven by
+``jax.value_and_grad`` through pricer + implied-vol inversion.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.data.option_chain import ChainGrid, OptionChain
+from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer
+from stochvolmodels_tpu.ops import bsm, mgf
+from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
+from stochvolmodels_tpu.ops.random import key_from_seed, step_normals
+from stochvolmodels_tpu.utils.cplx import Cplx, cexp, clog, csqrt
+from stochvolmodels_tpu.utils.funcs import set_time_grid, timer
+
+Array = jnp.ndarray
+
+VAR_FLOOR = 1e-4  # full-truncation floor (heston_pricer.py:357)
+
+
+@dataclass
+class HestonParams(ModelParams):
+    """Heston parameters: dv = kappa (theta - v) dt + volvol sqrt(v) dW,
+    rho the return-variance correlation (heston_pricer.py:26-43)."""
+    v0: float = 0.04
+    theta: float = 0.04
+    kappa: float = 4.0
+    rho: float = -0.5
+    volvol: float = 0.4
+
+    def to_array(self) -> np.ndarray:
+        return np.array([self.v0, self.theta, self.kappa, self.rho, self.volvol])
+
+
+BTC_HESTON_PARAMS = HestonParams(v0=0.8, theta=1.0, kappa=2.0, rho=0.0, volvol=2.0)
+
+
+def compute_heston_mgf_grid(v0,
+                            theta,
+                            kappa,
+                            volvol,
+                            rho,
+                            ttm,
+                            phi_grid: Cplx,
+                            psi_grid: Cplx,
+                            a_t0: Optional[Cplx] = None,
+                            b_t0: Optional[Cplx] = None
+                            ) -> Tuple[Cplx, Cplx, Cplx]:
+    """closed-form Heston log-MGF on the transform grid (heston_pricer.py:169-200).
+
+    (a_t0, b_t0) chain the Riccati solution across maturities; ``ttm`` is the
+    *increment* from the previous slice.  Returns (log_mgf, a_t1, b_t1).
+    """
+    volvol2 = volvol * volvol
+    b1 = phi_grid * (rho * volvol) + kappa
+    b0 = phi_grid * (phi_grid + 1.0) * 0.5 - psi_grid
+    zeta = csqrt(b1 * b1 - b0 * (2.0 * volvol2))
+    exp_zeta = cexp(-zeta * ttm)
+    psi_p = -b1 + zeta
+    psi_m = b1 + zeta
+    two_zeta = zeta * 2.0
+    if b_t0 is None:
+        c_p, c_m = psi_p / two_zeta, psi_m / two_zeta
+    else:
+        c_p = (psi_p + b_t0 * volvol2) / two_zeta
+        c_m = (psi_m - b_t0 * volvol2) / two_zeta
+    denom = c_p * exp_zeta + c_m
+    b_t1 = -(psi_m * c_p * exp_zeta * (-1.0) + psi_p * c_m) / (denom * volvol2)
+    a_t1 = (psi_p * ttm + clog(denom) * 2.0) * (-(theta * kappa / volvol2))
+    if a_t0 is not None:
+        a_t1 = a_t1 + a_t0
+    log_mgf_grid = a_t1 + b_t1 * v0
+    return log_mgf_grid, a_t1, b_t1
+
+
+def heston_chain_price_grid(grid: ChainGrid,
+                            v0,
+                            theta,
+                            kappa,
+                            volvol,
+                            rho,
+                            vol_scaler=None,
+                            variable_type: VariableType = VariableType.LOG_RETURN,
+                            is_spot_measure: bool = True,
+                            is_simpson: bool = True
+                            ) -> Array:
+    """price the padded chain panel; returns (n_ttm, max_strikes) prices.
+
+    Jit-compatible: params and vol_scaler may be traced; the maturity loop
+    unrolls at trace time carrying the chained (a, b) state
+    (heston_pricer.py:203-262).
+    """
+    if vol_scaler is None:
+        vol_scaler = jnp.minimum(0.3, jnp.sqrt(v0 * grid.ttms[0]))
+    phi_grid, psi_grid, _ = mgf.get_transform_var_grid(
+        variable_type=variable_type, is_spot_measure=is_spot_measure,
+        vol_scaler=vol_scaler)
+
+    a_t, b_t = None, None
+    ttm0 = 0.0
+    prices = []
+    for i in range(grid.n_ttms):
+        ttm = grid.ttms[i]
+        log_mgf, a_t, b_t = compute_heston_mgf_grid(
+            v0=v0, theta=theta, kappa=kappa, volvol=volvol, rho=rho,
+            ttm=ttm - ttm0, phi_grid=phi_grid, psi_grid=psi_grid,
+            a_t0=a_t, b_t0=b_t)
+        if variable_type == VariableType.LOG_RETURN:
+            slice_prices = mgf.vanilla_prices_with_mgf_grid(
+                log_mgf_grid=log_mgf, phi_grid=phi_grid,
+                forwards=grid.forwards[i], strikes=grid.strikes[i],
+                optiontypes=grid.optioncodes[i],
+                discfactors=grid.discfactors[i],
+                is_spot_measure=is_spot_measure, is_simpson=is_simpson)
+        elif variable_type == VariableType.Q_VAR:
+            slice_prices = mgf.qvar_prices_with_mgf_grid(
+                log_mgf_grid=log_mgf, psi_grid=psi_grid, ttms=ttm,
+                strikes=grid.strikes[i], optiontypes=grid.optioncodes[i],
+                forwards=grid.forwards[i], discfactors=grid.discfactors[i],
+                is_simpson=is_simpson, is_spot_measure=is_spot_measure)
+        else:
+            raise NotImplementedError(f"variable_type={variable_type}")
+        prices.append(slice_prices)
+        ttm0 = ttm
+    return jnp.stack(prices, axis=0)
+
+
+# ----------------------------------------------------------------------------
+# Monte Carlo
+# ----------------------------------------------------------------------------
+
+def simulate_heston_terminal(key: jax.Array,
+                             x0: Array,
+                             var0: Array,
+                             qvar0: Array,
+                             ttm: float,
+                             theta,
+                             kappa,
+                             rho,
+                             volvol,
+                             nb_steps_per_year: int = 360,
+                             dtype=jnp.float64
+                             ) -> Tuple[Array, Array, Array]:
+    """full-truncation Euler to the horizon ``ttm`` (heston_pricer.py:312-359).
+
+    ttm must be concrete (static step count).  State arrays are (nb_path,).
+    Per-step normals are derived from ``key`` by folding in the step index.
+    """
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    sqrt_dt = float(np.sqrt(dt))
+    rho_1 = np.sqrt(1.0 - rho * rho) if isinstance(rho, float) else jnp.sqrt(1.0 - rho * rho)
+    nb_path = x0.shape[0]
+    carry_dtype = x0.dtype
+
+    def step(carry, step_idx):
+        x, var, qvar = carry
+        w = step_normals(key, step_idx, (2, nb_path), dtype=dtype) * sqrt_dt
+        w0, w1 = w[0], w[1]
+        sigma = jnp.sqrt(var)
+        var_dt = var * dt
+        x = x - 0.5 * var_dt + sigma * w0
+        qvar = qvar + var_dt
+        var = var + kappa * (theta - var) * dt + sigma * volvol * (rho * w0 + rho_1 * w1)
+        var = jnp.maximum(var, VAR_FLOOR)
+        # params may be traced at a wider dtype than the state (e.g. f64
+        # params driving an f32 simulation); keep the carry dtype stable
+        return (x.astype(carry_dtype), var.astype(carry_dtype),
+                qvar.astype(carry_dtype)), None
+
+    (x, var, qvar), _ = jax.lax.scan(step, (x0, var0, qvar0),
+                                     jnp.arange(nb_steps), unroll=4)
+    return x, var, qvar
+
+
+def heston_mc_chain_pricer(ttms: np.ndarray,
+                           forwards: np.ndarray,
+                           discfactors: np.ndarray,
+                           strikes_ttms,
+                           optiontypes_ttms,
+                           v0: float,
+                           theta: float,
+                           kappa: float,
+                           rho: float,
+                           volvol: float,
+                           nb_path: int = 100000,
+                           variable_type: VariableType = VariableType.LOG_RETURN,
+                           seed=None,
+                           dtype=jnp.float64
+                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """chain MC with terminal state carried across maturities
+    (heston_pricer.py:265-309).  Returns ragged (prices, stderrs) lists."""
+    key = key_from_seed(seed)
+    x = jnp.zeros(nb_path, dtype=dtype)
+    var = jnp.full(nb_path, v0, dtype=dtype)
+    qvar = jnp.zeros(nb_path, dtype=dtype)
+    ttm0 = 0.0
+    option_prices_ttm, option_std_ttm = [], []
+    for i, ttm in enumerate(ttms):
+        slice_key = jax.random.fold_in(key, i)
+        x, var, qvar = simulate_heston_terminal(
+            key=slice_key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
+            theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype)
+        ttm0 = float(ttm)
+        prices, stds = compute_mc_vars_payoff(
+            x0=x, sigma0=jnp.sqrt(var), qvar0=qvar, ttm=ttm,
+            forward=forwards[i], strikes_ttm=jnp.asarray(strikes_ttms[i]),
+            optiontypes_ttm=optiontypes_ttms[i],
+            discfactor=discfactors[i], variable_type=variable_type)
+        option_prices_ttm.append(np.asarray(prices))
+        option_std_ttm.append(np.asarray(stds))
+    return option_prices_ttm, option_std_ttm
+
+
+# ----------------------------------------------------------------------------
+# pricer class
+# ----------------------------------------------------------------------------
+
+class HestonPricer(ModelPricer):
+    """ModelPricer for Heston, valued by Fourier inversion of the analytic MGF."""
+
+    def price_chain(self, option_chain: OptionChain, params: HestonParams,
+                    variable_type: VariableType = VariableType.LOG_RETURN,
+                    vol_scaler: Optional[float] = None,
+                    **kwargs) -> List[np.ndarray]:
+        grid = option_chain.to_grid()
+        prices = _heston_chain_price_grid_jit(
+            grid, params.v0, params.theta, params.kappa, params.volvol,
+            params.rho,
+            jnp.minimum(0.3, jnp.sqrt(params.v0 * grid.ttms[0])) if vol_scaler is None else vol_scaler,
+            variable_type)
+        return option_chain.unpad_panel(prices)
+
+    def model_mc_price_chain(self, option_chain: OptionChain, params: HestonParams,
+                             nb_path: int = 100000,
+                             variable_type: VariableType = VariableType.LOG_RETURN,
+                             seed=None,
+                             **kwargs) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        return heston_mc_chain_pricer(ttms=option_chain.ttms,
+                                      forwards=option_chain.forwards,
+                                      discfactors=option_chain.discfactors,
+                                      strikes_ttms=option_chain.strikes_ttms,
+                                      optiontypes_ttms=option_chain.optiontypes_ttms,
+                                      v0=params.v0, theta=params.theta,
+                                      kappa=params.kappa, rho=params.rho,
+                                      volvol=params.volvol, nb_path=nb_path,
+                                      variable_type=variable_type, seed=seed)
+
+    @timer
+    def simulate_terminal_values(self, params: HestonParams, ttm: float = 1.0,
+                                 nb_path: int = 100000, seed=None, **kwargs
+                                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        key = key_from_seed(seed)
+        x, var, qvar = simulate_heston_terminal(
+            key=key, x0=jnp.zeros(nb_path), var0=params.v0 * jnp.ones(nb_path),
+            qvar0=jnp.zeros(nb_path), ttm=ttm, theta=params.theta,
+            kappa=params.kappa, rho=params.rho, volvol=params.volvol)
+        return np.asarray(x), np.asarray(var), np.asarray(qvar)
+
+    @timer
+    def calibrate_model_params_to_chain(self,
+                                        option_chain: OptionChain,
+                                        params0: HestonParams = None,
+                                        is_vega_weighted: bool = True,
+                                        is_unit_ttm_vega: bool = False,
+                                        **kwargs) -> HestonParams:
+        """SLSQP fit of (v0, theta, kappa, rho, volvol) with the Feller
+        inequality, using jax gradients through pricer + IV inversion
+        (heston_pricer.py:109-166 replaces finite differences)."""
+        if params0 is not None:
+            p0 = params0.to_array()
+        else:
+            p0 = np.array([0.1, 0.1, 2.0, -0.2, 1.0])
+        bounds = ((0.01, 2.0), (0.01, 2.0), (0.1, 30.0), (-0.99, 0.99), (0.1, 5.0))
+
+        grid = option_chain.to_grid()
+        mid_vols = option_chain.get_mid_vols()
+        market_vols, _ = _pad_like(mid_vols, grid)
+        if is_vega_weighted:
+            vegas_ttms = option_chain.get_chain_vegas(is_unit_ttm_vega=is_unit_ttm_vega)
+            vegas_ttms = [v / np.sum(v) for v in vegas_ttms]
+            weights, _ = _pad_like(vegas_ttms, grid)
+        else:
+            weights = np.ones_like(market_vols)
+        weights = jnp.asarray(np.where(np.asarray(grid.mask), weights, 0.0))
+        market_vols = jnp.asarray(np.where(np.asarray(grid.mask), market_vols, 0.0))
+        # freeze the transform grid across iterations (reference contract,
+        # heston_pricer.py:221 via logsv_pricer.py:194-203)
+        vol_scaler = float(np.minimum(0.3, np.sqrt(p0[0] * option_chain.ttms[0])))
+
+        obj_and_grad = jax.jit(jax.value_and_grad(partial(
+            _heston_calibration_objective, grid=grid, market_vols=market_vols,
+            weights=weights, vol_scaler=vol_scaler)))
+
+        def objective(pars: np.ndarray) -> Tuple[float, np.ndarray]:
+            v, g = obj_and_grad(jnp.asarray(pars))
+            return float(v), np.asarray(g)
+
+        def feller(pars: np.ndarray) -> float:
+            return 2.0 * pars[2] * pars[1] - pars[4] * pars[4]
+
+        constraints = ({'type': 'ineq', 'fun': feller,
+                        'jac': lambda p: np.array([0.0, 2.0 * p[2], 2.0 * p[1], 0.0, -2.0 * p[4]])})
+        options = {'ftol': 1e-8, 'maxiter': 200}
+        res = minimize(objective, p0, jac=True, method='SLSQP',
+                       constraints=constraints, bounds=bounds, options=options)
+        v0, theta, kappa, rho, volvol = res.x
+        return HestonParams(v0=v0, theta=theta, kappa=kappa, rho=rho, volvol=volvol)
+
+
+def _pad_like(ragged, grid: ChainGrid) -> Tuple[np.ndarray, np.ndarray]:
+    """pad a ragged list to the grid's (T, K) panel with zeros."""
+    t, k = grid.mask.shape
+    out = np.zeros((t, k))
+    for i, a in enumerate(ragged):
+        out[i, :len(a)] = np.asarray(a)
+    return out, np.asarray(grid.mask)
+
+
+def _heston_calibration_objective(pars: Array, grid: ChainGrid,
+                                  market_vols: Array, weights: Array,
+                                  vol_scaler: float) -> Array:
+    """vega-weighted sum of squared IV residuals; NaN residuals dropped
+    (nansum semantics of heston_pricer.py:145)."""
+    v0, theta, kappa, rho, volvol = pars[0], pars[1], pars[2], pars[3], pars[4]
+    prices = heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
+                                     volvol=volvol, rho=rho, vol_scaler=vol_scaler)
+    model_vols = bsm.infer_bsm_ivols_from_model_chain_prices(
+        ttms=grid.ttms, forwards=grid.forwards, discfactors=grid.discfactors,
+        strikes_ttms=grid.strikes, optiontypes_ttms=grid.optioncodes,
+        model_prices_ttms=prices)
+    resid = weights * jnp.square(model_vols - market_vols)
+    return jnp.sum(jnp.where(jnp.isnan(resid), 0.0, resid))
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _heston_chain_price_grid_jit(grid, v0, theta, kappa, volvol, rho,
+                                 vol_scaler, variable_type):
+    return heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
+                                   volvol=volvol, rho=rho, vol_scaler=vol_scaler,
+                                   variable_type=variable_type)
+
+
+def v0_implied(v0: float, volvol: float, ttm: float) -> float:
+    """short-maturity v0 adjustment placeholder (heston_pricer.py:362-368)."""
+    return v0 - volvol * volvol * ttm / 8.0

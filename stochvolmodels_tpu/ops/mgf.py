@@ -1,0 +1,284 @@
+"""
+Transform-pricing engine: Fourier inversion of payoffs against a log-MGF grid.
+
+TPU-native rebuild of /root/reference/stochvolmodels/utils/mgf_pricer.py.
+Design deltas from the reference:
+
+* complex values are (re, im) float64 pairs (:mod:`stochvolmodels_tpu.utils.cplx`)
+  because XLA:TPU has no complex128;
+* the per-strike ``np.nansum`` loops become one batched contraction over the
+  (maturity x strike x frequency) panel: the integrand is evaluated as a dense
+  real tensor, NaN-masked (preserving the reference's nansum semantics,
+  mgf_pricer.py:166), and reduced over the frequency axis — a fused
+  VPU/MXU-friendly expression instead of 4x15 scalar quadrature loops;
+* option types are int codes, call/put assembly is a ``jnp.where`` mask.
+
+Parity notes: the reference builds composite-Simpson weights without checking
+for an odd point count; its grids are even-length, so the first interior
+pattern assigns weight 4 to the *last* point after it was set to 1
+(mgf_pricer.py:123-129).  That bias is baked into reference prices, so the
+weight construction here replicates it exactly.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.ops.bsm import as_option_codes
+from stochvolmodels_tpu.utils import cplx
+from stochvolmodels_tpu.utils.cplx import Cplx
+
+Array = jnp.ndarray
+
+# grid sizes fixed by the reference (mgf_pricer.py:22,44,55)
+PHI_POINTS = 1000
+PSI_POINTS = 40000
+PSI_SPAN = 4000.0
+THETA_POINTS = 5000
+THETA_SPAN = 600.0
+
+
+def get_phi_grid(is_spot_measure: bool = True,
+                 max_phi: int = PHI_POINTS,
+                 vol_scaler=0.28,
+                 real_phi: Optional[float] = None
+                 ) -> Cplx:
+    """log-price transform grid phi = real_p + i p, p in [0, 5.6/vol_scaler].
+
+    real part -0.5 under the spot/MMA measure, +0.5 under the inverse measure
+    (mgf_pricer.py:11-34).  ``vol_scaler`` may be a traced scalar (it is frozen
+    during calibration); the point count is static.
+    """
+    if real_phi is None:
+        real_p = -0.5 if is_spot_measure else 0.5
+    else:
+        real_p = real_phi
+    p = jnp.linspace(0.0, 5.6 / jnp.asarray(vol_scaler, dtype=jnp.float64), max_phi)
+    return Cplx(jnp.full_like(p, real_p), p)
+
+
+def get_psi_grid(max_psi: int = PSI_POINTS) -> Cplx:
+    """QVAR transform grid psi = -0.5 + i p, p in [0, 4000] (mgf_pricer.py:37-47)."""
+    p = jnp.linspace(0.0, PSI_SPAN, max_psi, dtype=jnp.float64)
+    return Cplx(jnp.full_like(p, -0.5), p)
+
+
+def get_theta_grid(max_theta: int = THETA_POINTS) -> Cplx:
+    """volatility transform grid theta = i p, p in [0, 600] (mgf_pricer.py:50-58)."""
+    p = jnp.linspace(0.0, THETA_SPAN, max_theta, dtype=jnp.float64)
+    return Cplx(jnp.zeros_like(p), p)
+
+
+def get_transform_var_grid(variable_type: VariableType = VariableType.LOG_RETURN,
+                           is_spot_measure: bool = True,
+                           max_phi: int = PHI_POINTS,
+                           vol_scaler=0.28,
+                           real_phi: Optional[float] = None
+                           ) -> Tuple[Cplx, Cplx, Cplx]:
+    """(phi, psi, theta) grids with the two inactive grids zeroed
+    (mgf_pricer.py:61-94)."""
+    if variable_type == VariableType.LOG_RETURN:
+        phi_grid = get_phi_grid(is_spot_measure=is_spot_measure, max_phi=max_phi,
+                                vol_scaler=vol_scaler, real_phi=real_phi)
+        zero = Cplx(jnp.zeros_like(phi_grid.re), jnp.zeros_like(phi_grid.im))
+        return phi_grid, zero, zero
+    elif variable_type == VariableType.Q_VAR:
+        psi_grid = get_psi_grid()
+        fill = 0.0 if is_spot_measure else 1.0
+        phi_grid = Cplx(jnp.full_like(psi_grid.re, fill), jnp.zeros_like(psi_grid.im))
+        zero = Cplx(jnp.zeros_like(psi_grid.re), jnp.zeros_like(psi_grid.im))
+        return phi_grid, psi_grid, zero
+    elif variable_type == VariableType.SIGMA:
+        theta_grid = get_theta_grid()
+        zero = Cplx(jnp.zeros_like(theta_grid.re), jnp.zeros_like(theta_grid.im))
+        return zero, zero, theta_grid
+    raise NotImplementedError(f"variable_type={variable_type}")
+
+
+def simpson_base_weights(n: int) -> np.ndarray:
+    """static composite-Simpson pattern including the reference's even-length
+    quirk: [1, 4, 2, 4, ..., 4(!)] for even n (mgf_pricer.py:123-129)."""
+    base = np.where(np.arange(n) % 2 == 1, 4.0, 2.0)
+    base[0] = 1.0
+    if (n - 1) % 2 == 1:  # odd last index keeps 4.0 as in the reference
+        pass
+    else:
+        base[-1] = 1.0
+    return base
+
+
+def compute_integration_weights(var_grid: Cplx, is_simpson: bool = True) -> Array:
+    """quadrature weights on Im(grid): Simpson (default) or trapezoid
+    (mgf_pricer.py:97-132)."""
+    p = var_grid.im
+    n = p.shape[-1]
+    if is_simpson:
+        base = jnp.asarray(simpson_base_weights(n))
+        return ((p[..., 1] - p[..., 0]) / 3.0)[..., None] * base if p.ndim > 1 \
+            else ((p[1] - p[0]) / 3.0) * base
+    # trapezoid: [0.5*h, diffs...]
+    first = 0.5 * (p[..., 1] - p[..., 0])
+    return jnp.concatenate([jnp.expand_dims(first, -1) if p.ndim > 1 else first[None],
+                            p[..., 1:] - p[..., :-1]], axis=-1)
+
+
+def _nansum_re(weights: Cplx, exponent: Cplx, axis: int = -1) -> Array:
+    """Re[sum_n w_n exp(z_n)] with NaN terms dropped (reference nansum semantics).
+
+    exponent and weights broadcast; exp is evaluated through the (re, im) pair.
+    """
+    e = jnp.exp(exponent.re)
+    term = e * (weights.re * jnp.cos(exponent.im) - weights.im * jnp.sin(exponent.im))
+    return jnp.sum(jnp.where(jnp.isnan(term), 0.0, term), axis=axis)
+
+
+def vanilla_prices_with_mgf_grid(log_mgf_grid: Cplx,
+                                 phi_grid: Cplx,
+                                 forwards,
+                                 strikes,
+                                 optiontypes,
+                                 discfactors=1.0,
+                                 is_spot_measure: bool = True,
+                                 is_simpson: bool = True,
+                                 real_phi_is_half: bool = True
+                                 ) -> Array:
+    """batched capped-payoff Fourier inversion (mgf_pricer.py:135-182).
+
+    Shapes: ``log_mgf_grid`` (..., N), ``phi_grid`` (N,), ``forwards`` (...,) or
+    scalar, ``strikes``/``optiontypes`` (..., K).  Returns prices (..., K).
+
+    ``real_phi_is_half`` selects the payoff kernel branch statically (the real
+    part of the grid is a compile-time constant in every reference use).
+    """
+    dp = compute_integration_weights(var_grid=phi_grid, is_simpson=is_simpson)
+    p = phi_grid.im
+    if real_phi_is_half:
+        p_payoff = Cplx((dp / jnp.pi) / (p * p + 0.25), jnp.zeros_like(p))
+    else:
+        if is_spot_measure:
+            p_payoff = -1.0 * ((phi_grid + 1.0) * phi_grid).__rtruediv__(dp / jnp.pi)
+        else:
+            p_payoff = -1.0 * ((phi_grid - 1.0) * phi_grid).__rtruediv__(dp / jnp.pi)
+
+    forwards = jnp.asarray(forwards)
+    strikes = jnp.asarray(strikes)
+    fwd = forwards[..., None] if forwards.ndim == strikes.ndim - 1 else forwards
+    x = jnp.log(fwd / strikes)                                    # (..., K)
+
+    # exponent z = -x*phi + logMGF, shape (..., K, N)
+    z = Cplx(-x[..., None] * phi_grid.re + log_mgf_grid.re[..., None, :],
+             -x[..., None] * phi_grid.im + log_mgf_grid.im[..., None, :])
+    capped = _nansum_re(p_payoff, z, axis=-1)                     # (..., K)
+
+    codes = as_option_codes(optiontypes)
+    is_call = (codes & 1).astype(bool)
+    discfactors = jnp.asarray(discfactors)
+    df = discfactors[..., None] if discfactors.ndim == strikes.ndim - 1 else discfactors
+
+    if is_spot_measure:
+        call_px = df * (fwd - strikes * capped)
+        put_px = df * (strikes - strikes * capped)
+    else:  # inverse measure: multiply by forward (mgf_pricer.py:174-180)
+        call_px = fwd * df * (1.0 - capped)
+        put_px = fwd * df * (jnp.exp(-x) - capped)
+    return jnp.where(is_call, call_px, put_px)
+
+
+# alias matching the reference name
+vanilla_slice_pricer_with_mgf_grid = vanilla_prices_with_mgf_grid
+
+
+def digital_prices_with_mgf_grid(log_mgf_grid: Cplx,
+                                 phi_grid: Cplx,
+                                 forwards,
+                                 strikes,
+                                 optiontypes,
+                                 discfactors=1.0,
+                                 is_simpson: bool = True,
+                                 real_phi_negative: bool = True
+                                 ) -> Array:
+    """batched digital-payoff inversion (mgf_pricer.py:185-230).
+
+    ``real_phi_negative`` statically selects the call-kernel branch (the
+    reference tests ``np.all(Re phi < 0)`` on a compile-time-constant grid).
+    """
+    dp = compute_integration_weights(var_grid=phi_grid, is_simpson=is_simpson)
+    if real_phi_negative:  # kernel prices calls directly
+        p_payoff = phi_grid.__rtruediv__(-dp / jnp.pi)
+    else:
+        p_payoff = phi_grid.__rtruediv__(dp / jnp.pi)
+
+    forwards = jnp.asarray(forwards)
+    strikes = jnp.asarray(strikes)
+    fwd = forwards[..., None] if forwards.ndim == strikes.ndim - 1 else forwards
+    x = jnp.log(fwd / strikes)
+    z = Cplx(-x[..., None] * phi_grid.re + log_mgf_grid.re[..., None, :],
+             -x[..., None] * phi_grid.im + log_mgf_grid.im[..., None, :])
+    digital = _nansum_re(p_payoff, z, axis=-1)
+
+    codes = as_option_codes(optiontypes)
+    is_call = (codes & 1).astype(bool)
+    price = jnp.where(is_call == real_phi_negative, digital, 1.0 - digital)
+    discfactors = jnp.asarray(discfactors)
+    df = discfactors[..., None] if discfactors.ndim == strikes.ndim - 1 else discfactors
+    return df * price
+
+
+digital_slice_pricer_with_mgf_grid = digital_prices_with_mgf_grid
+
+
+def qvar_prices_with_mgf_grid(log_mgf_grid: Cplx,
+                              psi_grid: Cplx,
+                              ttms,
+                              strikes,
+                              optiontypes,
+                              forwards=None,
+                              discfactors=1.0,
+                              is_simpson: bool = True,
+                              is_spot_measure: bool = True
+                              ) -> Array:
+    """options on annualized quadratic variance (mgf_pricer.py:284-319).
+
+    Kernel 1/(pi psi^2), exponent +strike*ttm*psi + logMGF; the price is
+    floored at 1e-10 after dividing by ttm.  Only calls are supported, as in
+    the reference.
+    """
+    dp = compute_integration_weights(var_grid=psi_grid, is_simpson=is_simpson)
+    p_payoff = (psi_grid * psi_grid).__rtruediv__(dp / jnp.pi)
+
+    strikes = jnp.asarray(strikes)
+    ttms = jnp.asarray(ttms)
+    t = ttms[..., None] if ttms.ndim == strikes.ndim - 1 else ttms
+    kt = strikes * t                                               # (..., K)
+    z = Cplx(kt[..., None] * psi_grid.re + log_mgf_grid.re[..., None, :],
+             kt[..., None] * psi_grid.im + log_mgf_grid.im[..., None, :])
+    option_price = _nansum_re(p_payoff, z, axis=-1)
+    discfactors = jnp.asarray(discfactors)
+    df = discfactors[..., None] if discfactors.ndim == strikes.ndim - 1 else discfactors
+    return jnp.maximum(df * option_price / t, 1e-10)
+
+
+slice_qvar_pricer_with_a_grid = qvar_prices_with_mgf_grid
+
+
+def pdf_with_mgf_grid(log_mgf_grid: Cplx,
+                      transform_var_grid: Cplx,
+                      space_grid,
+                      shift: float = 0.0,
+                      scale: float = 1.0,
+                      is_simpson: bool = True
+                      ) -> Array:
+    """density on a uniform space grid by transform inversion
+    (mgf_pricer.py:322-343)."""
+    dp = compute_integration_weights(var_grid=transform_var_grid,
+                                     is_simpson=is_simpson) / jnp.pi
+    space_grid = jnp.asarray(space_grid)
+    z_space = (space_grid - shift) / scale                          # (M,)
+    z = Cplx(z_space[..., None] * transform_var_grid.re + log_mgf_grid.re,
+             z_space[..., None] * transform_var_grid.im + log_mgf_grid.im)
+    pdf = _nansum_re(Cplx(dp, jnp.zeros_like(dp)), z, axis=-1)
+    dx = space_grid[1] - space_grid[0]
+    return dx * pdf

@@ -1,0 +1,70 @@
+"""
+Monte-Carlo payoff evaluation for vanilla, inverse and QVAR options.
+
+TPU rebuild of /root/reference/stochvolmodels/utils/mc_payoffs.py: the
+per-strike loop becomes a (strike x path) broadcast with a single reduction
+over paths.  The reference's numerical contracts are preserved exactly:
+
+* simulated spots are recentred on the forward before payoffs
+  (mc_payoffs.py:60-62) so put-call parity holds across the slice;
+* means/stds are NaN-dropping (``nanmean``/``nanstd``);
+* the returned std is the standard error ``nanstd / sqrt(nb_path)``.
+
+On a multi-chip mesh the path axis is sharded and the reductions here become
+psums over ICI (see stochvolmodels_tpu.parallel).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.ops.bsm import as_option_codes
+
+Array = jnp.ndarray
+
+
+def compute_mc_vars_payoff(x0: Array,
+                           sigma0: Array,
+                           qvar0: Array,
+                           ttm,
+                           forward,
+                           strikes_ttm: Array,
+                           optiontypes_ttm,
+                           discfactor=1.0,
+                           variable_type: VariableType = VariableType.LOG_RETURN
+                           ) -> Tuple[Array, Array]:
+    """discounted mean payoff and standard error per strike for one slice.
+
+    ``x0``/``qvar0``: terminal log-return and quadratic variance paths
+    (nb_path,); ``sigma0`` is accepted for signature symmetry with the
+    reference and unused (mc_payoffs.py:31-34).  Returns ((K,), (K,)).
+    """
+    del sigma0
+    x0 = jnp.asarray(x0)
+    spots_t = forward * jnp.exp(x0)
+    correction = jnp.nanmean(spots_t) - forward
+    spots_t = spots_t - correction
+
+    if variable_type == VariableType.LOG_RETURN:
+        underlying_t = spots_t
+    elif variable_type == VariableType.Q_VAR:
+        underlying_t = jnp.asarray(qvar0) / ttm
+    else:
+        raise NotImplementedError(f"variable_type={variable_type}")
+
+    strikes = jnp.asarray(strikes_ttm)[:, None]               # (K, 1)
+    codes = as_option_codes(optiontypes_ttm)[:, None]
+    is_call = (codes & 1).astype(bool)
+    is_inverse = (codes & 2).astype(bool)
+
+    u = underlying_t[None, :]                                  # (1, P)
+    call_pay = jnp.where(u > strikes, u - strikes, 0.0)
+    put_pay = jnp.where(u < strikes, strikes - u, 0.0)
+    payoff = jnp.where(is_call, call_pay, put_pay)
+    payoff = jnp.where(is_inverse, payoff / spots_t[None, :], payoff)
+
+    option_prices = discfactor * jnp.nanmean(payoff, axis=1)
+    option_std = discfactor * jnp.nanstd(payoff, axis=1)
+    return option_prices, option_std / jnp.sqrt(x0.shape[0])
