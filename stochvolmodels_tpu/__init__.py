@@ -89,6 +89,23 @@ from stochvolmodels_tpu.data.sample_chains import (  # noqa: F401
 )
 
 from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer  # noqa: F401
+from stochvolmodels_tpu.models.logsv import (  # noqa: F401
+    LOGSV_BTC_PARAMS,
+    CalibrationEngine,
+    ConstraintsType,
+    ExpansionOrder,
+    LogsvModelCalibrationType,
+    LogSvParams,
+    LogSVPricer,
+    compute_analytic_qvar,
+    compute_analytic_vol_moments,
+    compute_expected_vol_t,
+    compute_sqrt_qvar_t,
+    compute_vol_moments_t,
+    fit_model_vol_backbone_to_varswaps,
+    logsv_chain_pricer,
+    logsv_pdfs,
+)
 from stochvolmodels_tpu.models.heston import (  # noqa: F401
     BTC_HESTON_PARAMS,
     HestonParams,

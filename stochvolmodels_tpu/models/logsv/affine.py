@@ -1,0 +1,270 @@
+"""
+Affine expansion of the LogSV moment generating function (Sec. 4 of Sepp &
+Rakhmonov 2024).
+
+TPU rebuild of /root/reference/stochvolmodels/pricers/logsv/affine_expansion.py.
+The coefficient vector A(tau) per transform point solves the quadratic ODE
+
+    dA^(k)/dtau = A' M^(k) A + (L^(k)(p))' A + H^(k)(p),        (Eq. 4.14)
+
+with n = 3 (first order) or 5 (second order, the production default)
+coefficients.  Design deltas from the reference:
+
+* the reference loops 1000 separate ``scipy.solve_ivp`` calls per maturity
+  (affine_expansion.py:491-529) — the analytic-path bottleneck.  Here the ODE
+  is integrated for the WHOLE grid at once: the state is a (N, n) complex
+  panel carried as (re, im) float64 pairs, the RHS is a handful of einsums
+  (M is real and phi-independent; L is linear in phi, so L = L0 + phi*L1 with
+  real L0, L1), and a fixed-step RK4 under ``lax.scan`` advances all N points
+  together — fully differentiable for gradient-based calibration;
+* the step count is chosen from the maturity at trace time (static shapes);
+  RK4 at ~2x daily steps reproduces a tight-tolerance solve_ivp reference to
+  ~1e-10 on the default Phi grid (see tests/test_logsv.py).
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.utils.cplx import Cplx
+
+Array = jnp.ndarray
+
+
+class ExpansionOrder(Enum):
+    """truncation order of the affine expansion (affine_expansion.py:43-54)."""
+    ZERO = 0
+    FIRST = 1
+    SECOND = 2
+
+
+def get_expansion_n(expansion_order: ExpansionOrder = ExpansionOrder.FIRST) -> int:
+    """number of coefficients A^(k): 3 at first order, 5 at second."""
+    return 3 if expansion_order == ExpansionOrder.FIRST else 5
+
+
+def func_a_ode_quadratic_terms(theta,
+                               kappa1,
+                               kappa2,
+                               beta,
+                               volvol,
+                               is_spot_measure: bool = True,
+                               expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                               vol_backbone_eta=1.0
+                               ) -> Tuple[Array, Array, Array, Array]:
+    """assemble the phi-independent pieces of M^(k), L^(k)(p), H^(k)(p)
+    (affine_expansion.py:67-184).
+
+    Because L is linear in phi and M does not depend on phi at all
+    (Remark 4.1), the full grid tensors factor as
+
+        L(phi) = L0 + phi * L1,     H(phi, psi) = h * (phi(phi+p) - 2 psi),
+
+    with real L0, L1 (n, n) and h (n,).  Returns (M, L0, L1, h); all real
+    arrays (params may be traced scalars).
+    """
+    n = get_expansion_n(expansion_order)
+    theta2 = theta * theta
+    vartheta2 = beta * beta + volvol * volvol
+    qv = theta * vartheta2
+    qv2 = theta2 * vartheta2
+    eta = vol_backbone_eta
+    eta2 = eta * eta
+    bb = beta * eta  # beta * vol_backbone_eta, the phi-coefficient scale
+    if is_spot_measure:
+        lamda = 0.0 * theta
+        kappa2_p = kappa2
+        kappa_p = kappa1 + kappa2 * theta
+    else:
+        lamda = beta * theta2 * eta
+        kappa2_p = kappa2 - beta * eta
+        kappa_p = kappa1 + kappa2 * theta - 2.0 * beta * theta * eta
+
+    z = jnp.zeros(())
+    M = jnp.zeros((n, n, n))
+    M = M.at[0, 1, 1].set(0.5 * qv2)
+    M = M.at[1, 1, 1].set(qv)
+    M = M.at[1, 1, 2].set(qv2).at[1, 2, 1].set(qv2)
+    M = M.at[2, 1, 1].set(0.5 * vartheta2).at[2, 2, 2].set(2.0 * qv2)
+    M = M.at[2, 2, 1].set(2.0 * qv).at[2, 1, 2].set(2.0 * qv)
+    if expansion_order == ExpansionOrder.SECOND:
+        M = M.at[2, 1, 3].set(1.5 * qv2).at[2, 3, 1].set(1.5 * qv2)
+        M = M.at[3, 2, 2].set(4.0 * qv)
+        M = M.at[3, 1, 2].set(vartheta2).at[3, 2, 1].set(vartheta2)
+        M = M.at[3, 1, 3].set(3.0 * qv).at[3, 3, 1].set(3.0 * qv)
+        M = M.at[3, 1, 4].set(2.0 * qv2).at[3, 4, 1].set(2.0 * qv2)
+        M = M.at[3, 2, 3].set(3.0 * qv2).at[3, 3, 2].set(3.0 * qv2)
+        M = M.at[4, 2, 2].set(2.0 * vartheta2).at[4, 3, 3].set(4.5 * qv2)
+        M = M.at[4, 1, 3].set(1.5 * vartheta2).at[4, 3, 1].set(1.5 * vartheta2)
+        M = M.at[4, 1, 4].set(4.0 * qv).at[4, 4, 1].set(4.0 * qv)
+        M = M.at[4, 2, 3].set(6.0 * qv).at[4, 3, 2].set(6.0 * qv)
+        M = M.at[4, 2, 4].set(4.0 * qv2).at[4, 4, 2].set(4.0 * qv2)
+
+    L0 = jnp.zeros((n, n))
+    L1 = jnp.zeros((n, n))
+    L0 = L0.at[0, 1].set(lamda).at[0, 2].set(qv2)
+    L1 = L1.at[0, 1].set(-theta2 * bb)
+    L0 = L0.at[1, 1].set(-kappa_p).at[1, 2].set(2.0 * (lamda + qv))
+    L1 = L1.at[1, 1].set(-2.0 * theta * bb).at[1, 2].set(-2.0 * theta2 * bb)
+    L0 = L0.at[2, 1].set(-kappa2_p).at[2, 2].set(vartheta2 - 2.0 * kappa_p)
+    L1 = L1.at[2, 1].set(-bb).at[2, 2].set(-4.0 * theta * bb)
+    if expansion_order == ExpansionOrder.SECOND:
+        L0 = L0.at[1, 3].set(3.0 * qv2)
+        L0 = L0.at[2, 3].set(6.0 * qv).at[2, 4].set(6.0 * qv2)
+        L1 = L1.at[2, 3].set(-3.0 * theta2 * bb)
+        L0 = L0.at[3, 2].set(-2.0 * kappa2_p).at[3, 3].set(3.0 * (vartheta2 - kappa_p)).at[3, 4].set(12.0 * qv)
+        L1 = L1.at[3, 2].set(-2.0 * bb).at[3, 3].set(-6.0 * theta * bb).at[3, 4].set(-4.0 * theta2 * bb)
+        L0 = L0.at[4, 3].set(-3.0 * kappa2_p).at[4, 4].set(2.0 * (vartheta2 - 2.0 * kappa_p))
+        L1 = L1.at[4, 3].set(-3.0 * bb).at[4, 4].set(-8.0 * theta * bb)
+
+    h = jnp.zeros(n)
+    h = h.at[0].set(0.5 * theta2 * eta2).at[1].set(theta * eta2).at[2].set(0.5 * eta2)
+    return M, L0, L1, h
+
+
+def build_grid_ode_terms(M: Array, L0: Array, L1: Array, h: Array,
+                         phi_grid: Cplx, psi_grid: Cplx,
+                         is_spot_measure: bool) -> Tuple[Cplx, Cplx]:
+    """expand (L0, L1, h) against the transform grid: L (N, n, n), H (N, n)."""
+    L = Cplx(L0[None, :, :] + phi_grid.re[:, None, None] * L1[None, :, :],
+             phi_grid.im[:, None, None] * L1[None, :, :])
+    p = 1.0 if is_spot_measure else -1.0
+    rhs = phi_grid * (phi_grid + p) - psi_grid * 2.0      # (N,)
+    H = Cplx(h[None, :] * rhs.re[:, None], h[None, :] * rhs.im[:, None])
+    return L, H
+
+
+def _ode_rhs(A: Cplx, M: Array, L: Cplx, H: Cplx) -> Cplx:
+    """dA/dtau = A' M A + L A + H for the whole (N, n) panel.
+
+    M is real and symmetric in its trailing axes, so for A = a + ib:
+    A' M A = a'Ma - b'Mb + 2i a'Mb.
+    """
+    Ma = jnp.einsum('kij,nj->nki', M, A.re)
+    Mb = jnp.einsum('kij,nj->nki', M, A.im)
+    quad_re = jnp.einsum('nki,ni->nk', Ma, A.re) - jnp.einsum('nki,ni->nk', Mb, A.im)
+    quad_im = 2.0 * jnp.einsum('nki,ni->nk', Ma, A.im)
+    lin_re = jnp.einsum('nij,nj->ni', L.re, A.re) - jnp.einsum('nij,nj->ni', L.im, A.im)
+    lin_im = jnp.einsum('nij,nj->ni', L.re, A.im) + jnp.einsum('nij,nj->ni', L.im, A.re)
+    return Cplx(quad_re + lin_re + H.re, quad_im + lin_im + H.im)
+
+
+def solve_a_ode_grid(ttm: float,
+                     theta,
+                     kappa1,
+                     kappa2,
+                     beta,
+                     volvol,
+                     phi_grid: Cplx,
+                     psi_grid: Cplx,
+                     a_t0: Cplx,
+                     is_spot_measure: bool = True,
+                     expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                     vol_backbone_eta=1.0,
+                     nb_steps: Optional[int] = None,
+                     year_steps: int = 720
+                     ) -> Cplx:
+    """advance A over [0, ttm] for the whole grid by fixed-step RK4.
+
+    ``ttm`` must be concrete (static step count); params may be traced.
+    Replaces the reference's per-point solve_ivp loop
+    (affine_expansion.py:491-529) and its daily-stepped fixed-point scheme
+    (:306-384) with one batched integrator.
+    """
+    if nb_steps is None:
+        nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
+    dt = float(ttm) / nb_steps
+
+    M, L0, L1, h = func_a_ode_quadratic_terms(
+        theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+        is_spot_measure=is_spot_measure, expansion_order=expansion_order,
+        vol_backbone_eta=vol_backbone_eta)
+    L, H = build_grid_ode_terms(M, L0, L1, h, phi_grid, psi_grid, is_spot_measure)
+
+    def rk4_step(carry, _):
+        a_re, a_im = carry
+        A = Cplx(a_re, a_im)
+        k1 = _ode_rhs(A, M, L, H)
+        k2 = _ode_rhs(A + k1 * (0.5 * dt), M, L, H)
+        k3 = _ode_rhs(A + k2 * (0.5 * dt), M, L, H)
+        k4 = _ode_rhs(A + k3 * dt, M, L, H)
+        A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
+        return (A1.re, A1.im), None
+
+    (a_re, a_im), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im),
+                                   None, length=nb_steps)
+    return Cplx(a_re, a_im)
+
+
+def get_init_conditions_a(phi_grid: Cplx,
+                          psi_grid: Cplx,
+                          theta_grid: Cplx,
+                          n_terms: int,
+                          variable_type: VariableType = VariableType.LOG_RETURN
+                          ) -> Cplx:
+    """A(0) over the grid: zeros, except SIGMA seeds A^(1)(0) = -Theta
+    (affine_expansion.py:532-567)."""
+    if variable_type == VariableType.LOG_RETURN:
+        n_grid = phi_grid.shape[0]
+    elif variable_type == VariableType.Q_VAR:
+        n_grid = psi_grid.shape[0]
+    elif variable_type == VariableType.SIGMA:
+        n_grid = theta_grid.shape[0]
+    else:
+        raise NotImplementedError
+    re = jnp.zeros((n_grid, n_terms))
+    im = jnp.zeros((n_grid, n_terms))
+    if variable_type == VariableType.SIGMA:
+        re = re.at[:, 1].set(-theta_grid.re)
+        im = im.at[:, 1].set(-theta_grid.im)
+    return Cplx(re, im)
+
+
+def compute_logsv_a_mgf_grid(ttm: float,
+                             phi_grid: Cplx,
+                             psi_grid: Cplx,
+                             theta_grid: Cplx,
+                             sigma0,
+                             theta,
+                             kappa1,
+                             kappa2,
+                             beta,
+                             volvol,
+                             variable_type: VariableType = VariableType.LOG_RETURN,
+                             expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                             a_t0: Optional[Cplx] = None,
+                             is_spot_measure: bool = True,
+                             vol_backbone_eta=1.0,
+                             nb_steps: Optional[int] = None,
+                             **kwargs
+                             ) -> Tuple[Cplx, Cplx]:
+    """solve the coefficient ODEs and contract against powers of
+    Y = sigma0 - theta (affine_expansion.py:570-685).
+
+    Returns (A(tau) panel (N, n), log MGF (N,)).
+    """
+    n_terms = get_expansion_n(expansion_order)
+    if a_t0 is None:
+        a_t0 = get_init_conditions_a(phi_grid=phi_grid, psi_grid=psi_grid,
+                                     theta_grid=theta_grid, n_terms=n_terms,
+                                     variable_type=variable_type)
+    a_t1 = solve_a_ode_grid(ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
+                            beta=beta, volvol=volvol,
+                            phi_grid=phi_grid, psi_grid=psi_grid, a_t0=a_t0,
+                            is_spot_measure=is_spot_measure,
+                            expansion_order=expansion_order,
+                            vol_backbone_eta=vol_backbone_eta,
+                            nb_steps=nb_steps)
+    y = sigma0 - theta
+    if expansion_order == ExpansionOrder.FIRST:
+        ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y * y])
+    else:
+        y2 = y * y
+        ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y2, y2 * y, y2 * y2])
+    log_mgf = Cplx(a_t1.re @ ys, a_t1.im @ ys)
+    return a_t1, log_mgf

@@ -1,0 +1,708 @@
+"""
+Pricer for the log-normal beta SV model with quadratic drift — the flagship
+model (Sepp & Rakhmonov, IJTAF 2024).
+
+TPU rebuild of /root/reference/stochvolmodels/pricers/logsv_pricer.py.
+Vanillas/inverse options are valued by Fourier inversion of the affine
+expansion (batched RK4 ODE solve over the whole transform grid, see
+models/logsv/affine.py), Monte Carlo runs the Eq. (3.59) Euler scheme under
+``lax.scan``, and calibration uses scipy SLSQP driven by jax gradients
+through pricer + implied-vol inversion (replacing the reference's
+finite-difference SLSQP, logsv_pricer.py:205-453).
+"""
+from __future__ import annotations
+
+from enum import Enum
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.optimize import minimize
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.data.option_chain import ChainGrid, OptionChain
+from stochvolmodels_tpu.models.logsv import affine as afe
+from stochvolmodels_tpu.models.logsv.affine import ExpansionOrder
+from stochvolmodels_tpu.models.logsv.params import LogSvParams
+from stochvolmodels_tpu.models.logsv.vol_moments import (
+    compute_analytic_qvar_jnp,
+    fit_model_vol_backbone_to_varswaps,
+)
+from stochvolmodels_tpu.models.model_pricer import ModelPricer
+from stochvolmodels_tpu.ops import bsm, mgf
+from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
+from stochvolmodels_tpu.ops.random import key_from_seed, step_normals
+from stochvolmodels_tpu.utils.cplx import Cplx
+from stochvolmodels_tpu.utils.funcs import set_time_grid, timer
+
+Array = jnp.ndarray
+
+
+class LogsvModelCalibrationType(Enum):
+    """which parameters the calibration solves for (logsv_pricer.py:51-62)."""
+    PARAMS4 = 1               # sigma0, theta, beta, volvol; kappa1/kappa2 fixed
+    PARAMS5 = 2               # sigma0, theta, kappa1, beta, volvol; kappa2 = kappa1/theta
+    PARAMS6 = 3               # all six
+    PARAMS_WITH_VARSWAP_FIT = 4  # beta, volvol; backbone fit to varswap strikes
+
+
+class ConstraintsType(Enum):
+    """martingale/moment constraints of Theorem 3.7 (logsv_pricer.py:65-82)."""
+    UNCONSTRAINT = 1
+    MMA_MARTINGALE = 2           # kappa2 >= beta
+    INVERSE_MARTINGALE = 3       # kappa2 >= 2 beta
+    MMA_MARTINGALE_MOMENT4 = 4
+    INVERSE_MARTINGALE_MOMENT4 = 5
+
+
+class CalibrationEngine(Enum):
+    """model-vol engine inside the calibration objective (logsv_pricer.py:85-94)."""
+    ANALYTIC = 1
+    MC = 2
+    ROUGH_MC = 3
+
+
+LOGSV_BTC_PARAMS = LogSvParams(sigma0=0.8376, theta=1.0413, kappa1=3.1844,
+                               kappa2=3.058, beta=0.1514, volvol=1.8458)
+
+
+def set_vol_scaler(sigma0: float, ttm: float) -> float:
+    """transform-grid scaler; lower bound two weeks (logsv_pricer.py:557-559)."""
+    return sigma0 * np.sqrt(np.minimum(np.min(ttm), 0.5 / 12.0))
+
+
+def v0_implied(atm: float, beta: float, volvol: float, theta: float,
+               kappa1: float, ttm: float) -> float:
+    """short-maturity ATM vol inversion (logsv_pricer.py:532-554)."""
+    beta2 = beta * beta
+    volvol2 = volvol * volvol
+    vartheta2 = beta2 + volvol2
+    if np.abs(beta) > 1.0:
+        return atm - vartheta2 * ttm / 4.0
+    numer = (-24.0 - beta2 * ttm - 2.0 * vartheta2 * ttm + 12.0 * kappa1 * ttm
+             + np.sqrt(np.square(24.0 + beta2 * ttm + 2.0 * vartheta2 * ttm
+                                 - 12.0 * kappa1 * ttm)
+                       - 288.0 * beta * ttm * (-2.0 * atm + theta * kappa1 * ttm)))
+    denumer = 12.0 * beta * ttm
+    if np.abs(denumer) > 1e-10:
+        return numer / denumer
+    return atm - vartheta2 * ttm / 4.0
+
+
+# ----------------------------------------------------------------------------
+# analytic chain pricing over the padded grid
+# ----------------------------------------------------------------------------
+
+def logsv_chain_price_grid(grid: ChainGrid,
+                           sigma0,
+                           theta,
+                           kappa1,
+                           kappa2,
+                           beta,
+                           volvol,
+                           vol_backbone_etas: Optional[np.ndarray] = None,
+                           vol_scaler=None,
+                           ttms_static: Optional[Tuple[float, ...]] = None,
+                           variable_type: VariableType = VariableType.LOG_RETURN,
+                           expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                           is_spot_measure: bool = True,
+                           is_simpson: bool = True
+                           ) -> Array:
+    """price the padded chain panel; returns (n_ttm, max_strikes) prices.
+
+    Chains the ODE state A across maturities exactly as the reference
+    (logsv_pricer.py:588-632).  ``ttms_static`` must be the concrete maturities
+    (they fix the per-slice ODE step counts at trace time); params and
+    vol_scaler may be traced for gradient-based calibration.
+    """
+    if ttms_static is None:
+        ttms_static = tuple(float(t) for t in np.asarray(grid.ttms))
+    if vol_backbone_etas is None:
+        vol_backbone_etas = np.ones(len(ttms_static))
+    phi_grid, psi_grid, theta_grid = mgf.get_transform_var_grid(
+        variable_type=variable_type, is_spot_measure=is_spot_measure,
+        vol_scaler=vol_scaler if vol_scaler is not None else 0.28)
+
+    n_terms = afe.get_expansion_n(expansion_order)
+    a_t = afe.get_init_conditions_a(phi_grid=phi_grid, psi_grid=psi_grid,
+                                    theta_grid=theta_grid, n_terms=n_terms,
+                                    variable_type=variable_type)
+    ttm0 = 0.0
+    prices = []
+    for i, ttm in enumerate(ttms_static):
+        a_t = afe.solve_a_ode_grid(
+            ttm=ttm - ttm0, theta=theta, kappa1=kappa1, kappa2=kappa2,
+            beta=beta, volvol=volvol, phi_grid=phi_grid, psi_grid=psi_grid,
+            a_t0=a_t, is_spot_measure=is_spot_measure,
+            expansion_order=expansion_order,
+            vol_backbone_eta=vol_backbone_etas[i])
+        y = sigma0 - theta
+        y2 = y * y
+        if expansion_order == ExpansionOrder.FIRST:
+            ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y2])
+        else:
+            ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y2, y2 * y, y2 * y2])
+        log_mgf = Cplx(a_t.re @ ys, a_t.im @ ys)
+
+        if variable_type == VariableType.LOG_RETURN:
+            slice_prices = mgf.vanilla_prices_with_mgf_grid(
+                log_mgf_grid=log_mgf, phi_grid=phi_grid,
+                forwards=grid.forwards[i], strikes=grid.strikes[i],
+                optiontypes=grid.optioncodes[i], discfactors=grid.discfactors[i],
+                is_spot_measure=is_spot_measure, is_simpson=is_simpson)
+        elif variable_type == VariableType.Q_VAR:
+            slice_prices = mgf.qvar_prices_with_mgf_grid(
+                log_mgf_grid=log_mgf, psi_grid=psi_grid, ttms=grid.ttms[i],
+                strikes=grid.strikes[i], optiontypes=grid.optioncodes[i],
+                forwards=grid.forwards[i], discfactors=grid.discfactors[i],
+                is_simpson=is_simpson, is_spot_measure=is_spot_measure)
+        else:
+            raise NotImplementedError(f"variable_type={variable_type}")
+        prices.append(slice_prices)
+        ttm0 = ttm
+    return jnp.stack(prices, axis=0)
+
+
+# ----------------------------------------------------------------------------
+# Monte Carlo (Eq. 3.59 scheme)
+# ----------------------------------------------------------------------------
+
+def simulate_logsv_terminal(key: jax.Array,
+                            x0: Array,
+                            sigma0: Array,
+                            qvar0: Array,
+                            ttm: float,
+                            theta,
+                            kappa1,
+                            kappa2,
+                            beta,
+                            volvol,
+                            vol_backbone_eta=1.0,
+                            is_spot_measure: bool = True,
+                            nb_steps_per_year: int = 360,
+                            dtype=jnp.float64
+                            ) -> Tuple[Array, Array, Array]:
+    """explicit Euler on (X, ln sigma, I) to horizon ttm
+    (logsv_pricer.py:843-940).
+
+    Exact reference discretization: X uses the pre-update sigma, the
+    log-volatility drift is (kappa1 theta/sigma - kappa1) + kappa2(theta -
+    sigma) + adj sigma - 0.5 vartheta^2 with adj = beta*eta under the inverse
+    measure, and the quadratic variance accumulates trapezoidally over the
+    pre/post-update sigmas.
+    """
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    sdt = float(np.sqrt(dt))
+    if is_spot_measure:
+        alpha, adj = -1.0, 0.0
+    else:
+        alpha, adj = 1.0, beta * vol_backbone_eta
+    vartheta2 = beta * beta + volvol * volvol
+    eta2 = vol_backbone_eta * vol_backbone_eta
+    nb_path = x0.shape[0]
+    carry_dtype = x0.dtype
+
+    def step(carry, step_idx):
+        x, log_sigma, sigma, qvar = carry
+        w = step_normals(key, step_idx, (2, nb_path), dtype=dtype) * sdt
+        w0, w1 = w[0], w[1]
+        sigma_2dt = eta2 * sigma * sigma * dt
+        x = x + alpha * 0.5 * sigma_2dt + vol_backbone_eta * sigma * w0
+        log_sigma = log_sigma + ((kappa1 * theta / sigma - kappa1)
+                                 + kappa2 * (theta - sigma) + adj * sigma
+                                 - 0.5 * vartheta2) * dt + beta * w0 + volvol * w1
+        sigma_new = jnp.exp(log_sigma)
+        qvar = qvar + 0.5 * (sigma_2dt + eta2 * sigma_new * sigma_new * dt)
+        return (x.astype(carry_dtype), log_sigma.astype(carry_dtype),
+                sigma_new.astype(carry_dtype), qvar.astype(carry_dtype)), None
+
+    init = (x0, jnp.log(sigma0), sigma0, qvar0)
+    (x, _, sigma, qvar), _ = jax.lax.scan(step, init, jnp.arange(nb_steps),
+                                          unroll=4)
+    return x, sigma, qvar
+
+
+def logsv_mc_chain_pricer(ttms: np.ndarray,
+                          forwards: np.ndarray,
+                          discfactors: np.ndarray,
+                          strikes_ttms,
+                          optiontypes_ttms,
+                          v0: float,
+                          theta: float,
+                          kappa1: float,
+                          kappa2: float,
+                          beta: float,
+                          volvol: float,
+                          vol_backbone_etas: Optional[np.ndarray] = None,
+                          is_spot_measure: bool = True,
+                          nb_path: int = 100000,
+                          nb_steps_per_year: int = 360,
+                          variable_type: VariableType = VariableType.LOG_RETURN,
+                          seed=None,
+                          dtype=jnp.float64
+                          ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """chain MC with the terminal state carried across maturities
+    (logsv_pricer.py:699-760)."""
+    if vol_backbone_etas is None:
+        vol_backbone_etas = np.ones_like(np.asarray(ttms))
+    key = key_from_seed(seed)
+    x = jnp.zeros(nb_path, dtype=dtype)
+    sigma = jnp.full(nb_path, v0, dtype=dtype)
+    qvar = jnp.zeros(nb_path, dtype=dtype)
+    ttm0 = 0.0
+    option_prices_ttm, option_std_ttm = [], []
+    for i, ttm in enumerate(ttms):
+        slice_key = jax.random.fold_in(key, i)
+        x, sigma, qvar = simulate_logsv_terminal(
+            key=slice_key, x0=x, sigma0=sigma, qvar0=qvar, ttm=float(ttm - ttm0),
+            theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+            vol_backbone_eta=float(vol_backbone_etas[i]),
+            is_spot_measure=is_spot_measure,
+            nb_steps_per_year=nb_steps_per_year, dtype=dtype)
+        ttm0 = float(ttm)
+        prices, stds = compute_mc_vars_payoff(
+            x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
+            strikes_ttm=jnp.asarray(strikes_ttms[i]),
+            optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
+            variable_type=variable_type)
+        option_prices_ttm.append(np.asarray(prices))
+        option_std_ttm.append(np.asarray(stds))
+    return option_prices_ttm, option_std_ttm
+
+
+def simulate_vol_paths(ttm: float,
+                       v0: float,
+                       theta: float,
+                       kappa1: float,
+                       kappa2: float,
+                       beta: float,
+                       volvol: float,
+                       is_spot_measure: bool = True,
+                       nb_path: int = 100000,
+                       nb_steps_per_year: int = 360,
+                       seed=None,
+                       **kwargs
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """full (steps+1, paths) volatility path array (logsv_pricer.py:763-840)."""
+    nb_steps, dt, grid_t = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    sdt = float(np.sqrt(dt))
+    if is_spot_measure:
+        adj = 0.0
+    else:
+        adj = beta
+    vartheta2 = beta * beta + volvol * volvol
+    vartheta = np.sqrt(vartheta2)
+    key = key_from_seed(seed)
+
+    def step(carry, step_idx):
+        log_sigma, sigma = carry
+        w1 = step_normals(key, step_idx, (nb_path,), dtype=jnp.float64) * sdt
+        log_sigma = log_sigma + ((kappa1 * theta / sigma - kappa1)
+                                 + kappa2 * (theta - sigma) + adj * sigma
+                                 - 0.5 * vartheta2) * dt + vartheta * w1
+        sigma = jnp.exp(log_sigma)
+        return (log_sigma, sigma), sigma
+
+    sigma0 = jnp.full(nb_path, v0)
+    (_, _), sigma_path = jax.lax.scan(step, (jnp.log(sigma0), sigma0),
+                                      jnp.arange(nb_steps))
+    sigma_t = jnp.concatenate([sigma0[None, :], sigma_path], axis=0)
+    return np.asarray(sigma_t), grid_t
+
+
+# ----------------------------------------------------------------------------
+# pricer class
+# ----------------------------------------------------------------------------
+
+class LogSVPricer(ModelPricer):
+    """ModelPricer for the LogSV model of Eq. (3.12)."""
+
+    def price_chain(self, option_chain: OptionChain, params: LogSvParams,
+                    is_spot_measure: bool = True,
+                    variable_type: VariableType = VariableType.LOG_RETURN,
+                    expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                    vol_scaler: Optional[float] = None,
+                    **kwargs) -> List[np.ndarray]:
+        if vol_scaler is None:
+            vol_scaler = set_vol_scaler(sigma0=params.sigma0,
+                                        ttm=np.min(option_chain.ttms))
+        grid = option_chain.to_grid()
+        etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
+        prices = _logsv_chain_price_grid_jit(
+            grid, params.sigma0, params.theta, params.kappa1, params.kappa2,
+            params.beta, params.volvol, tuple(float(e) for e in etas),
+            vol_scaler, tuple(float(t) for t in option_chain.ttms),
+            variable_type, expansion_order, is_spot_measure)
+        return option_chain.unpad_panel(prices)
+
+    @timer
+    def model_mc_price_chain(self, option_chain: OptionChain, params: LogSvParams,
+                             is_spot_measure: bool = True,
+                             variable_type: VariableType = VariableType.LOG_RETURN,
+                             nb_path: int = 100000,
+                             nb_steps: Optional[int] = None,
+                             seed=None,
+                             **kwargs) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        vol_backbone_etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
+        return logsv_mc_chain_pricer(
+            v0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
+            kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
+            vol_backbone_etas=vol_backbone_etas, ttms=option_chain.ttms,
+            forwards=option_chain.forwards, discfactors=option_chain.discfactors,
+            strikes_ttms=option_chain.strikes_ttms,
+            optiontypes_ttms=option_chain.optiontypes_ttms,
+            is_spot_measure=is_spot_measure, variable_type=variable_type,
+            nb_path=nb_path, seed=seed,
+            nb_steps_per_year=nb_steps or int(360 * np.max(option_chain.ttms)) + 1)
+
+    def set_vol_scaler(self, option_chain: OptionChain) -> float:
+        """grid scaler from the first ATM vol, frozen across calibration
+        iterations (logsv_pricer.py:194-203)."""
+        atm0 = option_chain.get_chain_atm_vols()[0]
+        return set_vol_scaler(sigma0=atm0, ttm=option_chain.ttms[0])
+
+    @timer
+    def simulate_vol_paths(self, params: LogSvParams, ttm: float = 1.0,
+                           nb_path: int = 100000, is_spot_measure: bool = True,
+                           nb_steps: Optional[int] = None, year_days: int = 360,
+                           seed=None, **kwargs) -> Tuple[np.ndarray, np.ndarray]:
+        nb_steps = nb_steps or int(np.ceil(year_days * ttm))
+        return simulate_vol_paths(ttm=ttm, v0=params.sigma0, theta=params.theta,
+                                  kappa1=params.kappa1, kappa2=params.kappa2,
+                                  beta=params.beta, volvol=params.volvol,
+                                  nb_path=nb_path, is_spot_measure=is_spot_measure,
+                                  nb_steps_per_year=nb_steps, seed=seed, **kwargs)
+
+    @timer
+    def simulate_terminal_values(self, params: LogSvParams, ttm: float = 1.0,
+                                 nb_path: int = 100000,
+                                 is_spot_measure: bool = True, seed=None,
+                                 **kwargs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        key = key_from_seed(seed)
+        x, sigma, qvar = simulate_logsv_terminal(
+            key=key, x0=jnp.zeros(nb_path),
+            sigma0=jnp.full(nb_path, params.sigma0), qvar0=jnp.zeros(nb_path),
+            ttm=ttm, theta=params.theta, kappa1=params.kappa1,
+            kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
+            is_spot_measure=is_spot_measure)
+        return np.asarray(x), np.asarray(sigma), np.asarray(qvar)
+
+    @timer
+    def logsv_pdfs(self, params: LogSvParams, ttm: float, space_grid: np.ndarray,
+                   is_spot_measure: bool = True,
+                   expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                   variable_type: VariableType = VariableType.LOG_RETURN,
+                   vol_scaler: Optional[float] = None, **kwargs) -> np.ndarray:
+        return logsv_pdfs(params=params, ttm=ttm, space_grid=space_grid,
+                          is_spot_measure=is_spot_measure,
+                          expansion_order=expansion_order,
+                          variable_type=variable_type, vol_scaler=vol_scaler)
+
+    @timer
+    def calibrate_model_params_to_chain(self,
+                                        option_chain: OptionChain,
+                                        params0: LogSvParams,
+                                        params_min: LogSvParams = LogSvParams(
+                                            sigma0=0.1, theta=0.1, kappa1=0.25,
+                                            kappa2=0.25, beta=-3.0, volvol=0.2),
+                                        params_max: LogSvParams = LogSvParams(
+                                            sigma0=1.5, theta=1.5, kappa1=10.0,
+                                            kappa2=10.0, beta=3.0, volvol=3.0),
+                                        is_vega_weighted: bool = True,
+                                        is_unit_ttm_vega: bool = False,
+                                        model_calibration_type: LogsvModelCalibrationType = LogsvModelCalibrationType.PARAMS5,
+                                        constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
+                                        calibration_engine: CalibrationEngine = CalibrationEngine.ANALYTIC,
+                                        nb_path: int = 100000,
+                                        nb_steps: int = 360,
+                                        seed: int = 10,
+                                        **kwargs) -> LogSvParams:
+        """fit to the vega-weighted IV MSE of Eq. (6.3) under Theorem 3.7
+        constraints, with jax gradients replacing finite differences
+        (logsv_pricer.py:205-453)."""
+        vol_scaler = self.set_vol_scaler(option_chain=option_chain)
+        grid = option_chain.to_grid()
+        market_vols_panel = _pad_panel(option_chain.get_mid_vols(), grid)
+        if is_vega_weighted:
+            vegas_ttms = option_chain.get_chain_vegas(is_unit_ttm_vega=is_unit_ttm_vega)
+            vegas_ttms = [v / np.sum(v) for v in vegas_ttms]
+            weights_panel = _pad_panel(vegas_ttms, grid)
+        else:
+            weights_panel = np.ones_like(market_vols_panel)
+        mask = np.asarray(grid.mask)
+        weights = jnp.asarray(np.where(mask, weights_panel, 0.0))
+        market_vols = jnp.asarray(np.where(mask, market_vols_panel, 0.0))
+        ttms_static = tuple(float(t) for t in option_chain.ttms)
+
+        if model_calibration_type == LogsvModelCalibrationType.PARAMS_WITH_VARSWAP_FIT:
+            varswap_strikes = option_chain.get_slice_varswap_strikes(floor_with_atm_vols=True)
+            varswap_arr = jnp.asarray(varswap_strikes.to_numpy())
+        else:
+            varswap_strikes = None
+            varswap_arr = None
+
+        mct = model_calibration_type
+
+        def expand_pars(pars):
+            """map the optimizer vector to (sigma0, theta, kappa1, kappa2,
+            beta, volvol, backbone_etas or None) with traced values."""
+            if mct == LogsvModelCalibrationType.PARAMS4:
+                return (pars[0], pars[1], params0.kappa1, params0.kappa2,
+                        pars[2], pars[3], None)
+            if mct == LogsvModelCalibrationType.PARAMS5:
+                return (pars[0], pars[1], pars[2], pars[2] / pars[1],
+                        pars[3], pars[4], None)
+            if mct == LogsvModelCalibrationType.PARAMS6:
+                return (pars[0], pars[1], pars[2], pars[3], pars[4], pars[5], None)
+            if mct == LogsvModelCalibrationType.PARAMS_WITH_VARSWAP_FIT:
+                beta, volvol = pars[0], pars[1]
+                etas = _backbone_etas_jnp(
+                    sigma0=params0.sigma0, theta=params0.theta,
+                    kappa1=params0.kappa1, kappa2=params0.kappa2,
+                    beta=beta, volvol=volvol, ttms=np.asarray(option_chain.ttms),
+                    varswap_strikes=varswap_arr)
+                return (params0.sigma0, params0.theta, params0.kappa1,
+                        params0.kappa2, beta, volvol, etas)
+            raise NotImplementedError(f"{mct}")
+
+        if calibration_engine == CalibrationEngine.ANALYTIC:
+            def loss_fn(pars):
+                sigma0, theta, kappa1, kappa2, beta, volvol, etas = expand_pars(pars)
+                prices = logsv_chain_price_grid(
+                    grid, sigma0=sigma0, theta=theta, kappa1=kappa1,
+                    kappa2=kappa2, beta=beta, volvol=volvol,
+                    vol_backbone_etas=etas, vol_scaler=vol_scaler,
+                    ttms_static=ttms_static)
+                model_vols = bsm.infer_bsm_ivols_from_model_chain_prices(
+                    ttms=grid.ttms, forwards=grid.forwards,
+                    discfactors=grid.discfactors, strikes_ttms=grid.strikes,
+                    optiontypes_ttms=grid.optioncodes, model_prices_ttms=prices)
+                resid = weights * jnp.square(model_vols - market_vols)
+                return jnp.sum(jnp.where(jnp.isnan(resid), 0.0, resid))
+        elif calibration_engine == CalibrationEngine.MC:
+            key = key_from_seed(seed)
+
+            def loss_fn(pars):
+                sigma0, theta, kappa1, kappa2, beta, volvol, etas = expand_pars(pars)
+                x = jnp.zeros(nb_path)
+                sig = sigma0 * jnp.ones(nb_path)
+                qv = jnp.zeros(nb_path)
+                ttm0 = 0.0
+                resid_total = 0.0
+                for i, ttm in enumerate(ttms_static):
+                    slice_key = jax.random.fold_in(key, i)
+                    eta_i = 1.0 if etas is None else etas[i]
+                    x, sig, qv = simulate_logsv_terminal(
+                        key=slice_key, x0=x, sigma0=sig, qvar0=qv,
+                        ttm=ttm - ttm0, theta=theta, kappa1=kappa1,
+                        kappa2=kappa2, beta=beta, volvol=volvol,
+                        vol_backbone_eta=eta_i, nb_steps_per_year=nb_steps)
+                    ttm0 = ttm
+                    prices, _ = compute_mc_vars_payoff(
+                        x0=x, sigma0=sig, qvar0=qv, ttm=grid.ttms[i],
+                        forward=grid.forwards[i], strikes_ttm=grid.strikes[i],
+                        optiontypes_ttm=grid.optioncodes[i],
+                        discfactor=grid.discfactors[i])
+                    model_vols = bsm.infer_bsm_implied_vol(
+                        forward=grid.forwards[i], ttm=grid.ttms[i],
+                        strike=grid.strikes[i], given_price=prices,
+                        discfactor=grid.discfactors[i],
+                        optiontype=grid.optioncodes[i])
+                    resid = weights[i] * jnp.square(model_vols - market_vols[i])
+                    resid_total = resid_total + jnp.sum(
+                        jnp.where(jnp.isnan(resid), 0.0, resid))
+                return resid_total
+        else:
+            raise NotImplementedError(f"{calibration_engine} (ROUGH_MC lands "
+                                      f"with the rough extension)")
+
+        obj_and_grad = jax.jit(jax.value_and_grad(loss_fn))
+
+        def objective(pars: np.ndarray):
+            v, g = obj_and_grad(jnp.asarray(pars))
+            return float(v), np.asarray(g)
+
+        # optimizer vector layout per calibration type (logsv_pricer.py:391-414)
+        if mct == LogsvModelCalibrationType.PARAMS4:
+            p0 = np.array([params0.sigma0, params0.theta, params0.beta, params0.volvol])
+            bounds = ((params_min.sigma0, params_max.sigma0),
+                      (params_min.theta, params_max.theta),
+                      (params_min.beta, params_max.beta),
+                      (params_min.volvol, params_max.volvol))
+        elif mct == LogsvModelCalibrationType.PARAMS5:
+            p0 = np.array([params0.sigma0, params0.theta, params0.kappa1,
+                           params0.beta, params0.volvol])
+            bounds = ((params_min.sigma0, params_max.sigma0),
+                      (params_min.theta, params_max.theta),
+                      (params_min.kappa1, params_max.kappa1),
+                      (params_min.beta, params_max.beta),
+                      (params_min.volvol, params_max.volvol))
+        elif mct == LogsvModelCalibrationType.PARAMS6:
+            p0 = np.array([params0.sigma0, params0.theta, params0.kappa1,
+                           params0.kappa2, params0.beta, params0.volvol])
+            bounds = ((params_min.sigma0, params_max.sigma0),
+                      (params_min.theta, params_max.theta),
+                      (params_min.kappa1, params_max.kappa1),
+                      (params_min.kappa2, params_max.kappa2),
+                      (params_min.beta, params_max.beta),
+                      (params_min.volvol, params_max.volvol))
+        elif mct == LogsvModelCalibrationType.PARAMS_WITH_VARSWAP_FIT:
+            p0 = np.array([params0.beta, params0.volvol])
+            bounds = ((params_min.beta, params_max.beta),
+                      (params_min.volvol, params_max.volvol))
+        else:
+            raise NotImplementedError(f"{mct}")
+
+        def _np_expand(pars):
+            sigma0, theta, kappa1, kappa2, beta, volvol, _ = expand_pars(jnp.asarray(pars))
+            return (float(sigma0), float(theta), float(kappa1), float(kappa2),
+                    float(beta), float(volvol))
+
+        def martingale_measure(pars):
+            _, _, _, kappa2, beta, _ = _np_expand(pars)
+            return kappa2 - beta
+
+        def inverse_measure(pars):
+            _, _, _, kappa2, beta, _ = _np_expand(pars)
+            return kappa2 - 2.0 * beta
+
+        def vol_4thmoment_finite(pars):
+            _, theta, kappa1, kappa2, beta, volvol = _np_expand(pars)
+            kappa = kappa1 + kappa2 * theta
+            return kappa - 1.5 * (beta * beta + volvol * volvol)
+
+        if constraints_type == ConstraintsType.UNCONSTRAINT:
+            constraints = None
+        elif constraints_type == ConstraintsType.MMA_MARTINGALE:
+            constraints = ({'type': 'ineq', 'fun': martingale_measure})
+        elif constraints_type == ConstraintsType.INVERSE_MARTINGALE:
+            constraints = ({'type': 'ineq', 'fun': inverse_measure})
+        elif constraints_type == ConstraintsType.MMA_MARTINGALE_MOMENT4:
+            constraints = ({'type': 'ineq', 'fun': martingale_measure},
+                           {'type': 'ineq', 'fun': vol_4thmoment_finite})
+        elif constraints_type == ConstraintsType.INVERSE_MARTINGALE_MOMENT4:
+            constraints = ({'type': 'ineq', 'fun': inverse_measure},
+                           {'type': 'ineq', 'fun': vol_4thmoment_finite})
+        else:
+            raise NotImplementedError
+
+        options = {'ftol': 1e-8, 'maxiter': 200}
+        if constraints is not None:
+            res = minimize(objective, p0, jac=True, method='SLSQP',
+                           constraints=constraints, bounds=bounds, options=options)
+        else:
+            res = minimize(objective, p0, jac=True, method='SLSQP',
+                           bounds=bounds, options=options)
+
+        sigma0, theta, kappa1, kappa2, beta, volvol = _np_expand(res.x)
+        fit_params = LogSvParams(sigma0=sigma0, theta=theta, kappa1=kappa1,
+                                 kappa2=kappa2, beta=beta, volvol=volvol,
+                                 H=params0.H, nodes=params0.nodes,
+                                 weights=params0.weights)
+        if mct == LogsvModelCalibrationType.PARAMS_WITH_VARSWAP_FIT:
+            vol_backbone = fit_model_vol_backbone_to_varswaps(
+                log_sv_params=fit_params, varswap_strikes=varswap_strikes)
+            fit_params.set_vol_backbone(vol_backbone=vol_backbone)
+        return fit_params
+
+
+def logsv_chain_pricer(params: LogSvParams,
+                       ttms: np.ndarray,
+                       forwards: np.ndarray,
+                       discfactors: np.ndarray,
+                       strikes_ttms,
+                       optiontypes_ttms,
+                       is_spot_measure: bool = True,
+                       expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                       variable_type: VariableType = VariableType.LOG_RETURN,
+                       vol_scaler: Optional[float] = None,
+                       **kwargs) -> List[np.ndarray]:
+    """functional chain pricer mirroring the reference signature
+    (logsv_pricer.py:562-632)."""
+    chain = OptionChain(ttms=np.asarray(ttms), forwards=np.asarray(forwards),
+                        discfactors=np.asarray(discfactors),
+                        strikes_ttms=list(strikes_ttms),
+                        optiontypes_ttms=list(optiontypes_ttms))
+    return LogSVPricer().price_chain(option_chain=chain, params=params,
+                                     is_spot_measure=is_spot_measure,
+                                     expansion_order=expansion_order,
+                                     variable_type=variable_type,
+                                     vol_scaler=vol_scaler)
+
+
+def logsv_pdfs(params: LogSvParams,
+               ttm: float,
+               space_grid: np.ndarray,
+               is_spot_measure: bool = True,
+               expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+               variable_type: VariableType = VariableType.LOG_RETURN,
+               vol_scaler: Optional[float] = None,
+               **kwargs) -> np.ndarray:
+    """model density of X / QV / sigma by transform inversion
+    (logsv_pricer.py:635-696)."""
+    if vol_scaler is None:
+        vol_scaler = set_vol_scaler(sigma0=params.sigma0, ttm=ttm)
+    phi_grid, psi_grid, theta_grid = mgf.get_transform_var_grid(
+        variable_type=variable_type, is_spot_measure=is_spot_measure,
+        vol_scaler=vol_scaler)
+    _, log_mgf = afe.compute_logsv_a_mgf_grid(
+        ttm=ttm, phi_grid=phi_grid, psi_grid=psi_grid, theta_grid=theta_grid,
+        sigma0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
+        kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
+        variable_type=variable_type, expansion_order=expansion_order,
+        is_spot_measure=is_spot_measure)
+    if variable_type == VariableType.LOG_RETURN:
+        transform_var_grid, shift, scale = phi_grid, 0.0, 1.0
+    elif variable_type == VariableType.Q_VAR:
+        transform_var_grid, shift, scale = psi_grid, 0.0, 1.0 / ttm
+    elif variable_type == VariableType.SIGMA:
+        transform_var_grid, shift, scale = theta_grid, params.theta, 1.0
+    else:
+        raise NotImplementedError
+    pdf = mgf.pdf_with_mgf_grid(log_mgf_grid=log_mgf,
+                                transform_var_grid=transform_var_grid,
+                                space_grid=space_grid, shift=shift, scale=scale)
+    return np.asarray(pdf) / scale
+
+
+def _pad_panel(ragged, grid: ChainGrid) -> np.ndarray:
+    t, k = grid.mask.shape
+    out = np.zeros((t, k))
+    for i, a in enumerate(ragged):
+        out[i, :len(np.asarray(a))] = np.asarray(a)
+    return out
+
+
+def _backbone_etas_jnp(sigma0, theta, kappa1, kappa2, beta, volvol,
+                       ttms: np.ndarray, varswap_strikes: Array) -> Array:
+    """differentiable varswap-backbone fit on the chain maturities
+    (vol_moments.py fit_model_vol_backbone_to_varswaps, traced params)."""
+    market_qvar_dt = jnp.asarray(ttms) * jnp.square(varswap_strikes)
+    model_qvar_dt = jnp.stack([
+        compute_analytic_qvar_jnp(sigma0, theta, kappa1, kappa2, beta, volvol,
+                                  ttm=float(t)) * float(t) for t in ttms])
+    d_market = jnp.diff(market_qvar_dt, prepend=0.0)
+    d_model = jnp.diff(model_qvar_dt, prepend=0.0)
+    etas = d_market / d_model
+    etas = jnp.where(etas > 0.0, etas, 1.0)
+    etas = jnp.where(jnp.asarray(ttms) < 0.06, jnp.sqrt(etas), etas)
+    return etas
+
+
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12))
+def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
+                                volvol, vol_backbone_etas, vol_scaler,
+                                ttms_static, variable_type, expansion_order,
+                                is_spot_measure):
+    return logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
+                                  kappa1=kappa1, kappa2=kappa2, beta=beta,
+                                  volvol=volvol,
+                                  vol_backbone_etas=np.asarray(vol_backbone_etas),
+                                  vol_scaler=vol_scaler,
+                                  ttms_static=ttms_static,
+                                  variable_type=variable_type,
+                                  expansion_order=expansion_order,
+                                  is_spot_measure=is_spot_measure)

@@ -1,0 +1,280 @@
+"""
+LogSV model: ODE tensor parity with the paper formulas, integrator accuracy
+vs scipy, analytic-vs-MC agreement, QVAR consistency, vol moments, pdfs,
+and calibration gradient flow.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+from stochvolmodels_tpu.models.logsv import affine as afe
+from stochvolmodels_tpu.models.logsv.params import LogSvParams
+from stochvolmodels_tpu.models.logsv.pricer import (
+    LOGSV_BTC_PARAMS,
+    CalibrationEngine,
+    LogsvModelCalibrationType,
+    LogSVPricer,
+    logsv_pdfs,
+)
+from stochvolmodels_tpu.models.logsv.vol_moments import (
+    compute_analytic_qvar,
+    compute_analytic_qvar_jnp,
+    compute_expected_vol_t,
+    fit_model_vol_backbone_to_varswaps,
+)
+from stochvolmodels_tpu.utils.cplx import Cplx
+
+PARAMS = LOGSV_BTC_PARAMS
+
+
+def _ode_terms_np(theta, kappa1, kappa2, beta, volvol, phi, psi,
+                  is_spot_measure=True):
+    """independent numpy assembly of (M, L, H) from Eqs. (4.17)/(4.25)."""
+    M, L0, L1, h = afe.func_a_ode_quadratic_terms(
+        theta, kappa1, kappa2, beta, volvol, is_spot_measure=is_spot_measure,
+        expansion_order=afe.ExpansionOrder.SECOND)
+    M, L0, L1, h = map(np.asarray, (M, L0, L1, h))
+    L = L0 + phi * L1
+    p = 1.0 if is_spot_measure else -1.0
+    H = h * (phi * (phi + p) - 2.0 * psi)
+    return M, L, H
+
+
+class TestOdeSolver:
+    @pytest.mark.parametrize("is_spot", [True, False])
+    @pytest.mark.parametrize("p_im", [0.0, 2.0, 15.0])
+    def test_rk4_matches_scipy(self, is_spot, p_im):
+        theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,
+                                               PARAMS.kappa2, PARAMS.beta,
+                                               PARAMS.volvol)
+        phi = (-0.5 if is_spot else 0.5) + 1j * p_im
+        ttm = 0.43
+        M, L, H = _ode_terms_np(theta, kappa1, kappa2, beta, volvol, phi, 0.0,
+                                is_spot_measure=is_spot)
+
+        def rhs(t, A):
+            quad = np.array([A @ M[k] @ A for k in range(5)])
+            return quad + L @ A + H
+
+        ref = solve_ivp(rhs, (0.0, ttm), np.zeros(5, dtype=complex),
+                        rtol=1e-12, atol=1e-14).y[:, -1]
+
+        a1 = afe.solve_a_ode_grid(
+            ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+            volvol=volvol,
+            phi_grid=Cplx(jnp.array([np.real(phi)]), jnp.array([np.imag(phi)])),
+            psi_grid=Cplx(jnp.array([0.0]), jnp.array([0.0])),
+            a_t0=Cplx(jnp.zeros((1, 5)), jnp.zeros((1, 5))),
+            is_spot_measure=is_spot, expansion_order=afe.ExpansionOrder.SECOND)
+        ours = np.asarray(a1.re)[0] + 1j * np.asarray(a1.im)[0]
+        np.testing.assert_allclose(ours, ref, atol=5e-8)
+
+    def test_chained_equals_direct(self):
+        # solving 0 -> t1 -> t2 with chained state == solving 0 -> t2 directly
+        theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,
+                                               PARAMS.kappa2, PARAMS.beta,
+                                               PARAMS.volvol)
+        phi = Cplx(jnp.array([-0.5]), jnp.array([5.0]))
+        psi = Cplx(jnp.array([0.0]), jnp.array([0.0]))
+        a0 = Cplx(jnp.zeros((1, 5)), jnp.zeros((1, 5)))
+        kw = dict(theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+                  volvol=volvol, phi_grid=phi, psi_grid=psi,
+                  expansion_order=afe.ExpansionOrder.SECOND)
+        a_mid = afe.solve_a_ode_grid(ttm=0.2, a_t0=a0, **kw)
+        a_chained = afe.solve_a_ode_grid(ttm=0.2, a_t0=a_mid, **kw)
+        a_direct = afe.solve_a_ode_grid(ttm=0.4, a_t0=a0, **kw)
+        np.testing.assert_allclose(np.asarray(a_chained.re),
+                                   np.asarray(a_direct.re), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(a_chained.im),
+                                   np.asarray(a_direct.im), atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return get_btc_test_chain_data()
+
+
+class TestAnalyticPricing:
+    def test_btc_chain_fits_market(self, chain):
+        # LOGSV_BTC_PARAMS are the reference's calibrated params for this chain
+        pricer = LogSVPricer()
+        _, ivols = pricer.compute_chain_prices_with_vols(option_chain=chain,
+                                                         params=PARAMS)
+        mids = chain.get_mid_vols()
+        for iv, m in zip(ivols, mids):
+            assert np.all(np.isfinite(iv))
+            assert np.nanmean(np.abs(iv - m)) < 0.05
+
+    def test_put_call_parity(self):
+        from stochvolmodels_tpu.data.option_chain import OptionChain
+        strikes = np.linspace(0.7, 1.5, 9)
+        f, ttm = 1.0, 0.25
+        pricer = LogSVPricer()
+        cc = OptionChain.slice_to_chain(ttm=ttm, forward=f, strikes=strikes,
+                                        optiontypes=np.full(9, 'C'))
+        cp = OptionChain.slice_to_chain(ttm=ttm, forward=f, strikes=strikes,
+                                        optiontypes=np.full(9, 'P'))
+        calls = pricer.price_chain(option_chain=cc, params=PARAMS)[0]
+        puts = pricer.price_chain(option_chain=cp, params=PARAMS)[0]
+        np.testing.assert_allclose(calls - puts, f - strikes, atol=2e-6)
+
+    def test_mma_vs_inverse_measure_consistency(self):
+        # inverse-measure inverse options ~ MMA price / forward for tight smiles
+        pricer = LogSVPricer()
+        price_c, vol_c = pricer.price_vanilla(params=PARAMS, ttm=0.25,
+                                              forward=1.0, strike=1.0,
+                                              optiontype='C')
+        price_ic, vol_ic = pricer.price_vanilla(params=PARAMS, ttm=0.25,
+                                                forward=1.0, strike=1.0,
+                                                optiontype='IC',
+                                                is_spot_measure=False)
+        assert abs(vol_c - vol_ic) < 0.03
+
+    def test_vol_backbone_changes_prices(self, chain):
+        import pandas as pd
+        pricer = LogSVPricer()
+        base = pricer.price_chain(option_chain=chain, params=PARAMS)
+        params2 = LogSvParams(**{**PARAMS.to_dict()})
+        params2.set_vol_backbone(pd.Series([1.1, 1.1, 1.1, 1.1],
+                                           index=chain.ttms))
+        scaled = pricer.price_chain(option_chain=chain, params=params2)
+        # higher backbone -> more expensive OTM options
+        assert np.all(scaled[2][:5] > base[2][:5])
+
+
+class TestMonteCarlo:
+    def test_mc_matches_analytic(self, chain):
+        pricer = LogSVPricer()
+        analytic = pricer.price_chain(option_chain=chain, params=PARAMS)
+        mc_prices, mc_stds = pricer.model_mc_price_chain(
+            option_chain=chain, params=PARAMS, nb_path=100000, seed=5)
+        for a, m, s in zip(analytic, mc_prices, mc_stds):
+            tol = 4.0 * s + 0.015 * np.asarray(a) + 1e-4 * chain.forwards[0]
+            assert np.all(np.abs(a - m) < tol), f"diff={np.abs(a-m)}, tol={tol}"
+
+    def test_expected_vol_vs_mc(self):
+        params = LogSvParams(sigma0=1.0, theta=1.0, kappa1=4.0, kappa2=4.0,
+                             beta=0.0, volvol=1.75)
+        pricer = LogSVPricer()
+        sigma_t, grid_t = pricer.simulate_vol_paths(params=params, ttm=1.0,
+                                                    nb_path=100000, seed=8)
+        analytic = compute_expected_vol_t(params=params, t=grid_t[::60])
+        mc = np.mean(sigma_t[::60], axis=1)
+        np.testing.assert_allclose(mc, analytic, atol=0.02)
+
+    def test_qvar_mc_vs_analytic(self):
+        params = LogSvParams(sigma0=1.0, theta=1.0, kappa1=4.0, kappa2=4.0,
+                             beta=0.0, volvol=1.75)
+        pricer = LogSVPricer()
+        _, _, qvar = pricer.simulate_terminal_values(params=params, ttm=0.5,
+                                                     nb_path=100000, seed=3)
+        analytic = compute_analytic_qvar(params=params, ttm=0.5) * 0.5
+        assert abs(np.mean(qvar) - analytic) < 0.01
+
+
+class TestQvarAndPdfs:
+    def test_qvar_fourier_forward_vs_analytic(self):
+        # Fourier QVAR call struck at 0 ~ the analytic expected QVAR
+        # (reference's QVAR cross-check, logsv_pricer.py:1188-1202)
+        from stochvolmodels_tpu.data.option_chain import OptionChain
+        params = PARAMS
+        ttm = 0.5
+        analytic_fwd = compute_analytic_qvar(params=params, ttm=ttm, n_terms=4)
+        chain = OptionChain.slice_to_chain(
+            ttm=ttm, forward=analytic_fwd,
+            strikes=np.array([1e-8, 0.5 * analytic_fwd]),
+            optiontypes=np.array(['C', 'C']))
+        pricer = LogSVPricer()
+        prices = pricer.price_chain(option_chain=chain, params=params,
+                                    variable_type=VariableType.Q_VAR)[0]
+        # deep ITM call on QVAR ~ forward - strike
+        assert abs(prices[0] - analytic_fwd) / analytic_fwd < 0.02
+        assert abs(prices[1] - 0.5 * analytic_fwd) / analytic_fwd < 0.02
+
+    def test_qvar_jnp_matches_np(self):
+        v = compute_analytic_qvar(params=PARAMS, ttm=0.3)
+        vj = float(compute_analytic_qvar_jnp(PARAMS.sigma0, PARAMS.theta,
+                                             PARAMS.kappa1, PARAMS.kappa2,
+                                             PARAMS.beta, PARAMS.volvol, ttm=0.3))
+        assert abs(v - vj) < 1e-10
+
+    def test_logreturn_pdf_normalizes(self):
+        params = PARAMS
+        x_grid = params.get_x_grid(ttm=0.5, n=400)
+        pdf = logsv_pdfs(params=params, ttm=0.5, space_grid=x_grid)
+        assert abs(np.sum(pdf) - 1.0) < 5e-3
+        assert np.all(pdf > -1e-6)
+
+    def test_sigma_pdf_mass(self):
+        params = PARAMS
+        s_grid = params.get_sigma_grid(ttm=0.5, n=400)
+        pdf = logsv_pdfs(params=params, ttm=0.5, space_grid=s_grid,
+                         variable_type=VariableType.SIGMA)
+        assert 0.9 < np.sum(pdf) < 1.1
+
+
+class TestCalibration:
+    def test_gradient_flows(self, chain):
+        pricer = LogSVPricer()
+        grid = chain.to_grid()
+        from stochvolmodels_tpu.models.logsv.pricer import logsv_chain_price_grid
+        import stochvolmodels_tpu.ops.bsm as bsm
+
+        mids = chain.get_mid_vols()
+        t, k = grid.mask.shape
+        mv = np.zeros((t, k))
+        for i, a in enumerate(mids):
+            mv[i, :len(a)] = a
+        w = jnp.asarray(np.where(np.asarray(grid.mask), 1.0, 0.0))
+        mv = jnp.asarray(np.where(np.asarray(grid.mask), mv, 0.0))
+        ttms_static = tuple(float(x) for x in chain.ttms)
+
+        def loss(pars):
+            prices = logsv_chain_price_grid(
+                grid, sigma0=pars[0], theta=pars[1], kappa1=pars[2],
+                kappa2=pars[2] / pars[1], beta=pars[3], volvol=pars[4],
+                vol_scaler=0.25, ttms_static=ttms_static)
+            vols = bsm.infer_bsm_ivols_from_model_chain_prices(
+                ttms=grid.ttms, forwards=grid.forwards,
+                discfactors=grid.discfactors, strikes_ttms=grid.strikes,
+                optiontypes_ttms=grid.optioncodes, model_prices_ttms=prices)
+            r = w * jnp.square(vols - mv)
+            return jnp.sum(jnp.where(jnp.isnan(r), 0.0, r))
+
+        pars = jnp.array([PARAMS.sigma0, PARAMS.theta, PARAMS.kappa1,
+                          PARAMS.beta, PARAMS.volvol])
+        val, grads = jax.value_and_grad(loss)(pars)
+        assert np.isfinite(float(val))
+        assert np.all(np.isfinite(np.asarray(grads)))
+        eps = 1e-5
+        fd = (float(loss(pars.at[0].add(eps))) - float(loss(pars.at[0].add(-eps)))) / (2 * eps)
+        assert abs(fd - float(grads[0])) < 1e-3 * max(1.0, abs(fd))
+
+    @pytest.mark.slow
+    def test_analytic_calibration(self, chain):
+        pricer = LogSVPricer()
+        params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=3.0, kappa2=3.0,
+                              beta=0.15, volvol=1.85)
+        fit = pricer.calibrate_model_params_to_chain(
+            option_chain=chain, params0=params0,
+            model_calibration_type=LogsvModelCalibrationType.PARAMS5)
+        ivols = pricer.compute_model_ivols_for_chain(option_chain=chain, params=fit)
+        mids = chain.get_mid_vols()
+        err = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols, mids)])
+        assert err < 0.03
+
+
+class TestVolBackboneFit:
+    def test_backbone_fit(self):
+        import pandas as pd
+        params = LogSvParams(sigma0=1.0, theta=1.0, kappa1=4.0, kappa2=4.0,
+                             beta=0.0, volvol=1.75)
+        backbone = fit_model_vol_backbone_to_varswaps(
+            log_sv_params=params,
+            varswap_strikes=pd.Series([1.0, 1.0], index=[1.0 / 12.0, 2.0 / 12.0]))
+        assert len(backbone) == 2
+        assert np.all(backbone.to_numpy() > 0)
