@@ -89,6 +89,20 @@ from stochvolmodels_tpu.data.sample_chains import (  # noqa: F401
 )
 
 from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer  # noqa: F401
+from stochvolmodels_tpu.models.gmm import GmmParams, GmmPricer  # noqa: F401
+from stochvolmodels_tpu.models.tdist import TdistParams, TdistPricer  # noqa: F401
+from stochvolmodels_tpu.ops.tdist import (  # noqa: F401
+    compute_default_prob_tdist,
+    compute_forward_tdist,
+    compute_upsilon,
+    compute_vanilla_price_tdist,
+    cdf_tdist,
+    cum_mean_tdist,
+    imply_drift_tdist,
+    infer_implied_vol_tdist,
+    infer_tdist_implied_vols_from_model_slice_prices,
+    pdf_tdist,
+)
 from stochvolmodels_tpu.models.logsv import (  # noqa: F401
     LOGSV_BTC_PARAMS,
     CalibrationEngine,
