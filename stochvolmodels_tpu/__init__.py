@@ -90,6 +90,7 @@ from stochvolmodels_tpu.data.sample_chains import (  # noqa: F401
 
 from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer  # noqa: F401
 from stochvolmodels_tpu.models.gmm import GmmParams, GmmPricer  # noqa: F401
+from stochvolmodels_tpu.models.hawkes_jd import HawkesJDParams, HawkesJDPricer  # noqa: F401
 from stochvolmodels_tpu.models.tdist import TdistParams, TdistPricer  # noqa: F401
 from stochvolmodels_tpu.ops.tdist import (  # noqa: F401
     compute_default_prob_tdist,

@@ -191,6 +191,50 @@ def vanilla_prices_with_mgf_grid(log_mgf_grid: Cplx,
 vanilla_slice_pricer_with_mgf_grid = vanilla_prices_with_mgf_grid
 
 
+def slice_pricer_with_mgf_grid_with_gamma(log_mgf_grid: Cplx,
+                                          phi_grid: Cplx,
+                                          risk_premia_gamma: float,
+                                          ttm,
+                                          forward,
+                                          normalizer,
+                                          gamma_forward,
+                                          strikes,
+                                          optiontypes,
+                                          discfactor=1.0,
+                                          is_spot_measure: bool = True,
+                                          is_simpson: bool = True,
+                                          real_phi_is_half: bool = False
+                                          ) -> Array:
+    """risk-premia-gamma payoff inversion (mgf_pricer.py:233-281).
+
+    The payoff kernel is shifted by gamma; calls assemble against the
+    gamma-forward and gamma-strike K^(1+gamma) with the MGF normalizer.
+    Spot measure only, as in the reference.
+    """
+    if not is_spot_measure:
+        raise NotImplementedError("gamma kernel only under the spot measure")
+    dp = compute_integration_weights(var_grid=phi_grid, is_simpson=is_simpson)
+    p = phi_grid.im
+    if real_phi_is_half:
+        p_payoff = Cplx((dp / jnp.pi) / (p * p + 0.25), jnp.zeros_like(p))
+    else:
+        den = (phi_grid + (risk_premia_gamma + 1.0)) * (phi_grid + risk_premia_gamma)
+        p_payoff = -1.0 * den.__rtruediv__(dp / jnp.pi)
+
+    strikes = jnp.asarray(strikes)
+    x = jnp.log(forward / strikes)
+    z = Cplx(-x[..., None] * phi_grid.re + log_mgf_grid.re[..., None, :],
+             -x[..., None] * phi_grid.im + log_mgf_grid.im[..., None, :])
+    capped = _nansum_re(p_payoff, z, axis=-1)
+
+    codes = as_option_codes(optiontypes)
+    is_call = (codes & 1).astype(bool)
+    gamma_strikes = jnp.power(strikes, 1.0 + risk_premia_gamma)
+    call_px = gamma_forward - normalizer * gamma_strikes * capped
+    put_px = strikes - normalizer * gamma_strikes * capped
+    return jnp.where(is_call, call_px, put_px)
+
+
 def digital_prices_with_mgf_grid(log_mgf_grid: Cplx,
                                  phi_grid: Cplx,
                                  forwards,

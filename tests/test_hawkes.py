@@ -1,0 +1,133 @@
+"""
+Hawkes jump-diffusion: Riccati ODE vs scipy oracle, Fourier pricing sanity,
+MC-vs-analytic agreement, risk-premia kernel.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+from stochvolmodels_tpu.data.option_chain import OptionChain
+from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+from stochvolmodels_tpu.models.hawkes_jd import (
+    HawkesJDParams,
+    HawkesJDPricer,
+    hawkesjd_forwards_under_risk_kernel,
+    solve_a_ode_grid,
+)
+from stochvolmodels_tpu.utils.cplx import Cplx
+
+PARAMS = HawkesJDParams()  # BTC daily-frequency defaults
+
+
+def scipy_riccati(phi, ttm, p: HawkesJDParams):
+    def e_p(z):
+        return np.exp(-p.shift_p * z) / (1.0 + p.mean_p * z)
+
+    def e_m(z):
+        return np.exp(-p.shift_m * z) / (1.0 + p.mean_m * z)
+
+    def rhs(t, a0):
+        out = np.zeros(3, dtype=complex)
+        j_p = e_p(phi - p.beta1_p * a0[1] - p.beta1_m * a0[2]) - 1.0
+        j_m = e_m(phi - p.beta2_p * a0[1] - p.beta2_m * a0[2]) - 1.0
+        out[0] = (p.kappa_p * p.theta_p * a0[1] + p.kappa_m * p.theta_m * a0[2]
+                  + p.sigma ** 2 * (0.5 * (phi + 1.0) * phi))
+        out[1] = j_p - p.kappa_p * a0[1] + p.compensator_p * phi
+        out[2] = j_m - p.kappa_m * a0[2] + p.compensator_m * phi
+        return out
+
+    return solve_ivp(rhs, (0.0, ttm), np.zeros(3, dtype=complex),
+                     rtol=1e-12, atol=1e-14).y[:, -1]
+
+
+class TestRiccati:
+    @pytest.mark.parametrize("p_im", [0.0, 3.0, 20.0])
+    def test_rk4_matches_scipy(self, p_im):
+        phi = -0.5 + 1j * p_im
+        ttm = 0.25
+        ref = scipy_riccati(phi, ttm, PARAMS)
+        a1 = solve_a_ode_grid(
+            phi_grid=Cplx(jnp.array([-0.5]), jnp.array([p_im])),
+            ttm=ttm, model_params=PARAMS)
+        ours = np.asarray(a1.re)[0] + 1j * np.asarray(a1.im)[0]
+        np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+    def test_chained_equals_direct(self):
+        phi = Cplx(jnp.array([-0.5]), jnp.array([5.0]))
+        a_mid = solve_a_ode_grid(phi_grid=phi, ttm=0.1, model_params=PARAMS)
+        a_chained = solve_a_ode_grid(phi_grid=phi, ttm=0.1, model_params=PARAMS,
+                                     a_t0=a_mid)
+        a_direct = solve_a_ode_grid(phi_grid=phi, ttm=0.2, model_params=PARAMS)
+        np.testing.assert_allclose(np.asarray(a_chained.re),
+                                   np.asarray(a_direct.re), atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return get_btc_test_chain_data()
+
+
+class TestPricing:
+    def test_chain_prices_sane(self, chain):
+        pricer = HawkesJDPricer()
+        prices, ivols = pricer.compute_chain_prices_with_vols(
+            option_chain=chain, params=PARAMS)
+        for p, iv, strikes, types in zip(prices, ivols, chain.strikes_ttms,
+                                         chain.optiontypes_ttms):
+            assert p.shape == strikes.shape
+            assert np.all(p > 0)
+            assert np.all(np.isfinite(iv))
+            assert np.all((iv > 0.2) & (iv < 2.0))
+
+    def test_put_call_parity(self):
+        strikes = np.linspace(0.7, 1.4, 8)
+        f, ttm = 1.0, 0.25
+        pricer = HawkesJDPricer()
+        cc = OptionChain.slice_to_chain(ttm=ttm, forward=f, strikes=strikes,
+                                        optiontypes=np.full(8, 'C'))
+        cp = OptionChain.slice_to_chain(ttm=ttm, forward=f, strikes=strikes,
+                                        optiontypes=np.full(8, 'P'))
+        calls = pricer.price_chain(option_chain=cc, params=PARAMS)[0]
+        puts = pricer.price_chain(option_chain=cp, params=PARAMS)[0]
+        np.testing.assert_allclose(calls - puts, f - strikes, atol=2e-4)
+
+    def test_stationarity_conditions(self):
+        assert PARAMS.jump1_cond > 0
+        assert PARAMS.jump2_cond > 0
+
+    def test_risk_premia_kernel(self, chain):
+        import dataclasses
+        params = HawkesJDParams(**{**PARAMS.to_dict(), 'risk_premia_gamma': 0.5})
+        normalizers, gamma_forwards = hawkesjd_forwards_under_risk_kernel(
+            model_params=params, risk_premia_gamma=0.5, ttms=chain.ttms,
+            forwards=chain.forwards)
+        assert np.all(normalizers > 0)
+        assert np.all(gamma_forwards > 0)
+        pricer = HawkesJDPricer()
+        prices, ivols = pricer.compute_chain_prices_with_vols(
+            option_chain=chain, params=params)
+        for p in prices:
+            assert np.all(np.isfinite(p))
+
+
+class TestMonteCarlo:
+    def test_mc_vs_analytic(self, chain):
+        # short slice only (MC at 1800 steps/yr is heavy); agreement within
+        # jump-discretization bias + MC error
+        chain0 = OptionChain.get_slices_as_chain(chain, ids=['2w'])
+        pricer = HawkesJDPricer()
+        analytic = pricer.price_chain(option_chain=chain0, params=PARAMS)
+        mc_prices, mc_stds = pricer.model_mc_price_chain(
+            option_chain=chain0, params=PARAMS, nb_path=100000, seed=11)
+        a, m, s = analytic[0], mc_prices[0], mc_stds[0]
+        tol = 4.0 * s + 0.02 * np.asarray(a) + 2e-4 * chain0.forwards[0]
+        assert np.all(np.abs(a - m) < tol), f"diff={np.abs(a-m)}, tol={tol}"
+
+    def test_martingale(self):
+        pricer = HawkesJDPricer()
+        x, lam_p, lam_m = pricer.simulate_terminal_values(params=PARAMS,
+                                                          ttm=0.25,
+                                                          nb_path=100000, seed=2)
+        assert abs(np.mean(np.exp(x)) - 1.0) < 0.01
+        assert np.all(lam_p >= 0)
