@@ -346,6 +346,20 @@ class LogSVPricer(ModelPricer):
                              nb_steps: Optional[int] = None,
                              seed=None,
                              **kwargs) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        if kwargs.get('use_rough_mc'):
+            from stochvolmodels_tpu.models.rough.simulation import rough_logsv_mc_chain_pricer
+            assert params.nodes is not None and params.weights is not None, \
+                "call params.approximate_kernel(T) first"
+            return rough_logsv_mc_chain_pricer(
+                ttms=option_chain.ttms, forwards=option_chain.forwards,
+                discfactors=option_chain.discfactors,
+                strikes_ttms=option_chain.strikes_ttms,
+                optiontypes_ttms=option_chain.optiontypes_ttms,
+                sigma0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
+                kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
+                weights=params.weights, nodes=params.nodes, nb_path=nb_path,
+                nb_steps_per_year=nb_steps or 360,
+                variable_type=variable_type, seed=seed if seed is not None else kwargs.get('seed'))
         vol_backbone_etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
         return logsv_mc_chain_pricer(
             v0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
@@ -515,9 +529,40 @@ class LogSVPricer(ModelPricer):
                     resid_total = resid_total + jnp.sum(
                         jnp.where(jnp.isnan(resid), 0.0, resid))
                 return resid_total
+        elif calibration_engine == CalibrationEngine.ROUGH_MC:
+            from stochvolmodels_tpu.models.rough.simulation import log_spot_full_combined
+            assert params0.nodes is not None and params0.weights is not None, \
+                "call params0.approximate_kernel(T) first"
+            key = key_from_seed(seed)
+            nodes_np, weights_np = params0.nodes, params0.weights
+
+            def loss_fn(pars):
+                sigma0, theta, kappa1, kappa2, beta, volvol, _ = expand_pars(pars)
+                vartheta = jnp.sqrt(beta * beta + volvol * volvol)
+                rho = beta / vartheta
+                resid_total = 0.0
+                for i, ttm in enumerate(ttms_static):
+                    log_s, v, y = log_spot_full_combined(
+                        nodes=nodes_np, weights=weights_np, sigma0=sigma0,
+                        theta=theta, kappa1=kappa1, kappa2=kappa2, rho=rho,
+                        volvol=vartheta, ttm=ttm, nb_path=nb_path, key=key,
+                        nb_steps_per_year=nb_steps)
+                    prices, _ = compute_mc_vars_payoff(
+                        x0=log_s, sigma0=log_s, qvar0=y, ttm=grid.ttms[i],
+                        forward=grid.forwards[i], strikes_ttm=grid.strikes[i],
+                        optiontypes_ttm=grid.optioncodes[i],
+                        discfactor=grid.discfactors[i])
+                    model_vols = bsm.infer_bsm_implied_vol(
+                        forward=grid.forwards[i], ttm=grid.ttms[i],
+                        strike=grid.strikes[i], given_price=prices,
+                        discfactor=grid.discfactors[i],
+                        optiontype=grid.optioncodes[i])
+                    resid = weights[i] * jnp.square(model_vols - market_vols[i])
+                    resid_total = resid_total + jnp.sum(
+                        jnp.where(jnp.isnan(resid), 0.0, resid))
+                return resid_total
         else:
-            raise NotImplementedError(f"{calibration_engine} (ROUGH_MC lands "
-                                      f"with the rough extension)")
+            raise NotImplementedError(f"{calibration_engine}")
 
         obj_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -1,0 +1,186 @@
+"""
+Strang-splitting simulation of the rough LogSV model via its Markovian lift.
+
+TPU rebuild of /root/reference/stochvolmodels/pricers/rough_logsv/split_simulation.py
+and rough_logsv/expm.py.  The lifted volatility is sigma = sum_i w_i v_i over
+N <= 3 factors; each time step composes a half-step RK4 drift solve, an exact
+log-normal diffusion step on the weighted sum, and another half drift step,
+followed by the log-spot reconstruction that recovers the integrated-variance
+correlation structure.
+
+Design deltas: the reference's @njit(parallel=True) prange loops over paths
+(its only explicitly parallel kernels, expm.py:321-441) become a single
+``lax.scan`` over time with (n, nb_path) factor panels — the path axis
+vectorizes on the VPU and shards over the mesh; the closed-form 1x1/2x2/3x3
+expm fast path of expm.py is unnecessary because the RK4 drift solve
+(reference's production ``drift_ode_solve2``) handles all N uniformly.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochvolmodels_tpu.config import VariableType
+from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
+from stochvolmodels_tpu.ops.random import key_from_seed
+from stochvolmodels_tpu.utils.funcs import set_time_grid
+
+Array = jnp.ndarray
+
+VOL_FLOOR = 1e-6  # bad-path flooring (split_simulation.py:301-303, 408-409)
+
+
+def drift_ode_rk4(nodes: Array, v0: Array, theta, kappa1, kappa2,
+                  z0: Array, weights: Array, h) -> Array:
+    """RK4 on the lifted drift ODE dz_i = -x_i (z_i - v0_i) + g(w.z)
+    with g(s) = (kappa1 + kappa2 s)(theta - s) (split_simulation.py:79-126).
+
+    Shapes: nodes/weights/v0/z0 are (n, nb_path) panels (nodes/weights
+    constant across paths but kept broadcast for parity with the reference).
+    """
+    def rhs(z):
+        zw = jnp.sum(weights * z, axis=0)
+        g = (kappa1 + kappa2 * zw) * (theta - zw)
+        return -nodes * (z - v0) + g
+
+    s1 = rhs(z0)
+    s2 = rhs(z0 + 0.5 * h * s1)
+    s3 = rhs(z0 + 0.5 * h * s2)
+    s4 = rhs(z0 + h * s3)
+    return z0 + (h / 6.0) * (s1 + 2.0 * s2 + 2.0 * s3 + s4)
+
+
+def diffus_sde_exact(y0: Array, weights: Array, volvol, h, z_rand: Array) -> Array:
+    """exact log-normal diffusion step on the weighted sum, with the increment
+    distributed equally across factors (split_simulation.py:233-250)."""
+    weight_sum = jnp.sum(weights, axis=0)
+    volvol_ = volvol * weight_sum
+    yw = jnp.sum(weights * y0, axis=0)
+    dW = z_rand * jnp.sqrt(h)
+    Yh = yw * jnp.exp(-0.5 * volvol_ * volvol_ * h + volvol_ * dW)
+    Q = (Yh - yw) / weight_sum
+    return y0 + Q[None, :]
+
+
+def strang_step(nodes: Array, weights: Array, v0: Array,
+                theta, kappa1, kappa2, rho, volvol,
+                log_s: Array, v: Array, y: Array, h, z0: Array, z1: Array
+                ) -> Tuple[Array, Array, Array]:
+    """one full step: D(h/2) o S(h) o D(h/2) + log-spot reconstruction
+    (split_simulation.py:254-329)."""
+    d_inn = drift_ode_rk4(nodes, v0, theta, kappa1, kappa2, v, weights, 0.5 * h)
+    s_inn = diffus_sde_exact(d_inn, weights, volvol, h, z0)
+    vol_h = drift_ode_rk4(nodes, v0, theta, kappa1, kappa2, s_inn, weights, 0.5 * h)
+
+    w_vol_h = jnp.sum(weights * vol_h, axis=0)
+    bad = jnp.isnan(w_vol_h) | (w_vol_h <= 0.0)
+    vol_h = jnp.where(bad[None, :], VOL_FLOOR, vol_h)
+
+    wlam = weights * nodes
+    vw = jnp.sum(weights * v, axis=0)
+    volw_h = jnp.sum(weights * vol_h, axis=0)
+    w_inv = 1.0 / jnp.sum(weights, axis=0)
+
+    c1 = c2 = 0.5
+    rho_comp = jnp.sqrt(1.0 - rho * rho)
+    sq_vw = jnp.square(vw)
+    sq_vhw = jnp.square(volw_h)
+    w_lam_vol = jnp.sum(wlam * v, axis=0)
+    w_lam_vol_h = jnp.sum(wlam * vol_h, axis=0)
+    w_lam_v0 = jnp.sum(wlam * v0, axis=0)
+
+    term1 = (1.0 / volvol) * (
+        ((volw_h - vw) / h + c1 * w_lam_vol + c2 * w_lam_vol_h - w_lam_v0) * w_inv
+        - kappa1 * theta + (kappa1 - kappa2 * theta) * (c1 * vw + c2 * volw_h)
+        + kappa2 * (c1 * sq_vw + c2 * sq_vhw)) * h
+    term2 = c1 * h * sq_vw + c2 * h * sq_vhw
+    log_spot_h = log_s - 0.5 * term2 + rho * term1 + rho_comp * jnp.sqrt(term2) * z1
+    y_h = y + 0.5 * h * (vw * vw + volw_h * volw_h)
+    return vol_h, y_h, log_spot_h
+
+
+def log_spot_full_combined(nodes: np.ndarray,
+                           weights: np.ndarray,
+                           sigma0: float,
+                           theta: float,
+                           kappa1: float,
+                           kappa2: float,
+                           rho: float,
+                           volvol: float,
+                           ttm: float,
+                           nb_path: int,
+                           key,
+                           nb_steps_per_year: int = 360,
+                           dtype=jnp.float64
+                           ) -> Tuple[Array, Array, Array]:
+    """simulate (log-spot, factor vols, integrated variance) to the horizon
+    (split_simulation.py:333-353 wrapped with on-the-fly threefry normals)."""
+    n = len(nodes)
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None], (n, nb_path))
+    weights_p = jnp.broadcast_to(jnp.asarray(weights, dtype=dtype)[:, None], (n, nb_path))
+    v0 = jnp.full((n, nb_path), sigma0 / float(np.sum(weights)), dtype=dtype)
+
+    def step(carry, step_idx):
+        v, y, log_s = carry
+        k = jax.random.fold_in(key, step_idx)
+        z = jax.random.normal(k, (2, nb_path), dtype=dtype)
+        vol_h, y_h, log_spot_h = strang_step(
+            nodes_p, weights_p, v0, theta, kappa1, kappa2, rho, volvol,
+            log_s, v, y, dt, z[0], z[1])
+        return (vol_h, y_h, log_spot_h), None
+
+    init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
+    (v, y, log_s), _ = jax.lax.scan(step, init, jnp.arange(nb_steps), unroll=2)
+    return log_s, v, y
+
+
+def rough_logsv_mc_chain_pricer(ttms: np.ndarray,
+                                forwards: np.ndarray,
+                                discfactors: np.ndarray,
+                                strikes_ttms,
+                                optiontypes_ttms,
+                                sigma0: float,
+                                theta: float,
+                                kappa1: float,
+                                kappa2: float,
+                                beta: float,
+                                volvol: float,
+                                weights: np.ndarray,
+                                nodes: np.ndarray,
+                                nb_path: int = 100000,
+                                nb_steps_per_year: int = 360,
+                                variable_type: VariableType = VariableType.LOG_RETURN,
+                                seed=None,
+                                dtype=jnp.float64
+                                ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """rough chain MC (logsv_pricer.py:1056-1119): the (beta, volvol) pair is
+    reparametrized to (vartheta, rho = beta/vartheta); every slice restarts
+    from t = 0 and shares the SAME Brownian stream (the reference truncates
+    one pre-drawn normal block per slice — here the shared threefry key plays
+    that role, so short slices see a prefix of the long slice's increments)."""
+    vartheta = float(np.sqrt(beta ** 2 + volvol ** 2))
+    rho = float(beta / vartheta)
+    key = key_from_seed(seed)
+    option_prices_ttm, option_std_ttm = [], []
+    for ttm, forward, discfactor, strikes, types in zip(ttms, forwards,
+                                                        discfactors,
+                                                        strikes_ttms,
+                                                        optiontypes_ttms):
+        log_s, v, y = log_spot_full_combined(
+            nodes=nodes, weights=weights, sigma0=sigma0, theta=theta,
+            kappa1=kappa1, kappa2=kappa2, rho=rho, volvol=vartheta,
+            ttm=float(ttm), nb_path=nb_path, key=key,
+            nb_steps_per_year=nb_steps_per_year, dtype=dtype)
+        sigma_terminal = jnp.sum(jnp.asarray(weights, dtype=dtype)[:, None] * v, axis=0)
+        prices, stds = compute_mc_vars_payoff(
+            x0=log_s, sigma0=sigma_terminal, qvar0=y, ttm=ttm,
+            forward=forward, strikes_ttm=jnp.asarray(strikes),
+            optiontypes_ttm=types, discfactor=discfactor,
+            variable_type=variable_type)
+        option_prices_ttm.append(np.asarray(prices))
+        option_std_ttm.append(np.asarray(stds))
+    return option_prices_ttm, option_std_ttm

@@ -1,0 +1,103 @@
+"""
+Rough LogSV (Markovian lift): kernel quadrature quality, degeneracy to the
+standard dynamics at H = 1/2, and rough-MC pricing sanity at H = 0.1.
+"""
+import numpy as np
+import pytest
+
+from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+from stochvolmodels_tpu.models.logsv.params import LogSvParams
+from stochvolmodels_tpu.models.logsv.pricer import LOGSV_BTC_PARAMS, LogSVPricer
+from stochvolmodels_tpu.models.rough.kernel import (
+    european_rule,
+    kernel_l2_relative_error,
+)
+
+
+class TestKernelQuadrature:
+    def test_error_decreases_with_n(self):
+        H, T = 0.1, 0.5
+        errs = []
+        for n in (1, 2, 3):
+            nodes, weights = european_rule(H, n, T)
+            errs.append(kernel_l2_relative_error(H, nodes, weights, T))
+        assert errs[0] > errs[1] > errs[2]
+        assert errs[2] < 0.1  # 3-node lift approximates the H=0.1 kernel well
+
+    def test_nodes_positive_sorted(self):
+        nodes, weights = european_rule(0.2, 3, 1.0)
+        assert np.all(nodes > 0)
+        assert np.all(np.diff(nodes) > 0)
+        assert np.all(weights > 0)
+
+    def test_approximate_kernel_dispatch(self):
+        p = LogSvParams(sigma0=0.8, theta=1.0, kappa1=3.0, kappa2=3.0,
+                        beta=0.15, volvol=1.85, H=0.5)
+        p.approximate_kernel(T=0.5)
+        np.testing.assert_allclose(p.nodes, [1e-3])
+        np.testing.assert_allclose(p.weights, [1.0])
+        p2 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=3.0, kappa2=3.0,
+                         beta=0.15, volvol=1.85, H=0.45)
+        p2.approximate_kernel(T=0.5)
+        assert len(p2.nodes) == 2
+        p3 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=3.0, kappa2=3.0,
+                         beta=0.15, volvol=1.85, H=0.1)
+        p3.approximate_kernel(T=0.5)
+        assert len(p3.nodes) == 3
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return get_btc_test_chain_data()
+
+
+class TestRoughMc:
+    def test_degenerate_lift_matches_analytic(self, chain):
+        # H = 0.5 -> single node at 1e-3 reproduces the standard dynamics:
+        # rough-MC prices must agree with the Fourier pricer within MC bands
+        params = LogSvParams(**{**LOGSV_BTC_PARAMS.to_dict()})
+        params.H = 0.5
+        params.approximate_kernel(T=float(np.max(chain.ttms)))
+        pricer = LogSVPricer()
+        analytic = pricer.price_chain(option_chain=chain, params=params)
+        mc_prices, mc_stds = pricer.model_mc_price_chain(
+            option_chain=chain, params=params, nb_path=100000,
+            use_rough_mc=True, seed=42)
+        for a, m, s in zip(analytic, mc_prices, mc_stds):
+            tol = 4.0 * s + 0.02 * np.asarray(a) + 2e-4 * chain.forwards[0]
+            assert np.all(np.abs(a - m) < tol), f"diff={np.abs(a-m)}, tol={tol}"
+
+    def test_rough_h01_prices_sane(self, chain):
+        params = LogSvParams(sigma0=0.8376, theta=1.0413, kappa1=3.1844,
+                             kappa2=3.058, beta=0.1514, volvol=1.8458, H=0.1)
+        params.approximate_kernel(T=float(np.max(chain.ttms)))
+        pricer = LogSVPricer()
+        mc_prices, mc_stds = pricer.model_mc_price_chain(
+            option_chain=chain, params=params, nb_path=50000,
+            use_rough_mc=True, seed=10)
+        ivols = chain.compute_model_ivols_from_chain_data(model_prices=mc_prices)
+        for iv in ivols:
+            finite = np.isfinite(iv)
+            assert np.mean(finite) > 0.8
+            assert np.all((iv[finite] > 0.3) & (iv[finite] < 2.5))
+
+    def test_regression_baseline(self, chain):
+        # our own .npz regression (the reference's pattern,
+        # tests/test_rough_logsv_pricer_regression.py): fixed seed, H=0.1,
+        # 10k paths; guards against silent numerical drift
+        import pathlib
+        params = LogSvParams(sigma0=0.8376, theta=1.0413, kappa1=3.1844,
+                             kappa2=3.058, beta=0.1514, volvol=1.8458, H=0.1)
+        params.approximate_kernel(T=float(np.max(chain.ttms)))
+        pricer = LogSVPricer()
+        mc_prices, _ = pricer.model_mc_price_chain(
+            option_chain=chain, params=params, nb_path=10000,
+            use_rough_mc=True, seed=10)
+        baseline_path = pathlib.Path(__file__).parent / "baselines" / "rough_logsv_btc.npz"
+        if not baseline_path.exists():
+            baseline_path.parent.mkdir(exist_ok=True)
+            np.savez(baseline_path, **{f"prices_{i}": p for i, p in enumerate(mc_prices)})
+            pytest.skip("baseline created on first run")
+        with np.load(baseline_path) as z:
+            for i, p in enumerate(mc_prices):
+                np.testing.assert_allclose(p, z[f"prices_{i}"], rtol=1e-7)
