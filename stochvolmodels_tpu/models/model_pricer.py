@@ -178,7 +178,7 @@ class ModelPricer(ABC):
         return pricer_plots.plot_comp_mma_inverse_options_with_mc(
             self, option_chain, params, **kwargs)
 
-    def plot_model_risk_var(self, option_chain: OptionChain,
-                            params: ModelParams, **kwargs):
+    def plot_model_slices_in_params(self, option_slice, params_dict, **kwargs):
         from stochvolmodels_tpu.plotting import pricer_plots
-        return pricer_plots.plot_model_risk_var(self, option_chain, params, **kwargs)
+        return pricer_plots.plot_model_slices_in_params(
+            self, option_slice, params_dict, **kwargs)
