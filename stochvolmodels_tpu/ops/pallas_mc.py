@@ -1,0 +1,256 @@
+"""
+Pallas TPU kernels for the Monte-Carlo path loops.
+
+The reference's hot MC kernel is the numba Euler loop over (steps x paths)
+pre-drawn normal blocks (logsv_pricer.py:843-940) — that layout is
+memory-infeasible at 1e6 paths x 360+ steps.  Here the whole simulation runs
+inside one Pallas kernel per path block: the PRNG generates normals on-chip
+(Box-Muller over `pltpu.prng_random_bits` uniforms), the state never leaves
+VMEM, and only the terminal (x, sigma, qvar) is written back to HBM.  Path
+blocks are independent grid programs seeded by block index — embarrassingly
+parallel, and the same layout shards over a device mesh.
+
+Parameters are passed through SMEM so calibration iterations do NOT
+recompile; step count and dt are static per maturity (chain maturities are
+fixed at trace time).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stochvolmodels_tpu.utils.funcs import set_time_grid
+
+Array = jnp.ndarray
+
+LANES = 128
+BLOCK_ROWS = 256          # paths per program = BLOCK_ROWS * LANES = 32768
+TWO_PI = 6.2831853071795864
+
+
+def _uniform_from_bits(bits) -> Array:
+    """uint32 -> (0, 1) float32 via the exponent-trick bitcast: set the
+    exponent to 127 so the mantissa spans [1, 2), subtract 1."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return jnp.maximum(f - 1.0, 1.1754944e-38)  # keep log(u) finite
+
+
+def _box_muller(shape) -> Tuple[Array, Array]:
+    """two independent standard normal panels from on-chip PRNG bits."""
+    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    t = TWO_PI * u2
+    return r * jnp.cos(t), r * jnp.sin(t)
+
+
+def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
+                  x_ref, sig_ref, qvar_ref, *, nb_steps: int, dt: float,
+                  alpha: float):
+    """full-horizon LogSV Euler loop for one (BLOCK_ROWS, LANES) path block.
+
+    params (SMEM): [theta, kappa1, kappa2, beta, volvol, vol_backbone_eta, adj].
+    State stays in registers/VMEM; only terminal values are stored.
+    """
+    pltpu.prng_seed(seed_ref[0] + jnp.int32(pl.program_id(0)))
+    theta = params_ref[0]
+    kappa1 = params_ref[1]
+    kappa2 = params_ref[2]
+    beta = params_ref[3]
+    volvol = params_ref[4]
+    eta = params_ref[5]
+    adj = params_ref[6]
+    vartheta2 = beta * beta + volvol * volvol
+    eta2 = eta * eta
+    sdt = np.float32(np.sqrt(dt))
+    dtf = np.float32(dt)
+    alpha_f = np.float32(alpha)
+
+    def body(_, carry):
+        x, lns, sigma, qvar = carry
+        z0, z1 = _box_muller(x.shape)
+        w0 = z0 * sdt
+        w1 = z1 * sdt
+        sig2dt = eta2 * sigma * sigma * dtf
+        x = x + alpha_f * 0.5 * sig2dt + eta * sigma * w0
+        lns = lns + ((kappa1 * theta / sigma - kappa1)
+                     + kappa2 * (theta - sigma) + adj * sigma
+                     - 0.5 * vartheta2) * dtf + beta * w0 + volvol * w1
+        sigma_new = jnp.exp(lns)
+        qvar = qvar + 0.5 * (sig2dt + eta2 * sigma_new * sigma_new * dtf)
+        return x, lns, sigma_new, qvar
+
+    lns0 = lns0_ref[:]
+    x, lns, sigma, qvar = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nb_steps), body,
+        (x0_ref[:], lns0, jnp.exp(lns0), qv0_ref[:]))
+    x_ref[:] = x
+    sig_ref[:] = sigma
+    qvar_ref[:] = qvar
+
+
+@functools.partial(jax.jit, static_argnames=("nb_steps", "dt", "alpha", "nb_path"))
+def _run_logsv_kernel(seed, params, x0, lns0, qv0, nb_steps, dt, alpha, nb_path):
+    # Mosaic cannot lower i64; trace the kernel in 32-bit mode (the global
+    # config enables x64 for the pricing layer)
+    with jax.enable_x64(False):
+        return _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps,
+                                    dt, alpha, nb_path)
+
+
+def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha, nb_path):
+    rows = nb_path // LANES
+    grid = pl.cdiv(rows, BLOCK_ROWS)
+    kernel = functools.partial(_logsv_kernel, nb_steps=nb_steps, dt=dt, alpha=alpha)
+    shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  state_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec, state_spec),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=10 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=30 * nb_steps * nb_path,
+            bytes_accessed=6 * nb_path * 4,
+            transcendentals=7 * nb_steps * nb_path),
+    )(seed, params, x0, lns0, qv0)
+
+
+def simulate_logsv_terminal_pallas(seed: int,
+                                   x0: Array,
+                                   sigma0: Array,
+                                   qvar0: Array,
+                                   ttm: float,
+                                   theta: float,
+                                   kappa1: float,
+                                   kappa2: float,
+                                   beta: float,
+                                   volvol: float,
+                                   vol_backbone_eta: float = 1.0,
+                                   is_spot_measure: bool = True,
+                                   nb_steps_per_year: int = 360
+                                   ) -> Tuple[Array, Array, Array]:
+    """terminal (x, sigma, qvar) by the on-chip-PRNG Pallas kernel (float32).
+
+    Same discretization as models.logsv.pricer.simulate_logsv_terminal; state
+    arrays are (nb_path,) with nb_path a multiple of 128 (pad if needed).
+    """
+    nb_path = x0.shape[0]
+    assert nb_path % LANES == 0, f"nb_path must be a multiple of {LANES}"
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    if is_spot_measure:
+        alpha, adj = -1.0, 0.0
+    else:
+        alpha, adj = 1.0, beta * vol_backbone_eta
+    params = jnp.asarray([theta, kappa1, kappa2, beta, volvol,
+                          vol_backbone_eta, adj], dtype=jnp.float32)
+    rows = nb_path // LANES
+    to_block = lambda a: jnp.asarray(a, dtype=jnp.float32).reshape(rows, LANES)
+    x, sig, qvar = _run_logsv_kernel(
+        jnp.asarray([seed], dtype=jnp.int32), params,
+        to_block(x0), to_block(jnp.log(jnp.asarray(sigma0))), to_block(qvar0),
+        nb_steps=nb_steps, dt=float(dt), alpha=alpha, nb_path=nb_path)
+    return x.reshape(-1), sig.reshape(-1), qvar.reshape(-1)
+
+
+def _heston_kernel(seed_ref, params_ref, x0_ref, v0_ref, qv0_ref,
+                   x_ref, var_ref, qvar_ref, *, nb_steps: int, dt: float):
+    """full-truncation Heston Euler loop for one path block.
+
+    params (SMEM): [theta, kappa, rho, volvol]."""
+    pltpu.prng_seed(seed_ref[0] + jnp.int32(pl.program_id(0)))
+    theta = params_ref[0]
+    kappa = params_ref[1]
+    rho = params_ref[2]
+    volvol = params_ref[3]
+    rho_1 = jnp.sqrt(1.0 - rho * rho)
+    sdt = np.float32(np.sqrt(dt))
+    dtf = np.float32(dt)
+
+    def body(_, carry):
+        x, var, qvar = carry
+        z0, z1 = _box_muller(x.shape)
+        w0 = z0 * sdt
+        w1 = z1 * sdt
+        sigma = jnp.sqrt(var)
+        var_dt = var * dtf
+        x = x - 0.5 * var_dt + sigma * w0
+        qvar = qvar + var_dt
+        var = var + kappa * (theta - var) * dtf + sigma * volvol * (rho * w0 + rho_1 * w1)
+        var = jnp.maximum(var, 1e-4)
+        return x, var, qvar
+
+    x, var, qvar = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nb_steps), body,
+        (x0_ref[:], v0_ref[:], qv0_ref[:]))
+    x_ref[:] = x
+    var_ref[:] = var
+    qvar_ref[:] = qvar
+
+
+@functools.partial(jax.jit, static_argnames=("nb_steps", "dt", "nb_path"))
+def _run_heston_kernel(seed, params, x0, v0, qv0, nb_steps, dt, nb_path):
+    with jax.enable_x64(False):
+        return _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt,
+                                     nb_path)
+
+
+def _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt, nb_path):
+    rows = nb_path // LANES
+    grid = pl.cdiv(rows, BLOCK_ROWS)
+    kernel = functools.partial(_heston_kernel, nb_steps=nb_steps, dt=dt)
+    shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  state_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec, state_spec),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=10 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=25 * nb_steps * nb_path,
+            bytes_accessed=6 * nb_path * 4,
+            transcendentals=5 * nb_steps * nb_path),
+    )(seed, params, x0, v0, qv0)
+
+
+def simulate_heston_terminal_pallas(seed: int,
+                                    x0: Array,
+                                    var0: Array,
+                                    qvar0: Array,
+                                    ttm: float,
+                                    theta: float,
+                                    kappa: float,
+                                    rho: float,
+                                    volvol: float,
+                                    nb_steps_per_year: int = 360
+                                    ) -> Tuple[Array, Array, Array]:
+    """terminal (x, var, qvar) under Heston by the Pallas kernel (float32)."""
+    nb_path = x0.shape[0]
+    assert nb_path % LANES == 0, f"nb_path must be a multiple of {LANES}"
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    params = jnp.asarray([theta, kappa, rho, volvol], dtype=jnp.float32)
+    rows = nb_path // LANES
+    to_block = lambda a: jnp.asarray(a, dtype=jnp.float32).reshape(rows, LANES)
+    x, var, qvar = _run_heston_kernel(
+        jnp.asarray([seed], dtype=jnp.int32), params,
+        to_block(x0), to_block(var0), to_block(qvar0),
+        nb_steps=nb_steps, dt=float(dt), nb_path=nb_path)
+    return x.reshape(-1), var.reshape(-1), qvar.reshape(-1)
