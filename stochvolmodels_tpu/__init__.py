@@ -75,8 +75,23 @@ from stochvolmodels_tpu.utils.var_swap import compute_var_swap_strike  # noqa: F
 
 from stochvolmodels_tpu.data.option_chain import (  # noqa: F401
     ChainGrid,
+    FutOptionChain,
     OptionChain,
     OptionSlice,
+    SwOptionChain,
+)
+from stochvolmodels_tpu.models.factor_hjm import (  # noqa: F401
+    Cheyette1D,
+    CheyettePEND,
+    FutSettleType,
+    Measure,
+    MultiFactRateLogSvParams,
+    NelsonSiegel,
+    RateFutLogSVPricer,
+    RateLogSVPricer,
+    RateLogSvParams,
+    TermStructure,
+    UnderlyingType,
 )
 from stochvolmodels_tpu.data.sample_chains import (  # noqa: F401
     get_btc_test_chain_data,

@@ -323,3 +323,229 @@ class OptionChain:
         if floor_with_atm_vols:
             varswap_strikes = np.maximum(self.get_chain_atm_vols(), varswap_strikes)
         return pd.Series(varswap_strikes, index=self.ttms)
+
+
+@dataclass
+class SwOptionChain:
+    """swaption cube container: expiries x swap tenors x strikes
+    (option_chain.py:336-578).
+
+    Note: the reference's ``compute_model_ivols_from_chain_data`` reads an
+    undefined ``self.discfactors`` (option_chain.py:538, latent
+    AttributeError); here unit discount factors are used instead.
+    """
+    ccy: str
+    ttms: np.ndarray
+    tenors: np.ndarray
+    ttms_ids: Sequence[str]
+    tenors_ids: Sequence[str]
+    forwards: Sequence[np.ndarray]
+    strikes_ttms: Sequence[Sequence[np.ndarray]]
+    bid_ivs: Sequence[Sequence[np.ndarray]]
+    ask_ivs: Sequence[Sequence[np.ndarray]]
+    ticker: Optional[str] = None
+
+    def __post_init__(self):
+        assert self.ttms.size == len(self.ttms_ids)
+        assert self.tenors.size == len(self.tenors_ids)
+        assert np.all(np.diff(self.ttms) >= 0) and np.all(self.ttms >= 0)
+        assert np.all(np.diff(self.tenors) >= 0) and np.all(self.tenors >= 0)
+        self.optiontypes_ttms = tuple(np.repeat('C', self.strikes_ttms[0][0].size)
+                                      for _ in self.ttms)
+        assert len(self.strikes_ttms) == len(self.tenors_ids)
+        assert len(self.bid_ivs) == len(self.ask_ivs) == len(self.tenors_ids)
+        assert len(self.strikes_ttms[0]) == len(self.ttms_ids)
+        assert self.strikes_ttms[0][0].ndim == 1
+        assert (len(self.forwards) == len(self.tenors_ids)
+                and self.forwards[0].size == len(self.ttms_ids))
+        for i in range(len(self.tenors_ids)):
+            for j in range(len(self.ttms_ids)):
+                assert self.strikes_ttms[i][j].size == self.strikes_ttms[0][0].size
+                assert self.bid_ivs[i][j].size == self.ask_ivs[0][0].size
+
+    @classmethod
+    def create_swaption_chain_MF(cls, ccy: str, tenors: np.ndarray, tenors_ids,
+                                 ttms: np.ndarray, ttms_ids, forwards,
+                                 strikes_ttms, ivs, ticker: str) -> "SwOptionChain":
+        """build a cube from model data, re-centring strikes on the flat-curve
+        par rates (option_chain.py:382-416)."""
+        from stochvolmodels_tpu.utils.rate_core import (
+            get_default_swap_term_structure,
+            swap_rate,
+        )
+        for idx_tenor, tenor in enumerate(tenors):
+            for idx_ttm, ttm in enumerate(ttms):
+                ts_sw = get_default_swap_term_structure(ttm, tenor)
+                par = swap_rate(ccy, ttm, ts_sw)
+                strikes_ttms[idx_tenor][idx_ttm] = (strikes_ttms[idx_tenor][idx_ttm]
+                                                    - forwards[idx_tenor][idx_ttm] + par)
+                forwards[idx_tenor][idx_ttm] = par
+        return cls(ccy=ccy, ttms=ttms, tenors=tenors, ttms_ids=ttms_ids,
+                   tenors_ids=tenors_ids, forwards=forwards,
+                   strikes_ttms=strikes_ttms, bid_ivs=ivs, ask_ivs=ivs,
+                   ticker=ticker)
+
+    def get_mid_vols(self):
+        return [[0.5 * (self.bid_ivs[i][j] + self.ask_ivs[i][j])
+                 for j in range(len(self.ttms_ids))]
+                for i in range(len(self.tenors_ids))]
+
+    def get_chain_atm_vols(self):
+        atm_vols = []
+        for forwards_tenor, strikes_tenor, vols_tenor in zip(self.forwards,
+                                                             self.strikes_ttms,
+                                                             self.get_mid_vols()):
+            atm = np.array([np.interp(x=f, xp=s, fp=v) for f, s, v in
+                            zip(forwards_tenor, strikes_tenor, vols_tenor)])
+            atm_vols.append(atm)
+        return atm_vols
+
+    def get_chain_vegas(self, is_unit_ttm_vega: bool = False):
+        ttms = np.ones_like(self.ttms) if is_unit_ttm_vega else self.ttms
+        vegas_chain = []
+        for forwards, strikes_ttms, mid_vols in zip(self.forwards,
+                                                    self.strikes_ttms,
+                                                    self.get_mid_vols()):
+            vegas = [np.asarray(bachel.compute_normal_slice_vegas(
+                ttm=t, forward=f, strikes=s, vols=v))
+                for t, f, s, v in zip(ttms, forwards, strikes_ttms, mid_vols)]
+            vegas_chain.append(vegas)
+        return vegas_chain
+
+    def reduce_strikes(self, nb_otms: int) -> "SwOptionChain":
+        """keep nb_otms OTM strikes either side of ATM (option_chain.py:418-441)."""
+        nb_strikes = int((self.strikes_ttms[0][0].size - 1) / 2)
+        if nb_otms > nb_strikes:
+            raise ValueError(f"nb_otms={nb_otms} > otm strikes={nb_strikes}")
+        rng = range(nb_strikes - nb_otms, nb_strikes + nb_otms + 1)
+        pick = lambda seq: [[seq[i][j][rng] for j in range(len(self.ttms_ids))]
+                            for i in range(len(self.tenors_ids))]
+        return SwOptionChain(ccy=self.ccy, ttms=self.ttms, tenors=self.tenors,
+                             ttms_ids=self.ttms_ids, tenors_ids=self.tenors_ids,
+                             forwards=self.forwards,
+                             strikes_ttms=pick(self.strikes_ttms),
+                             bid_ivs=pick(self.bid_ivs),
+                             ask_ivs=pick(self.ask_ivs), ticker=self.ticker)
+
+    def reduce_ttms(self, ttms_ids) -> "SwOptionChain":
+        """restrict the cube to the listed expiry ids (option_chain.py:443-467)."""
+        if not np.all(np.isin(ttms_ids, self.ttms_ids)):
+            raise ValueError("Expiries to be removed not present in chain")
+        idx_ttms = np.where(np.isin(self.ttms_ids, ttms_ids))[0]
+        pick = lambda seq: [[seq[i][j] for j in idx_ttms]
+                            for i in range(len(self.tenors_ids))]
+        forwards = [np.array([self.forwards[i][j] for j in idx_ttms])
+                    for i in range(len(self.tenors_ids))]
+        return SwOptionChain(ccy=self.ccy, ttms=self.ttms[idx_ttms],
+                             tenors=self.tenors, ttms_ids=list(ttms_ids),
+                             tenors_ids=self.tenors_ids, forwards=forwards,
+                             strikes_ttms=pick(self.strikes_ttms),
+                             bid_ivs=pick(self.bid_ivs),
+                             ask_ivs=pick(self.ask_ivs), ticker=self.ticker)
+
+    def reduce_tenors(self, tenors_ids) -> "SwOptionChain":
+        """restrict the cube to the listed tenor ids (option_chain.py:469-493)."""
+        if not np.all(np.isin(tenors_ids, self.tenors_ids)):
+            raise ValueError("Tenors to be removed not present in chain")
+        idx_tenors = np.where(np.isin(self.tenors_ids, tenors_ids))[0]
+        pick = lambda seq: [[seq[i][j] for j in range(len(self.ttms_ids))]
+                            for i in idx_tenors]
+        forwards = [np.asarray(self.forwards[i]) for i in idx_tenors]
+        return SwOptionChain(ccy=self.ccy, ttms=self.ttms,
+                             tenors=self.tenors[idx_tenors],
+                             ttms_ids=self.ttms_ids,
+                             tenors_ids=[self.tenors_ids[i] for i in idx_tenors],
+                             forwards=forwards,
+                             strikes_ttms=pick(self.strikes_ttms),
+                             bid_ivs=pick(self.bid_ivs),
+                             ask_ivs=pick(self.ask_ivs), ticker=self.ticker)
+
+    @classmethod
+    def remap_to_inc_delta(cls, vols: pd.Series) -> pd.Series:
+        vols.index = [-x for x in vols.index]
+        return vols
+
+    @classmethod
+    def remap_to_pc_delta(cls, inc_grid: np.ndarray) -> np.ndarray:
+        put_cond = inc_grid < -0.5
+        call_cond = inc_grid >= -0.5
+        return np.concatenate((-inc_grid[put_cond] - 1.0, -inc_grid[call_cond]))
+
+
+@dataclass
+class FutOptionChain:
+    """futures option chain with optional open-interest filtering
+    (option_chain.py:582-718)."""
+    ccy: str
+    ttms: np.ndarray
+    forwards: np.ndarray
+    strikes_ttms: Sequence[np.ndarray]
+    ttms_ids: Optional[np.ndarray]
+    ivs_call_ttms: Sequence[np.ndarray]
+    ivs_put_ttms: Sequence[np.ndarray]
+    ticker: Optional[str] = None
+    call_oi: Optional[Sequence[np.ndarray]] = None
+    put_oi: Optional[Sequence[np.ndarray]] = None
+    call_vol: Optional[Sequence[np.ndarray]] = None
+    put_vol: Optional[Sequence[np.ndarray]] = None
+
+    def __post_init__(self):
+        assert self.ttms.size == len(self.ttms_ids)
+        assert np.all(np.diff(self.ttms) >= 0) and np.all(self.ttms >= 0)
+        self.optiontypes_ttms = tuple(np.repeat('C', self.strikes_ttms[i].size)
+                                      for i in range(len(self.ttms)))
+        assert all(c.shape == p.shape for c, p in zip(self.ivs_call_ttms,
+                                                      self.ivs_put_ttms))
+        assert len(self.ivs_call_ttms) == self.ttms.size
+        assert self.ttms.shape == self.forwards.shape
+        assert all(np.asarray(s).ndim == 1 for s in self.strikes_ttms)
+        assert ((self.call_oi is None) == (self.put_oi is None))
+        assert ((self.call_vol is None) == (self.put_vol is None))
+
+    def filter_by_oi(self, max_strikes: int, include_atm: bool) -> "FutOptionChain":
+        """keep the most liquid strikes per expiry by open interest
+        (option_chain.py:628-677)."""
+        if self.call_oi is None:
+            raise NotImplementedError("call/put open interest cannot be None")
+        mid_idx = int(0.5 * (self.strikes_ttms[0].size - 1))
+        strikes_l, ivc_l, ivp_l, coi_l, poi_l = [], [], [], [], []
+        for idx_ttm in range(len(self.ttms)):
+            oi = self.call_oi[idx_ttm] + self.put_oi[idx_ttm]
+            idxs = oi.argsort()[-max_strikes:][::-1]
+            if include_atm and mid_idx not in idxs:
+                raise ValueError(f"atm strike not found among top {max_strikes} liquid options")
+            idxs = np.sort(idxs)
+            strikes_l.append(self.strikes_ttms[idx_ttm][idxs])
+            ivc_l.append(self.ivs_call_ttms[idx_ttm][idxs])
+            ivp_l.append(self.ivs_put_ttms[idx_ttm][idxs])
+            coi_l.append(self.call_oi[idx_ttm][idxs])
+            poi_l.append(self.put_oi[idx_ttm][idxs])
+        return FutOptionChain(ccy=self.ccy, ttms=self.ttms, forwards=self.forwards,
+                              strikes_ttms=np.array(strikes_l),
+                              ivs_call_ttms=np.array(ivc_l),
+                              ivs_put_ttms=np.array(ivp_l),
+                              ttms_ids=self.ttms_ids, call_oi=coi_l,
+                              put_oi=poi_l, ticker=self.ticker)
+
+    def get_mid_vols(self):
+        return self.ivs_call_ttms
+
+    def get_chain_vegas(self):
+        return [np.asarray(bachel.compute_normal_slice_vegas(
+            ttm=t, forward=f, strikes=s, vols=v))
+            for t, f, s, v in zip(self.ttms, self.forwards, self.strikes_ttms,
+                                  self.ivs_call_ttms)]
+
+    def reduce_ttms(self, ttms_ids) -> "FutOptionChain":
+        """restrict the chain to the listed expiry ids (option_chain.py:697-718)."""
+        if not np.all(np.isin(ttms_ids, self.ttms_ids)):
+            raise ValueError("Expiries to be removed not present in chain")
+        idx_ttms = np.where(np.isin(self.ttms_ids, ttms_ids))[0]
+        assert self.call_oi is None and self.call_vol is None
+        return FutOptionChain(ccy=self.ccy, ttms=self.ttms[idx_ttms],
+                              forwards=self.forwards[idx_ttms],
+                              strikes_ttms=[self.strikes_ttms[i] for i in idx_ttms],
+                              ttms_ids=ttms_ids,
+                              ivs_put_ttms=[self.ivs_put_ttms[i] for i in idx_ttms],
+                              ivs_call_ttms=[self.ivs_call_ttms[i] for i in idx_ttms],
+                              ticker=self.ticker)

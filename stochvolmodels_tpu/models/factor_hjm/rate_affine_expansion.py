@@ -1,0 +1,225 @@
+"""
+Affine expansion of the MGF for the factor HJM model with a LogSV driver
+(Sec. 6, Theorem 6.1 of Sepp & Rakhmonov 2025).
+
+Rebuild of /root/reference/stochvolmodels/pricers/factor_hjm/rate_affine_expansion.py.
+The ODE coefficients are time-dependent (piecewise term structures measured
+under Q^A / Q^T), but enter only through seven scalar time series:
+kappa0/1/2(t), vartheta^2(t), a.beta(t), a.a(t) and b(t).  Those are
+interpolated onto the RK4 stage times host-side; the integrator then runs
+the whole transform grid at once under ``lax.scan`` (the reference loops
+scipy solve_ivp per grid point with cubic-spline coefficient interpolation,
+rate_affine_expansion.py:87-164 — here stage coefficients are linear
+interpolants of the same series).
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochvolmodels_tpu.models.logsv.affine import ExpansionOrder, get_expansion_n
+from stochvolmodels_tpu.utils.cplx import Cplx
+
+Array = jnp.ndarray
+
+
+class UnderlyingType(Enum):
+    """swap rate (swaptions) or log-shifted futures rate (rate futures)."""
+    SWAP = 1
+    FUTURES = 2
+
+
+def _scalar_series(times: np.ndarray,
+                   a0: np.ndarray,
+                   a1: np.ndarray,
+                   kappa0: np.ndarray,
+                   kappa1: np.ndarray,
+                   kappa2: np.ndarray,
+                   beta: np.ndarray,
+                   volvol: np.ndarray,
+                   b: np.ndarray,
+                   underlying_type: UnderlyingType
+                   ) -> np.ndarray:
+    """reduce the vector coefficient series to the seven scalar series
+    [kappa0, kappa1, kappa2, vartheta2, a_prod_beta, a_prod_a, b]."""
+    a0 = np.atleast_2d(np.asarray(a0, dtype=float).T).T  # (T, d)
+    beta = np.atleast_2d(np.asarray(beta, dtype=float).T).T
+    vartheta2 = np.einsum('td,td->t', beta, beta) + np.asarray(volvol) ** 2
+    a_prod_beta = np.einsum('td,td->t', a0, beta)
+    a_prod_a = np.einsum('td,td->t', a0, a0)
+    if underlying_type == UnderlyingType.FUTURES:
+        a_prod_beta = a_prod_beta + np.asarray(a1) * np.asarray(volvol)
+        a_prod_a = a_prod_a + np.asarray(a1) ** 2
+    return np.stack([np.asarray(kappa0, dtype=float),
+                     np.asarray(kappa1, dtype=float),
+                     np.asarray(kappa2, dtype=float),
+                     vartheta2, a_prod_beta, a_prod_a,
+                     np.asarray(b, dtype=float)], axis=0)  # (7, T)
+
+
+def _rates_ode_terms(q: float, coeffs: Array, phi: Cplx, n: int
+                     ) -> Tuple[Array, Cplx, Cplx]:
+    """(M, L, H) panels from the scalar coefficients at one stage time.
+
+    coeffs = [kappa0, kappa1, kappa2, vartheta2, a_prod_beta, a_prod_a, b];
+    M (n,n,n) real, L = L0 + phi*L1 expanded over the grid (N,n,n) complex,
+    H (N,n) complex (rate_affine_expansion.py:263-366).
+    """
+    kappa0, kappa1, kappa2, vartheta2, apb, apa, b = (coeffs[i] for i in range(7))
+    q2 = q * q
+    qv = q * vartheta2
+    qv2 = q2 * vartheta2
+
+    M = jnp.zeros((n, n, n))
+    M = M.at[0, 1, 1].set(0.5 * qv2)
+    M = M.at[1, 1, 1].set(qv)
+    M = M.at[1, 1, 2].set(qv2).at[1, 2, 1].set(qv2)
+    M = M.at[2, 1, 1].set(0.5 * vartheta2).at[2, 2, 2].set(2.0 * qv2)
+    M = M.at[2, 2, 1].set(2.0 * qv).at[2, 1, 2].set(2.0 * qv)
+    if n == 5:
+        M = M.at[2, 1, 3].set(1.5 * qv2).at[2, 3, 1].set(1.5 * qv2)
+        M = M.at[3, 2, 2].set(4.0 * qv)
+        M = M.at[3, 1, 2].set(vartheta2).at[3, 2, 1].set(vartheta2)
+        M = M.at[3, 1, 3].set(3.0 * qv).at[3, 3, 1].set(3.0 * qv)
+        M = M.at[3, 1, 4].set(2.0 * qv2).at[3, 4, 1].set(2.0 * qv2)
+        M = M.at[3, 2, 3].set(3.0 * qv2).at[3, 3, 2].set(3.0 * qv2)
+        M = M.at[4, 2, 2].set(2.0 * vartheta2).at[4, 3, 3].set(4.5 * qv2)
+        M = M.at[4, 1, 3].set(1.5 * vartheta2).at[4, 3, 1].set(1.5 * vartheta2)
+        M = M.at[4, 1, 4].set(4.0 * qv).at[4, 4, 1].set(4.0 * qv)
+        M = M.at[4, 2, 3].set(6.0 * qv).at[4, 3, 2].set(6.0 * qv)
+        M = M.at[4, 2, 4].set(4.0 * qv2).at[4, 4, 2].set(4.0 * qv2)
+
+    L0 = jnp.zeros((n, n))
+    L1 = jnp.zeros((n, n))
+    L0 = L0.at[0, 1].set(kappa0).at[0, 2].set(qv2)
+    L1 = L1.at[0, 1].set(-q2 * apb)
+    L0 = L0.at[1, 1].set(-kappa1).at[1, 2].set(2.0 * (kappa0 + qv))
+    L1 = L1.at[1, 1].set(-2.0 * q * apb).at[1, 2].set(-2.0 * q2 * apb)
+    L0 = L0.at[2, 1].set(-kappa2).at[2, 2].set(vartheta2 - 2.0 * kappa1)
+    L1 = L1.at[2, 1].set(-apb).at[2, 2].set(-4.0 * q * apb)
+    if n == 5:
+        L0 = L0.at[1, 3].set(3.0 * qv2)
+        L0 = L0.at[2, 3].set(3.0 * (kappa0 + 2.0 * qv)).at[2, 4].set(6.0 * qv2)
+        L1 = L1.at[2, 3].set(-3.0 * q2 * apb)
+        L0 = L0.at[3, 2].set(-2.0 * kappa2).at[3, 3].set(3.0 * (vartheta2 - kappa1))
+        L0 = L0.at[3, 4].set(4.0 * (3.0 * qv + kappa0))
+        L1 = L1.at[3, 2].set(-2.0 * apb).at[3, 3].set(-6.0 * q * apb)
+        L1 = L1.at[3, 4].set(-4.0 * q2 * apb)
+        L0 = L0.at[4, 3].set(-3.0 * kappa2).at[4, 4].set(2.0 * (3.0 * vartheta2 - 2.0 * kappa1))
+        L1 = L1.at[4, 3].set(-3.0 * apb).at[4, 4].set(-8.0 * q * apb)
+
+    L = Cplx(L0[None, :, :] + phi.re[:, None, None] * L1[None, :, :],
+             phi.im[:, None, None] * L1[None, :, :])
+    # H[k] = h_k(q) * phi * (2 b + a.a phi), h = [q^2/2, q, 1/2, 0, 0]
+    h = jnp.zeros(n)
+    h = h.at[0].set(0.5 * q2).at[1].set(q).at[2].set(0.5)
+    inner = phi * apa + 2.0 * b      # (N,)
+    hphi = phi * inner               # phi*(2b + a.a phi)
+    H = Cplx(h[None, :] * hphi.re[:, None], h[None, :] * hphi.im[:, None])
+    return M, L, H
+
+
+def _ode_rhs(A: Cplx, M: Array, L: Cplx, H: Cplx) -> Cplx:
+    """dA/dtau = A' M A + L A + H over the (N, n) panel (M real symmetric)."""
+    Ma = jnp.einsum('kij,nj->nki', M, A.re)
+    Mb = jnp.einsum('kij,nj->nki', M, A.im)
+    quad_re = jnp.einsum('nki,ni->nk', Ma, A.re) - jnp.einsum('nki,ni->nk', Mb, A.im)
+    quad_im = 2.0 * jnp.einsum('nki,ni->nk', Ma, A.im)
+    lin_re = jnp.einsum('nij,nj->ni', L.re, A.re) - jnp.einsum('nij,nj->ni', L.im, A.im)
+    lin_im = jnp.einsum('nij,nj->ni', L.re, A.im) + jnp.einsum('nij,nj->ni', L.im, A.re)
+    return Cplx(quad_re + lin_re + H.re, quad_im + lin_im + H.im)
+
+
+def solve_a_ode_grid(phi_grid: Cplx,
+                     ttm: float,
+                     q: float,
+                     times: np.ndarray,
+                     a0: np.ndarray,
+                     a1: np.ndarray,
+                     kappa0: np.ndarray,
+                     kappa1: np.ndarray,
+                     kappa2: np.ndarray,
+                     beta: np.ndarray,
+                     volvol: np.ndarray,
+                     b: Optional[np.ndarray] = None,
+                     a_t0: Optional[Cplx] = None,
+                     expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                     underlying_type: UnderlyingType = UnderlyingType.SWAP,
+                     year_steps: int = 360
+                     ) -> Cplx:
+    """batched RK4 for the time-dependent Riccati system over the Phi grid."""
+    n = get_expansion_n(expansion_order)
+    n_grid = phi_grid.shape[0]
+    if a_t0 is None:
+        a_t0 = Cplx(jnp.zeros((n_grid, n)), jnp.zeros((n_grid, n)))
+    if b is None:
+        b = np.zeros_like(np.asarray(times, dtype=float))
+
+    series = _scalar_series(times, a0, a1, kappa0, kappa1, kappa2, beta,
+                            volvol, b, underlying_type)          # (7, T)
+    nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
+    dt = float(ttm) / nb_steps
+    # stage times in tau; coefficients evaluated at t = ttm - tau
+    tau0 = np.arange(nb_steps) * dt
+    stage_taus = np.stack([tau0, tau0 + 0.5 * dt, tau0 + dt], axis=1)  # (S, 3)
+    t_eval = float(ttm) - stage_taus
+    coeffs = np.stack([np.interp(t_eval, np.asarray(times, dtype=float), series[i])
+                       for i in range(7)], axis=0)               # (7, S, 3)
+    coeffs = jnp.asarray(np.moveaxis(coeffs, 1, 0))              # (S, 7, 3)
+
+    def rk4_step(carry, c):
+        a_re, a_im = carry
+        A = Cplx(a_re, a_im)
+        M0, L0_, H0 = _rates_ode_terms(q, c[:, 0], phi_grid, n)
+        Mh, Lh, Hh = _rates_ode_terms(q, c[:, 1], phi_grid, n)
+        M1, L1_, H1 = _rates_ode_terms(q, c[:, 2], phi_grid, n)
+        k1 = _ode_rhs(A, M0, L0_, H0)
+        k2 = _ode_rhs(A + k1 * (0.5 * dt), Mh, Lh, Hh)
+        k3 = _ode_rhs(A + k2 * (0.5 * dt), Mh, Lh, Hh)
+        k4 = _ode_rhs(A + k3 * dt, M1, L1_, H1)
+        A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
+        return (A1.re, A1.im), None
+
+    (a_re, a_im), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im), coeffs)
+    return Cplx(a_re, a_im)
+
+
+def compute_logsv_a_mgf_grid(ttm: float,
+                             phi_grid: Cplx,
+                             sigma0: float,
+                             q: float,
+                             times: np.ndarray,
+                             a0: np.ndarray,
+                             a1: np.ndarray,
+                             kappa0: np.ndarray,
+                             kappa1: np.ndarray,
+                             kappa2: np.ndarray,
+                             beta: np.ndarray,
+                             volvol: np.ndarray,
+                             b: Optional[np.ndarray] = None,
+                             expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                             underlying_type: UnderlyingType = UnderlyingType.SWAP,
+                             a_t0: Optional[Cplx] = None,
+                             **kwargs
+                             ) -> Tuple[Cplx, Cplx]:
+    """(A(tau) panel, log MGF) for the rates model
+    (rate_affine_expansion.py:40-83)."""
+    a_t1 = solve_a_ode_grid(phi_grid=phi_grid, ttm=ttm, q=q, times=times,
+                            a0=a0, a1=a1, kappa0=kappa0, kappa1=kappa1,
+                            kappa2=kappa2, beta=beta, volvol=volvol, b=b,
+                            a_t0=a_t0, expansion_order=expansion_order,
+                            underlying_type=underlying_type)
+    y = sigma0 - q
+    if expansion_order == ExpansionOrder.FIRST:
+        ys = jnp.array([1.0, y, y * y])
+    elif expansion_order == ExpansionOrder.SECOND:
+        y2 = y * y
+        ys = jnp.array([1.0, y, y2, y2 * y, y2 * y2])
+    else:
+        raise NotImplementedError
+    log_mgf = Cplx(a_t1.re @ ys, a_t1.im @ ys)
+    return a_t1, log_mgf

@@ -1,0 +1,570 @@
+"""
+Swaption and rate-futures pricers for the factor HJM model with a LogSV driver
+(Sepp & Rakhmonov 2025, RDR 28:12).
+
+Rebuild of /root/reference/stochvolmodels/pricers/factor_hjm/rate_logsv_pricer.py:
+the DE-quadrature chain pricer (swaptions on the normal-moneyness kernel
+1/(pi phi^2), futures on the log-shifted kernel 1/(pi phi (phi+1)) with the
+convexity-adjustment ODE of Theorem 3.3), the ModelPricer classes, and the
+joint factor/vol Monte Carlo under risk-neutral / annuity / T-forward
+measures as a ``lax.scan`` over precomputed per-step coefficient panels.
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.integrate import solve_ivp
+
+from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import de_pricer
+from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+    UnderlyingType,
+    compute_logsv_a_mgf_grid,
+)
+from stochvolmodels_tpu.models.factor_hjm.rate_factor_basis import NelsonSiegel
+from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
+    MultiFactRateLogSvParams,
+    RateLogSvParams,
+)
+from stochvolmodels_tpu.models.logsv.affine import ExpansionOrder
+from stochvolmodels_tpu.models.model_pricer import ModelPricer
+from stochvolmodels_tpu.ops.bachelier import infer_normal_ivols_from_slice_prices
+from stochvolmodels_tpu.ops.random import key_from_seed
+from stochvolmodels_tpu.utils.cplx import Cplx
+from stochvolmodels_tpu.utils.funcs import set_time_grid
+from stochvolmodels_tpu.utils.rate_core import (
+    bracket,
+    get_default_swap_term_structure,
+    get_futures_start_and_pmt,
+)
+
+Array = jnp.ndarray
+
+
+class Measure(Enum):
+    """pricing measure: risk-neutral, annuity (Q^A), or T-forward."""
+    RISK_NEUTRAL = 1
+    ANNUITY = 2
+    FORWARD = 3
+
+
+class FutSettleType(Enum):
+    """settlement convention of the rate futures contract."""
+    EURODOLLAR = 1
+    SOFR = 2
+
+
+# ----------------------------------------------------------------------------
+# futures convexity adjustment (Theorem 3.3 / 3.5)
+# ----------------------------------------------------------------------------
+
+def conv_adj_rhs_MF(tau: float,
+                    state0: np.ndarray,
+                    ttm: float,
+                    params: MultiFactRateLogSvParams,
+                    Delta: float,
+                    settlement_type: FutSettleType,
+                    expansion_order: ExpansionOrder
+                    ) -> np.ndarray:
+    """RHS of the multi-factor convexity-adjustment ODE
+    (rate_logsv_pricer.py:58-146)."""
+    q = params.theta if params.q is None else params.q
+    ts = params.beta.ts
+    sz_X = params.basis.nb_factors
+    sz_Y = params.basis.nb_aux_factors
+    D_X = params.basis.get_generating_matrix()
+    D_Y = params.basis.get_aux_generating_matrix()
+
+    if expansion_order == ExpansionOrder.FIRST:
+        if settlement_type == FutSettleType.SOFR:
+            raise NotImplementedError
+    elif expansion_order != ExpansionOrder.ZERO:
+        raise NotImplementedError
+
+    B1, B2 = state0[:sz_X], state0[sz_X:sz_X + sz_Y]
+    if expansion_order == ExpansionOrder.FIRST:
+        h1, h2, h0 = state0[-3], state0[-2], state0[-1]
+    else:
+        h1, h0 = state0[-2], state0[-1]
+        h2 = 0.0
+
+    idx_t = bracket(ts[1:], ttm - tau, True)
+    kappa0 = params.kappa1 * (params.theta - q) + params.kappa2 * q * (params.theta - q)
+    kappa1 = params.kappa1 - params.kappa2 * params.theta + 2.0 * params.kappa2 * q
+    kappa2 = params.kappa2
+    beta_t = params.beta.xs[idx_t]
+    volvol_t = params.volvol.xs[idx_t]
+    vartheta_sq = np.linalg.norm(beta_t) ** 2 + volvol_t ** 2
+    C_t, M_t, Omega_t = params.C[idx_t], params.M[idx_t], params.Omega[idx_t]
+    B0 = params.basis.get_basis(0.0)
+    B0_ext = params.basis.get_aux_basis(0.0)
+
+    B1_M_B1 = B1 @ M_t @ B1
+    B1_C_beta = B1 @ C_t @ beta_t
+    B2_Omega = B2 @ Omega_t
+
+    rhs = np.zeros_like(state0)
+    rhs[:sz_X] = B1 @ D_X
+    rhs[sz_X:sz_X + sz_Y] = B2 @ D_Y
+    if settlement_type == FutSettleType.SOFR:
+        if tau < Delta:
+            rhs[:sz_X] += B0
+            rhs[sz_X:sz_X + sz_Y] += B0_ext
+
+    if expansion_order == ExpansionOrder.FIRST:
+        rhs[-3] = (2.0 * q * (0.5 * B1_M_B1 + B2_Omega) + 2.0 * kappa0 * h2
+                   - kappa1 * h1 + vartheta_sq * (q * h1 * h1 + 2.0 * q * h2
+                                                  + 2.0 * q * q * h1 * h2)
+                   + 2.0 * q * (h1 + q * h2) * B1_C_beta)
+        rhs[-2] = ((0.5 * B1_M_B1 + B2_Omega) - 2.0 * kappa1 * h2 - kappa2 * h1
+                   + vartheta_sq * (0.5 * h1 * h1 + h2 + 4.0 * q * h1 * h2
+                                    + 2.0 * q * q * h2 * h2)
+                   + (h1 + 4.0 * q * h2) * B1_C_beta)
+        rhs[-1] = (q * q * (0.5 * B1_M_B1 + B2_Omega) + kappa0 * h1
+                   + vartheta_sq * q * q * (0.5 * h1 * h1 + h2)
+                   + q * q * h1 * B1_C_beta)
+    else:
+        core = 0.5 * B1_M_B1 + B2_Omega + h1 * B1_C_beta + 0.5 * vartheta_sq * h1 * h1
+        rhs[-2] = 2.0 * q * core - kappa1 * h1
+        rhs[-1] = q * q * core + kappa0 * h1
+    return rhs
+
+
+def futures_conv_adj(t_start: float,
+                     basis_type: str,
+                     params: MultiFactRateLogSvParams,
+                     t0: float,
+                     Delta: float,
+                     settlement_type: FutSettleType,
+                     expansion_order: ExpansionOrder,
+                     dense_output: bool = False,
+                     t_grid: Optional[np.ndarray] = None) -> Tuple[np.ndarray, ...]:
+    """futures convexity adjustment, analytic form of Theorem 3.5
+    (rate_logsv_pricer.py:149-227)."""
+    assert basis_type == "NELSON-SIEGEL"
+    bond_coeffs = params.basis.bond_coeffs(Delta)
+    vol_init = np.zeros(3 if expansion_order == ExpansionOrder.FIRST else 2)
+    if settlement_type == FutSettleType.EURODOLLAR:
+        cond_init = np.concatenate((bond_coeffs[0], bond_coeffs[1], vol_init))
+    elif settlement_type == FutSettleType.SOFR:
+        cond_init = np.concatenate((np.zeros_like(bond_coeffs[0]),
+                                    np.zeros_like(bond_coeffs[1]), vol_init))
+    else:
+        raise NotImplementedError
+
+    assert t0 <= t_start
+    tau_S = t_start - t0
+    tau_E = tau_S + Delta
+    t_eval = (np.maximum(t_start - t0, 1e-4)
+              if settlement_type == FutSettleType.EURODOLLAR
+              else np.maximum(t_start + Delta - t0, 1e-4))
+    if t_grid is not None:
+        idx_ttm = np.where(t_grid == t_eval)[0][0]
+        t_grid = t_grid[:idx_ttm + 1]
+
+    sol_fut = solve_ivp(fun=conv_adj_rhs_MF, y0=cond_init,
+                        args=(t_start, params, Delta, settlement_type, expansion_order),
+                        t_span=(0.0, t_eval), dense_output=dense_output,
+                        t_eval=t_grid, max_step=0.001)
+    sol = sol_fut.y[:, -1]
+    sz_X = params.basis.nb_factors
+    sz_Y = params.basis.nb_aux_factors
+    if expansion_order == ExpansionOrder.FIRST:
+        b1, b2, h1, h2, h0 = sol[:sz_X], sol[sz_X:sz_X + sz_Y], sol[-3], sol[-2], sol[-1]
+    else:
+        b1, b2, h1, h0 = sol[:sz_X], sol[sz_X:sz_X + sz_Y], sol[-2], sol[-1]
+        h2 = 0.0
+    b1 = b1 - (params.basis.bond_coeffs(tau_E)[0] - params.basis.bond_coeffs(tau_S)[0])
+    b2 = b2 - (params.basis.bond_coeffs(tau_E)[1] - params.basis.bond_coeffs(tau_S)[1])
+
+    if dense_output:
+        assert t_grid is not None
+        sol = sol_fut.sol(t_start - t_grid)
+        b1 = sol.T[:, :sz_X]
+        b2 = sol.T[:, sz_X:sz_X + sz_Y]
+        h1 = sol.T[:, -2]
+        h0 = sol.T[:, -1]
+        if expansion_order == ExpansionOrder.FIRST:
+            h2 = sol.T[:, -3]
+        else:
+            h2 = np.zeros_like(t_grid)
+    return b1, b2, h1, h2, h0
+
+
+def calc_futures_rate(ccy: str,
+                      basis_type: str,
+                      params: MultiFactRateLogSvParams,
+                      x0: np.ndarray,
+                      y0: np.ndarray,
+                      sigma0: np.ndarray,
+                      t0: float,
+                      t_start: float,
+                      t_end: float,
+                      Delta: float,
+                      settlement_type: FutSettleType,
+                      expansion_order: ExpansionOrder) -> Tuple[np.ndarray, ...]:
+    """futures rate with convexity (Eqs. 44-46; rate_logsv_pricer.py:230-271)."""
+    assert basis_type == "NELSON-SIEGEL"
+    assert 0 <= t0 <= t_start
+    q = params.theta if params.q is None else params.q
+    v0 = sigma0[:, 0] - q
+    b1, b2, h1, h2, h0 = futures_conv_adj(
+        t_start=t_start, basis_type=basis_type, params=params, t0=t0,
+        Delta=Delta, settlement_type=settlement_type,
+        expansion_order=expansion_order)
+    c_tau = np.exp(b1 @ np.transpose(x0) + b2 @ np.transpose(y0)
+                   + h0 + h1 * v0 + h2 * v0 * v0)
+    P_t_Ts_Te = (params.basis.bond(t=t0, T=t_end, x=x0, y=y0, ccy=ccy, m=0)
+                 / params.basis.bond(t=t0, T=t_start, x=x0, y=y0, ccy=ccy, m=0))
+    x00 = np.zeros(params.basis.get_nb_factors())
+    y00 = np.zeros(params.basis.get_nb_aux_factors())
+    P_0_Ts_Te = (params.basis.bond(t=t0, T=t_end, x=x00, y=y00, ccy=ccy, m=0)[0]
+                 / params.basis.bond(t=t0, T=t_start, x=x00, y=y00, ccy=ccy, m=0)[0])
+    futures_analyt_ae1 = 1.0 / Delta * (1.0 / P_t_Ts_Te * c_tau - 1.0)
+    return futures_analyt_ae1, c_tau, P_t_Ts_Te, P_0_Ts_Te
+
+
+# ----------------------------------------------------------------------------
+# DE-quadrature chain pricer
+# ----------------------------------------------------------------------------
+
+def logsv_chain_de_pricer(params: MultiFactRateLogSvParams,
+                          t_grid: np.ndarray,
+                          ttms: np.ndarray,
+                          forwards,
+                          strikes_ttms,
+                          optiontypes_ttms,
+                          underlying_type: UnderlyingType = UnderlyingType.SWAP,
+                          expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                          x0: Optional[np.ndarray] = None,
+                          y0: Optional[np.ndarray] = None,
+                          **kwargs) -> Tuple[list, list]:
+    """price swaption / futures-option slices by tanh-sinh quadrature of the
+    inversion integral (rate_logsv_pricer.py:274-437)."""
+    settlement_type = kwargs.get('settlement_type', FutSettleType.EURODOLLAR)
+    model_prices_tenors, model_ivs_tenors = [], []
+    t_grid0 = t_grid
+    if underlying_type == UnderlyingType.SWAP:
+        assert params.basis.key_terms.size == len(forwards)
+        assert ttms.size == 1 and len(optiontypes_ttms) == 1
+        ttms_ = np.ones_like(params.basis.key_terms) * ttms[0]
+        optiontypes_ttms_ = [optiontypes_ttms[0] for _ in params.basis.key_terms]
+        rng_ttm = params.basis.key_terms
+    elif underlying_type == UnderlyingType.FUTURES:
+        assert len(forwards) == 1
+        assert ttms.size == 1 and len(optiontypes_ttms) == 1
+        ttms_ = ttms
+        optiontypes_ttms_ = optiontypes_ttms
+        rng_ttm = ['FUTURES_DUMMY_TENOR']
+    else:
+        raise NotImplementedError
+
+    for idx_tenor, _ in enumerate(rng_ttm):
+        model_prices_ttms, model_ivs_ttms = [], []
+        tenor = rng_ttm[idx_tenor] if underlying_type == UnderlyingType.SWAP else np.nan
+        for ttm, forward, strikes_ttm, optiontypes_ttm in zip(
+                ttms_, forwards[idx_tenor], strikes_ttms[idx_tenor],
+                optiontypes_ttms_):
+            if underlying_type == UnderlyingType.SWAP:
+                a, kappa0, kappa1, kappa2, beta, volvol, _ = params.transform_QA_params(
+                    expiry=ttm, t_grid=t_grid0, tenor=tenor, x0=x0, y0=y0)
+                a0 = a
+                a1 = np.zeros_like(kappa0)
+                b = np.zeros_like(kappa0)
+                frac = np.nan
+            else:
+                tenor = 0.25
+                start, end = get_futures_start_and_pmt(t0=ttm, lag=0.0,
+                                                       libor_tenor=tenor)
+                frac = end - start
+                a, eta, kappa0, kappa1, kappa2, beta, volvol = params.transform_QT_params(
+                    expiry=ttm, t_grid=t_grid0, t_start=start, t_end=end)
+                _, _, h1, _, _ = futures_conv_adj(
+                    t_start=start, basis_type="NELSON-SIEGEL", params=params,
+                    t0=0.0, Delta=tenor, expansion_order=ExpansionOrder.ZERO,
+                    dense_output=True, t_grid=t_grid0[:np.where(t_grid0 == ttm)[0][0] + 1],
+                    settlement_type=settlement_type)
+                a0 = a + np.einsum('i,ij->ij', h1, beta)
+                a1 = np.multiply(h1, volvol)
+                b = (np.einsum('ij,ij->i', a0, eta)
+                     + 0.5 * np.einsum('ij,ij->i', a0, a0))
+            itemindex = np.where(t_grid0 == ttm)[0][0]
+            times = t_grid0[:itemindex + 1]
+
+            q_eff = params.theta if params.q is None else params.q
+
+            def ff(p: np.ndarray) -> np.ndarray:
+                phi_grid = Cplx(jnp.full(p.shape, -0.5), jnp.asarray(p))
+                _, log_mgf = compute_logsv_a_mgf_grid(
+                    ttm=float(ttm), phi_grid=phi_grid, sigma0=params.sigma0,
+                    q=q_eff, times=times, a0=a0, a1=a1, kappa0=kappa0,
+                    kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+                    b=b, underlying_type=underlying_type,
+                    expansion_order=expansion_order)
+                phi = Cplx(jnp.full(p.shape, -0.5), jnp.asarray(p))
+                if underlying_type == UnderlyingType.SWAP:
+                    moneyness = jnp.asarray(strikes_ttm - forward)
+                    p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)   # 1/(pi phi^2)
+                    z = Cplx(moneyness[None, :] * phi.re[:, None] + log_mgf.re[:, None],
+                             moneyness[None, :] * phi.im[:, None] + log_mgf.im[:, None])
+                    e = jnp.exp(z.re)
+                    integrand = e * (p_payoff.re[:, None] * jnp.cos(z.im)
+                                     - p_payoff.im[:, None] * jnp.sin(z.im))
+                else:
+                    moneyness = jnp.log((jnp.asarray(strikes_ttm) + 1.0 / frac)
+                                        / (forward + 1.0 / frac))
+                    p_payoff = (phi * (phi + 1.0)).__rtruediv__(1.0 / np.pi)
+                    z = Cplx(moneyness[None, :] * phi.re[:, None] + log_mgf.re[:, None],
+                             moneyness[None, :] * phi.im[:, None] + log_mgf.im[:, None])
+                    e = jnp.exp(z.re)
+                    scale = -(jnp.asarray(strikes_ttm) + 1.0 / frac)
+                    integrand = scale[None, :] * e * (
+                        p_payoff.re[:, None] * jnp.cos(z.im)
+                        - p_payoff.im[:, None] * jnp.sin(z.im))
+                return np.asarray(integrand)
+
+            if underlying_type == UnderlyingType.SWAP:
+                def ff_transf(model_prices: np.ndarray):
+                    normal_ivols = infer_normal_ivols_from_slice_prices(
+                        ttm=ttm, forward=forward, strikes=strikes_ttm,
+                        model_prices=np.asarray(model_prices),
+                        optiontypes=np.repeat('C', strikes_ttm.size),
+                        discfactor=1.0)
+                    return model_prices, np.asarray(normal_ivols)
+            else:
+                def ff_transf(capped_prices: np.ndarray):
+                    call_prices = forward + 1.0 / frac - np.asarray(capped_prices)
+                    normal_ivols = infer_normal_ivols_from_slice_prices(
+                        ttm=ttm, forward=forward, strikes=strikes_ttm,
+                        model_prices=call_prices,
+                        optiontypes=np.repeat('C', strikes_ttm.size),
+                        discfactor=1.0)
+                    return call_prices, np.asarray(normal_ivols)
+
+            model_prices_ttm, model_ivs_ttm = de_pricer(ff, ff_transf)
+            model_prices_ttms.append(np.asarray(model_prices_ttm))
+            model_ivs_ttms.append(np.asarray(model_ivs_ttm))
+        model_prices_tenors.append(model_prices_ttms)
+        model_ivs_tenors.append(model_ivs_ttms)
+    return model_prices_tenors, model_ivs_tenors
+
+
+# ----------------------------------------------------------------------------
+# pricer classes
+# ----------------------------------------------------------------------------
+
+class RateLogSVPricer(ModelPricer):
+    """swaption pricer (Corollary 4.2 on the Theorem 6.1 expansion)."""
+
+    def price_chain(self, option_chain, params, is_spot_measure: bool = True,
+                    **kwargs) -> list:
+        t_grid = kwargs['t_grid']
+        idxs = kwargs['idxs']
+        ttms = np.array(option_chain.ttms[idxs])
+        forwards = [option_chain.forwards[i][idxs] for i, _ in enumerate(option_chain.tenors)]
+        strikes_ttms = [option_chain.strikes_ttms[i][idxs] for i, _ in enumerate(option_chain.tenors)]
+        optiontypes_ttms = option_chain.optiontypes_ttms[idxs]
+        return logsv_chain_de_pricer(params=params, t_grid=t_grid, ttms=ttms,
+                                     forwards=forwards, strikes_ttms=strikes_ttms,
+                                     optiontypes_ttms=optiontypes_ttms,
+                                     expansion_order=ExpansionOrder.FIRST)[1]
+
+    def model_mc_price_chain(self, option_chain, params, nb_path: int = 100000,
+                             **kwargs):
+        raise NotImplementedError("use factor_hjm_pricer.calc_mc_vols")
+
+
+class RateFutLogSVPricer(ModelPricer):
+    """pricer for rate futures and options on rate futures (Sec. 4.2)."""
+
+    def price_chain(self, option_chain, params, is_spot_measure: bool = True,
+                    **kwargs) -> list:
+        t_grid = kwargs['t_grid']
+        idxs = kwargs['idxs']
+        ttms = np.array(option_chain.ttms[idxs])
+        forwards = [option_chain.forwards[idxs]]
+        strikes_ttms = [option_chain.strikes_ttms[idxs]]
+        optiontypes_ttms = [option_chain.optiontypes_ttms[0]]
+        return logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=ttms, forwards=forwards,
+            strikes_ttms=strikes_ttms, optiontypes_ttms=optiontypes_ttms,
+            underlying_type=UnderlyingType.FUTURES,
+            expansion_order=kwargs.get('expansion_order', ExpansionOrder.FIRST),
+            x0=kwargs.get('x0'), y0=kwargs.get('y0'))[1]
+
+    def model_mc_price_chain(self, option_chain, params, nb_path: int = 100000,
+                             **kwargs):
+        raise NotImplementedError
+
+    @classmethod
+    def populate_betas(cls, beta: float, basis: NelsonSiegel) -> np.ndarray:
+        """per-factor volatility betas from a scalar (rate_logsv_pricer.py:549-557)."""
+        if basis.get_nb_factors() == 3:
+            return np.array([beta, -0.5 * beta, 0.0])
+        if basis.get_nb_factors() == 1:
+            return np.array([beta])
+        raise NotImplementedError
+
+
+# ----------------------------------------------------------------------------
+# multi-factor Monte Carlo (Eq. 124 scheme) under lax.scan
+# ----------------------------------------------------------------------------
+
+def make_mc_array(x: np.ndarray, nb_path: int) -> np.ndarray:
+    """broadcast an initial state vector to a (path, state) panel."""
+    return np.tile(np.asarray(x, dtype=float), (nb_path, 1))
+
+
+def simulate_logsv_MF(ttms: np.ndarray,
+                      x0: np.ndarray,
+                      y0: np.ndarray,
+                      I0: np.ndarray,
+                      sigma0: np.ndarray,
+                      theta: float,
+                      kappa1: float,
+                      kappa2: float,
+                      ts: np.ndarray,
+                      A: np.ndarray,
+                      R: np.ndarray,
+                      C: np.ndarray,
+                      Omega: np.ndarray,
+                      betaxs: np.ndarray,
+                      volvolxs: np.ndarray,
+                      basis: NelsonSiegel,
+                      ts_sw: Optional[np.ndarray],
+                      T_fwd: Optional[float],
+                      ccy: str,
+                      measure_type: Measure = Measure.RISK_NEUTRAL,
+                      nb_path: int = 100000,
+                      seed: Optional[int] = None,
+                      year_days: int = 360,
+                      **kwargs
+                      ) -> Tuple[list, list, list, list]:
+    """joint Euler of (X, Y, I, ln sigma) under the selected measure
+    (rate_logsv_pricer.py:864-1037), as a lax.scan over per-step coefficient
+    panels precomputed on host."""
+    ttm = float(ttms[-1])
+    nb_factors = basis.get_nb_factors()
+    nb_aux = basis.get_nb_aux_factors()
+    if x0.ndim == 1:
+        x0 = make_mc_array(x0, nb_path)
+    if y0.ndim == 1:
+        y0 = make_mc_array(y0, nb_path)
+    if I0.shape[0] == 1:
+        I0 = np.zeros(nb_path)
+    if sigma0.ndim == 2:
+        sigma0 = sigma0[:, 0]
+    if sigma0.shape[0] == 1:
+        sigma0 = sigma0 * np.ones(nb_path)
+
+    nb_steps, dt, grid_t = set_time_grid(ttm=ttm, nb_steps_per_year=year_days)
+    sdt = float(np.sqrt(dt))
+    key = key_from_seed(seed if seed is not None else 16)
+
+    # per-step coefficient panels
+    idx_ts = np.array([bracket(ts[1:], float(t), True) for t in grid_t[:nb_steps]])
+    beta_steps = jnp.asarray(betaxs[idx_ts])           # (S, d)
+    volvol_steps = jnp.asarray(volvolxs[idx_ts])       # (S,)
+    C_steps = jnp.asarray(C[idx_ts])                   # (S, d, d)
+    Omega_steps = jnp.asarray(Omega[idx_ts])           # (S, m)
+    vartheta2_steps = jnp.einsum('sd,sd->s', beta_steps, beta_steps) + volvol_steps ** 2
+
+    D_X = jnp.asarray(basis.get_generating_matrix())
+    D_Y = jnp.asarray(basis.get_aux_generating_matrix())
+    B0_X = jnp.asarray(basis.get_basis(0.0))
+    B0_Y = jnp.asarray(basis.get_aux_basis(0.0))
+
+    # measure-dependent precomputations
+    if measure_type == Measure.ANNUITY:
+        assert ts_sw is not None
+        from stochvolmodels_tpu.utils.rate_core import df_fast
+        n_pmt = ts_sw.size - 1
+        dcfs = jnp.asarray(ts_sw[1:] - ts_sw[:-1])
+        BPX_pmt = np.zeros((nb_steps, n_pmt, nb_factors))
+        BPY_pmt = np.zeros((nb_steps, n_pmt, nb_aux))
+        df_ratio = np.zeros((nb_steps, n_pmt))
+        for s, t in enumerate(grid_t[:nb_steps]):
+            for i in range(1, ts_sw.size):
+                bx, by = basis.bond_coeffs(ts_sw[i] - t)
+                BPX_pmt[s, i - 1] = bx
+                BPY_pmt[s, i - 1] = by
+                df_ratio[s, i - 1] = df_fast(ts_sw[i], ccy) / df_fast(t, ccy)
+        BPX_pmt, BPY_pmt, df_ratio = map(jnp.asarray, (BPX_pmt, BPY_pmt, df_ratio))
+    elif measure_type == Measure.FORWARD:
+        assert T_fwd is not None
+        BPX_fwd = np.zeros((nb_steps, nb_factors))
+        for s, t in enumerate(grid_t[:nb_steps]):
+            BPX_fwd[s] = basis.bond_coeffs(T_fwd - t)[0]
+        BPX_fwd = jnp.asarray(BPX_fwd)
+
+    def step(carry, inp):
+        x, y, I, log_vol = carry
+        step_idx, beta_t, volvol_t, C_t, Omega_t, vartheta2 = inp[:6]
+        k = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+        k0, k1 = jax.random.split(k)
+        w0 = jax.random.normal(k0, (nb_path, nb_factors)) * sdt
+        w1 = jax.random.normal(k1, (nb_path,)) * sdt
+        sigma = jnp.exp(log_vol)
+        sigma2 = sigma * sigma
+
+        if measure_type == Measure.ANNUITY:
+            BPX_t, BPY_t, dfr_t = inp[6], inp[7], inp[8]
+            bonds = dfr_t[None, :] * jnp.exp(-jnp.einsum('pd,id->pi', x, BPX_t)
+                                             - jnp.einsum('pm,im->pi', y, BPY_t))
+            ann0 = jnp.einsum('i,pi->p', dcfs, bonds)
+            ann1 = -jnp.einsum('i,pi,id->pd', dcfs, bonds, BPX_t)
+            d_loga_dx = ann1 / ann0[:, None]
+            adj_x_drift = jnp.einsum('pd,ed->pe', d_loga_dx, C_t @ C_t.T) * sigma2[:, None]
+            adj_vol_drift = sigma * (d_loga_dx @ (C_t @ beta_t))
+        elif measure_type == Measure.FORWARD:
+            BPX_t = inp[6]
+            CxCxB_P = (C_t @ C_t.T) @ BPX_t
+            adj_x_drift = -CxCxB_P[None, :] * sigma2[:, None]
+            adj_vol_drift = -sigma * (BPX_t @ C_t @ beta_t)
+        else:
+            adj_x_drift = 0.0
+            adj_vol_drift = 0.0
+
+        I = I + dt * (x @ B0_X + y @ B0_Y)
+        y = y + dt * (y @ D_Y.T + Omega_t[None, :] * sigma2[:, None])
+        x = x + dt * x @ D_X.T + (w0 @ C_t.T) * sigma[:, None] + adj_x_drift * dt
+        log_vol = (log_vol + ((kappa1 * theta / sigma)
+                              - (kappa1 - kappa2 * theta + 0.5 * vartheta2)
+                              - kappa2 * sigma) * dt
+                   + w0 @ beta_t + volvol_t * w1 + adj_vol_drift * dt)
+        return (x, y, I, log_vol), None
+
+    # assemble scan inputs
+    base_inputs = [jnp.arange(nb_steps), beta_steps, volvol_steps, C_steps,
+                   Omega_steps, vartheta2_steps]
+    if measure_type == Measure.ANNUITY:
+        base_inputs += [BPX_pmt, BPY_pmt, df_ratio]
+    elif measure_type == Measure.FORWARD:
+        base_inputs += [BPX_fwd]
+    inputs = tuple(base_inputs)
+
+    idx_ttms = [int(np.where(np.isclose(grid_t, t))[0][0]) for t in ttms]
+    x0s, y0s, I0s, sigma0s = [], [], [], []
+    carry = (jnp.asarray(x0), jnp.asarray(y0), jnp.asarray(I0),
+             jnp.log(jnp.asarray(sigma0)))
+    if 0 in idx_ttms:
+        x0s.append(np.asarray(carry[0])), y0s.append(np.asarray(carry[1]))
+        I0s.append(np.asarray(carry[2])), sigma0s.append(np.exp(np.asarray(carry[3])))
+
+    # run the scan in segments ending at each requested maturity
+    seg_start = 0
+    scan_fn = jax.jit(lambda c, inp: jax.lax.scan(step, c, inp))
+    for idx_ttm in idx_ttms:
+        if idx_ttm == 0:
+            continue
+        seg = tuple(inp[seg_start:idx_ttm] for inp in inputs)
+        carry, _ = scan_fn(carry, seg)
+        seg_start = idx_ttm
+        x0s.append(np.asarray(carry[0]))
+        y0s.append(np.asarray(carry[1]))
+        I0s.append(np.asarray(carry[2]))
+        sigma0s.append(np.exp(np.asarray(carry[3]))[:, None])
+    return x0s, y0s, I0s, sigma0s

@@ -1,0 +1,197 @@
+"""
+Factor HJM rates suite: basis identities, measure transforms, DE-quadrature
+swaption pricing vs a deterministic-vol oracle, futures convexity, and MC.
+"""
+import numpy as np
+import pytest
+
+from stochvolmodels_tpu.models.factor_hjm.factor_hjm_pricer import calc_mc_vols
+from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import UnderlyingType
+from stochvolmodels_tpu.models.factor_hjm.rate_factor_basis import (
+    Cheyette1D,
+    CheyettePEND,
+    NelsonSiegel,
+)
+from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
+    MultiFactRateLogSvParams,
+    TermStructure,
+)
+from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+    FutSettleType,
+    futures_conv_adj,
+    logsv_chain_de_pricer,
+)
+from stochvolmodels_tpu.models.logsv.affine import ExpansionOrder
+from stochvolmodels_tpu.utils.rate_core import generate_ttms_grid
+
+
+KEY_TERMS = np.array([1.0, 5.0, 10.0])
+
+
+def make_basis() -> NelsonSiegel:
+    return NelsonSiegel(meanrev=0.25, key_terms=KEY_TERMS)
+
+
+def make_params(beta_scalar=0.0, volvol=1e-4, sigma0=1.0, theta=1.0,
+                kappa1=1.0, kappa2=1.0, vols=0.01) -> MultiFactRateLogSvParams:
+    ts = np.array([0.0, 1.0, 2.0, 5.0])
+    basis = make_basis()
+    beta_vec = np.array([beta_scalar, -0.5 * beta_scalar, 0.0])
+    return MultiFactRateLogSvParams(
+        sigma0=sigma0, theta=theta, kappa1=kappa1, kappa2=kappa2,
+        beta=TermStructure.create_multi_fact_from_vec(ts, beta_vec),
+        volvol=TermStructure.create_from_scalar(ts, volvol),
+        A=np.array([vols, vols, vols]), R=np.eye(3), basis=basis, ccy="USD")
+
+
+class TestBases:
+    def test_ns_bond_coeffs_integrate_basis(self):
+        # d B_P / d tau = B(tau)
+        basis = make_basis()
+        tau, eps = 2.0, 1e-6
+        numeric = (basis.bond_coeffs(tau + eps)[0] - basis.bond_coeffs(tau - eps)[0]) / (2 * eps)
+        np.testing.assert_allclose(numeric, basis.get_basis(tau), atol=1e-8)
+        numeric_aux = (basis.bond_coeffs(tau + eps)[1] - basis.bond_coeffs(tau - eps)[1]) / (2 * eps)
+        np.testing.assert_allclose(numeric_aux, basis.get_aux_basis(tau), atol=1e-8)
+
+    def test_ns_basis_generator(self):
+        # B(tau) solves B' = B D with the generating matrix
+        basis = make_basis()
+        tau, eps = 1.5, 1e-6
+        dB = (basis.get_basis(tau + eps) - basis.get_basis(tau - eps)) / (2 * eps)
+        np.testing.assert_allclose(dB, basis.get_basis(tau) @ basis.get_generating_matrix(),
+                                   atol=1e-8)
+        dBa = (basis.get_aux_basis(tau + eps) - basis.get_aux_basis(tau - eps)) / (2 * eps)
+        np.testing.assert_allclose(dBa, basis.get_aux_basis(tau) @ basis.get_aux_generating_matrix(),
+                                   atol=1e-7)
+
+    def test_cheyette1d_bond(self):
+        basis = Cheyette1D(meanrev=0.1)
+        b = basis.bond(0.0, 5.0, np.array([0.0]), np.array([0.0]), ccy="USD")
+        assert 0.5 < float(np.asarray(b).ravel()[0]) < 1.0
+
+    def test_pend_basis(self):
+        basis = CheyettePEND(mrv0=0.1, mrv_delta=0.2, key_terms=KEY_TERMS)
+        assert basis.get_aux_basis(0.5).size == basis.nb_aux_factors
+        M = np.eye(3) * 0.01
+        assert basis.calc_Omega(M).shape == (basis.nb_aux_factors,)
+
+    def test_swap_rate_positive(self):
+        basis = make_basis()
+        ts_sw = np.arange(1.0, 6.1, 1.0)
+        s0, s1 = basis.swap_rate(0.0, ts_sw, np.zeros(3), np.zeros(8), ccy="USD")
+        assert 0.0 < float(np.asarray(s0).ravel()[0]) < 0.2
+
+
+class TestMeasureTransforms:
+    def test_qa_transform_shapes(self):
+        params = make_params(beta_scalar=0.2, volvol=0.5)
+        expiry, tenor = 1.0, 5.0
+        t_grid = generate_ttms_grid(np.array([expiry]))
+        a, k0, k1, k2, beta, volvol, ts_sw = params.transform_QA_params(
+            expiry=expiry, tenor=tenor, t_grid=t_grid)
+        n = t_grid.size
+        assert a.shape == (n, 3) and k0.shape == (n,)
+        assert np.all(np.isfinite(a)) and np.all(np.isfinite(k2))
+        assert params.check_QA_kappa2(expiry=expiry, tenor=tenor)
+
+    def test_qt_transform_shapes(self):
+        params = make_params(beta_scalar=0.2, volvol=0.5)
+        expiry = 1.0
+        t_grid = generate_ttms_grid(np.array([expiry]))
+        out = params.transform_QT_params(expiry=expiry, t_start=expiry,
+                                         t_end=expiry + 0.25, t_grid=t_grid)
+        assert out[0].shape == (t_grid.size, 3)
+        assert params.check_QT_kappa2(t_start=expiry)
+
+
+class TestSwaptionPricing:
+    def test_deterministic_vol_oracle(self):
+        # beta = 0, volvol ~ 0, sigma0 = theta: the SV driver is frozen at 1,
+        # the swap rate is Gaussian, and the DE pricer must return the flat
+        # normal vol sqrt(int a.a dt / ttm) per tenor
+        params = make_params(beta_scalar=0.0, volvol=1e-4)
+        expiry = 1.0
+        t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+        prices, ivols = logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=np.array([expiry]),
+            forwards=[np.array([0.043]) for _ in KEY_TERMS],
+            strikes_ttms=[[np.array([0.035, 0.043, 0.05])] for _ in KEY_TERMS],
+            optiontypes_ttms=[np.repeat('C', 3)],
+            expansion_order=ExpansionOrder.FIRST)
+        for idx_tenor, tenor in enumerate(KEY_TERMS):
+            a, *_ = params.transform_QA_params(expiry=expiry, tenor=tenor,
+                                               t_grid=t_grid)
+            apa = np.einsum('td,td->t', a, a)
+            expected = np.sqrt(np.trapezoid(apa, t_grid) / expiry)
+            iv = np.asarray(ivols[idx_tenor][0])
+            np.testing.assert_allclose(iv, expected, rtol=2e-2)
+
+    @pytest.mark.slow
+    def test_sv_swaption_vs_mc(self):
+        # non-trivial SV params: DE analytic ivols vs MC within loose bands;
+        # forward = the model-consistent par swap rate
+        from stochvolmodels_tpu.utils.rate_core import get_default_swap_term_structure
+        params = make_params(beta_scalar=0.15, volvol=0.6, kappa1=2.0, kappa2=2.0)
+        expiry = 1.0
+        tenor = KEY_TERMS[0]
+        ts_sw = get_default_swap_term_structure(expiry, tenor)
+        f0 = float(np.asarray(params.basis.swap_rate(
+            0.0, ts_sw, np.zeros(3), np.zeros(8), ccy="USD")[0]).ravel()[0])
+        t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+        strikes = np.array([f0 - 0.008, f0, f0 + 0.008])
+        prices, ivols = logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=np.array([expiry]),
+            forwards=[np.array([f0]) for _ in KEY_TERMS],
+            strikes_ttms=[[strikes] for _ in KEY_TERMS],
+            optiontypes_ttms=[np.repeat('C', 3)],
+            expansion_order=ExpansionOrder.FIRST)
+        _, mc_vols, mc_up, mc_down = calc_mc_vols(
+            basis_type="NELSON-SIEGEL", params=params, ttm=expiry,
+            tenors=KEY_TERMS[:1], forwards=[np.array([f0])],
+            strikes_ttms=[[strikes]], optiontypes=np.repeat('C', 3),
+            is_annuity_measure=False, nb_path=50000, seed=42)
+        analytic = np.asarray(ivols[0][0]).ravel()
+        mc = np.asarray(mc_vols[0]).ravel()
+        # first-order expansion + frozen drift + MC error: ~10% relative band
+        np.testing.assert_allclose(analytic, mc, rtol=0.1)
+
+
+class TestFuturesConvexity:
+    def test_conv_adj_runs(self):
+        params = make_params(beta_scalar=0.1, volvol=0.3)
+        b1, b2, h1, h2, h0 = futures_conv_adj(
+            t_start=1.0, basis_type="NELSON-SIEGEL", params=params, t0=0.0,
+            Delta=0.25, settlement_type=FutSettleType.EURODOLLAR,
+            expansion_order=ExpansionOrder.ZERO)
+        assert np.all(np.isfinite(b1)) and np.all(np.isfinite(b2))
+        assert np.isfinite(h1) and np.isfinite(h0)
+
+    def test_futures_option_pricing(self):
+        params = make_params(beta_scalar=0.1, volvol=0.3)
+        expiry = 1.0
+        t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+        f0 = 0.045
+        strikes = np.array([0.04, 0.045, 0.05])
+        prices, ivols = logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=np.array([expiry]),
+            forwards=[np.array([f0])], strikes_ttms=[[strikes]],
+            optiontypes_ttms=[np.repeat('C', 3)],
+            underlying_type=UnderlyingType.FUTURES,
+            expansion_order=ExpansionOrder.FIRST)
+        iv = np.asarray(ivols[0][0])
+        assert np.all(np.isfinite(iv))
+        assert np.all((iv > 0.001) & (iv < 0.05))
+
+
+class TestTermStructure:
+    def test_pw_const(self):
+        ts = TermStructure(ts=np.array([0.0, 1.0, 2.0]), xs=np.array([0.1, 0.2]))
+        assert ts.pw_const(0.5) == 0.1
+        assert ts.pw_const(1.5) == 0.2
+        np.testing.assert_allclose(ts.interpolate(np.array([0.5, 1.5])), [0.1, 0.2])
+
+    def test_multifact(self):
+        ts = TermStructure.create_multi_fact_from_vec(
+            np.array([0.0, 1.0, 2.0]), np.array([0.1, 0.2, 0.3]))
+        assert ts.xs.shape == (2, 3)
