@@ -25,6 +25,18 @@ import numpy as np
 if not os.environ.get("SVMTPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: TPU compiles go through a remote helper in
+# this environment (~20-200s per program); cache them across processes
+if not os.environ.get("SVMTPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get("SVMTPU_COMPILE_CACHE_DIR",
+                                os.path.expanduser("~/.cache/svmtpu_jax"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
 
 class VariableType(Enum):
     """transform variable: log-return, quadratic variance, or instantaneous vol.

@@ -197,8 +197,126 @@ def solve_a_ode_grid(ttm: float,
         return (A1.re, A1.im), None
 
     (a_re, a_im), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im),
-                                   None, length=nb_steps)
+                                   None, length=nb_steps, unroll=4)
     return Cplx(a_re, a_im)
+
+
+# ----------------------------------------------------------------------------
+# reference-API compatibility wrappers (single-point entry points)
+# ----------------------------------------------------------------------------
+
+def _terms_np(theta, kappa1, kappa2, beta, volvol, phi, psi,
+              is_spot_measure=True,
+              expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+              vol_backbone_eta: float = 1.0):
+    """assembled numpy-complex (M, L, H) at one transform point."""
+    M, L0, L1, h = func_a_ode_quadratic_terms(
+        theta, kappa1, kappa2, beta, volvol, is_spot_measure=is_spot_measure,
+        expansion_order=expansion_order, vol_backbone_eta=vol_backbone_eta)
+    M, L0, L1, h = map(np.asarray, (M, L0, L1, h))
+    L = L0 + phi * L1
+    p = 1.0 if is_spot_measure else -1.0
+    H = h * (phi * (phi + p) - 2.0 * psi)
+    return M, L, H
+
+
+def func_rhs(t, A0, M, L, H):
+    """RHS of the coefficient ODEs at one point (affine_expansion.py:187-205
+    signature: (t, A, M, L, H))."""
+    n = A0.shape[0]
+    quadratic = np.array([A0.T @ M[k] @ A0 for k in range(n)])
+    return quadratic + L @ A0 + H
+
+
+def func_rhs_jac(t, A0, M, L, H):
+    """Jacobian of :func:`func_rhs` (affine_expansion.py:208-225)."""
+    n = A0.shape[0]
+    quadratic = np.stack([2.0 * M[k] @ A0 for k in range(n)])
+    return quadratic + L
+
+
+class _OdeResultShim:
+    """minimal stand-in for scipy OdeResult: carries only ``.y``."""
+
+    def __init__(self, a_final: np.ndarray):
+        self.y = a_final[:, None]
+
+
+def solve_ode_for_a(ttm, theta, kappa1, kappa2, beta, volvol, phi, psi,
+                    is_spot_measure: bool = True, a_t0=None,
+                    expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                    vol_backbone_eta: float = 1.0, **kwargs) -> _OdeResultShim:
+    """single-point solve matching the reference entry point
+    (affine_expansion.py:229-303); backed by the batched RK4."""
+    n = get_expansion_n(expansion_order)
+    phi_c = Cplx(jnp.array([np.real(phi)]), jnp.array([np.imag(phi)]))
+    psi_c = Cplx(jnp.array([np.real(psi)]), jnp.array([np.imag(psi)]))
+    if a_t0 is None:
+        a0 = Cplx(jnp.zeros((1, n)), jnp.zeros((1, n)))
+    else:
+        a_t0 = np.asarray(a_t0, dtype=complex)
+        a0 = Cplx(jnp.asarray(np.real(a_t0))[None, :], jnp.asarray(np.imag(a_t0))[None, :])
+    a1 = solve_a_ode_grid(ttm=float(ttm), theta=theta, kappa1=kappa1,
+                          kappa2=kappa2, beta=beta, volvol=volvol,
+                          phi_grid=phi_c, psi_grid=psi_c, a_t0=a0,
+                          is_spot_measure=is_spot_measure,
+                          expansion_order=expansion_order,
+                          vol_backbone_eta=vol_backbone_eta)
+    return _OdeResultShim(np.asarray(a1.re)[0] + 1j * np.asarray(a1.im)[0])
+
+
+def solve_analytic_ode_for_a(ttm, theta, kappa1, kappa2, beta, volvol, phi,
+                             psi, is_spot_measure, a_t0=None,
+                             expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                             **kwargs) -> np.ndarray:
+    """compat alias for the reference's semi-analytic path
+    (affine_expansion.py:306-384); backed by the same RK4 solver (which is
+    both faster and more accurate than the 10-iteration fixed point)."""
+    return solve_ode_for_a(ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
+                           beta=beta, volvol=volvol, phi=phi, psi=psi,
+                           is_spot_measure=is_spot_measure, a_t0=a_t0,
+                           expansion_order=expansion_order).y[:, -1]
+
+
+def solve_analytic_ode_for_a0(t_span, theta, kappa1, kappa2, beta, volvol,
+                              phi, psi,
+                              expansion_order: ExpansionOrder = ExpansionOrder.FIRST
+                              ) -> np.ndarray:
+    """compat alias (affine_expansion.py:387-453, superseded path)."""
+    return solve_analytic_ode_for_a(ttm=t_span[1] - t_span[0], theta=theta,
+                                    kappa1=kappa1, kappa2=kappa2, beta=beta,
+                                    volvol=volvol, phi=phi, psi=psi,
+                                    is_spot_measure=True,
+                                    expansion_order=expansion_order)
+
+
+def solve_analytic_ode_grid_phi(phi_grid, psi_grid, ttm, theta, kappa1,
+                                kappa2, beta, volvol,
+                                is_spot_measure: bool = True, a_t0=None,
+                                expansion_order: ExpansionOrder = ExpansionOrder.FIRST
+                                ) -> np.ndarray:
+    """grid solve with numpy-complex in/out (affine_expansion.py:456-488)."""
+    phi_grid = np.asarray(phi_grid, dtype=complex)
+    psi_grid = np.asarray(psi_grid, dtype=complex)
+    n = get_expansion_n(expansion_order)
+    if a_t0 is None:
+        a0 = get_init_conditions_a(Cplx(jnp.real(jnp.asarray(phi_grid)),
+                                        jnp.imag(jnp.asarray(phi_grid))),
+                                   Cplx(jnp.real(jnp.asarray(psi_grid)),
+                                        jnp.imag(jnp.asarray(psi_grid))),
+                                   Cplx(jnp.zeros(1), jnp.zeros(1)), n)
+    else:
+        a_t0 = np.asarray(a_t0, dtype=complex)
+        a0 = Cplx(jnp.asarray(np.real(a_t0)), jnp.asarray(np.imag(a_t0)))
+    a1 = solve_a_ode_grid(ttm=float(ttm), theta=theta, kappa1=kappa1,
+                          kappa2=kappa2, beta=beta, volvol=volvol,
+                          phi_grid=Cplx(jnp.asarray(np.real(phi_grid)),
+                                        jnp.asarray(np.imag(phi_grid))),
+                          psi_grid=Cplx(jnp.asarray(np.real(psi_grid)),
+                                        jnp.asarray(np.imag(psi_grid))),
+                          a_t0=a0, is_spot_measure=is_spot_measure,
+                          expansion_order=expansion_order)
+    return np.asarray(a1.re) + 1j * np.asarray(a1.im)
 
 
 def get_init_conditions_a(phi_grid: Cplx,

@@ -109,7 +109,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
                            variable_type: VariableType = VariableType.LOG_RETURN,
                            expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                            is_spot_measure: bool = True,
-                           is_simpson: bool = True
+                           is_simpson: bool = True,
+                           year_steps: int = 720
                            ) -> Array:
     """price the padded chain panel; returns (n_ttm, max_strikes) prices.
 
@@ -138,7 +139,7 @@ def logsv_chain_price_grid(grid: ChainGrid,
             beta=beta, volvol=volvol, phi_grid=phi_grid, psi_grid=psi_grid,
             a_t0=a_t, is_spot_measure=is_spot_measure,
             expansion_order=expansion_order,
-            vol_backbone_eta=vol_backbone_etas[i])
+            vol_backbone_eta=vol_backbone_etas[i], year_steps=year_steps)
         y = sigma0 - theta
         y2 = y * y
         if expansion_order == ExpansionOrder.FIRST:
@@ -267,6 +268,175 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
             x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
             strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
+            variable_type=variable_type)
+        option_prices_ttm.append(np.asarray(prices))
+        option_std_ttm.append(np.asarray(stds))
+    return option_prices_ttm, option_std_ttm
+
+
+def simulate_logsv_terminal_fixed(W0: Array,
+                                  W1: Array,
+                                  dt: float,
+                                  x0: Array,
+                                  sigma0: Array,
+                                  qvar0: Array,
+                                  theta,
+                                  kappa1,
+                                  kappa2,
+                                  beta,
+                                  volvol,
+                                  vol_backbone_eta=1.0,
+                                  is_spot_measure: bool = True
+                                  ) -> Tuple[Array, Array, Array]:
+    """Euler step over pre-drawn unscaled normal blocks (steps, paths) —
+    the reference's fixed-randoms contract (logsv_pricer.py:914-923)."""
+    sdt = float(np.sqrt(dt))
+    if is_spot_measure:
+        alpha, adj = -1.0, 0.0
+    else:
+        alpha, adj = 1.0, beta * vol_backbone_eta
+    vartheta2 = beta * beta + volvol * volvol
+    eta2 = vol_backbone_eta * vol_backbone_eta
+    carry_dtype = x0.dtype
+
+    def step(carry, ws):
+        x, log_sigma, sigma, qvar = carry
+        w0 = ws[0] * sdt
+        w1 = ws[1] * sdt
+        sigma_2dt = eta2 * sigma * sigma * dt
+        x = x + alpha * 0.5 * sigma_2dt + vol_backbone_eta * sigma * w0
+        log_sigma = log_sigma + ((kappa1 * theta / sigma - kappa1)
+                                 + kappa2 * (theta - sigma) + adj * sigma
+                                 - 0.5 * vartheta2) * dt + beta * w0 + volvol * w1
+        sigma_new = jnp.exp(log_sigma)
+        qvar = qvar + 0.5 * (sigma_2dt + eta2 * sigma_new * sigma_new * dt)
+        return (x.astype(carry_dtype), log_sigma.astype(carry_dtype),
+                sigma_new.astype(carry_dtype), qvar.astype(carry_dtype)), None
+
+    ws = jnp.stack([jnp.asarray(W0), jnp.asarray(W1)], axis=1)  # (steps, 2, paths)
+    init = (x0, jnp.log(sigma0), sigma0, qvar0)
+    (x, _, sigma, qvar), _ = jax.lax.scan(step, init, ws)
+    return x, sigma, qvar
+
+
+def get_randoms_for_chain_valuation(ttms: np.ndarray,
+                                    nb_path: int = 100000,
+                                    nb_steps_per_year: int = 360,
+                                    seed: int = 10):
+    """pre-draw per-slice normal blocks frozen across calibration iterations
+    (logsv_pricer.py:944-966; numpy global RNG, matching the reference)."""
+    np.random.seed(seed)
+    W0s, W1s, dts = [], [], []
+    ttm0 = 0.0
+    for ttm in ttms:
+        nb_steps_, dt, _ = set_time_grid(ttm=ttm - ttm0,
+                                         nb_steps_per_year=nb_steps_per_year)
+        W0s.append(np.random.normal(0, 1, size=(nb_steps_, nb_path)))
+        W1s.append(np.random.normal(0, 1, size=(nb_steps_, nb_path)))
+        dts.append(dt)
+        ttm0 = ttm
+    return W0s, W1s, dts
+
+
+def logsv_mc_chain_pricer_fixed_randoms(ttms: np.ndarray,
+                                        forwards: np.ndarray,
+                                        discfactors: np.ndarray,
+                                        strikes_ttms,
+                                        optiontypes_ttms,
+                                        W0s,
+                                        W1s,
+                                        dts,
+                                        v0: float,
+                                        theta: float,
+                                        kappa1: float,
+                                        kappa2: float,
+                                        beta: float,
+                                        volvol: float,
+                                        vol_backbone_etas: Optional[np.ndarray] = None,
+                                        is_spot_measure: bool = True,
+                                        variable_type: VariableType = VariableType.LOG_RETURN
+                                        ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """chain valuation on fixed randoms (logsv_pricer.py:992-1054)."""
+    if vol_backbone_etas is None:
+        vol_backbone_etas = np.ones_like(np.asarray(ttms))
+    nb_path = W0s[0].shape[1]
+    x = jnp.zeros(nb_path)
+    sigma = jnp.full(nb_path, v0)
+    qvar = jnp.zeros(nb_path)
+    option_prices_ttm, option_std_ttm = [], []
+    for i, ttm in enumerate(ttms):
+        x, sigma, qvar = simulate_logsv_terminal_fixed(
+            W0=W0s[i], W1=W1s[i], dt=float(dts[i]), x0=x, sigma0=sigma,
+            qvar0=qvar, theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+            volvol=volvol, vol_backbone_eta=float(vol_backbone_etas[i]),
+            is_spot_measure=is_spot_measure)
+        prices, stds = compute_mc_vars_payoff(
+            x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
+            strikes_ttm=jnp.asarray(strikes_ttms[i]),
+            optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
+            variable_type=variable_type)
+        option_prices_ttm.append(np.asarray(prices))
+        option_std_ttm.append(np.asarray(stds))
+    return option_prices_ttm, option_std_ttm
+
+
+def get_randoms_for_rough_vol_chain_valuation(ttms: np.ndarray,
+                                              nb_path: int = 100000,
+                                              nb_steps_per_year: int = 360,
+                                              seed: int = 10):
+    """shared normal block for the rough chain (logsv_pricer.py:968-989)."""
+    np.random.seed(seed)
+    grid_ttms = []
+    nb_steps_ttms = np.zeros(len(ttms), dtype=int)
+    for i, ttm in enumerate(ttms):
+        nb_steps, _, grid_t = set_time_grid(ttm, nb_steps_per_year or 360)
+        nb_steps_ttms[i] = nb_steps
+        grid_ttms.append(grid_t)
+    Z0 = np.random.normal(0, 1, size=(nb_steps_ttms[-1], nb_path))
+    Z1 = np.random.normal(0, 1, size=(nb_steps_ttms[-1], nb_path))
+    return Z0, Z1, grid_ttms
+
+
+def rough_logsv_mc_chain_pricer_fixed_randoms(ttms: np.ndarray,
+                                              forwards: np.ndarray,
+                                              discfactors: np.ndarray,
+                                              strikes_ttms,
+                                              optiontypes_ttms,
+                                              Z0: np.ndarray,
+                                              Z1: np.ndarray,
+                                              sigma0: float,
+                                              theta: float,
+                                              kappa1: float,
+                                              kappa2: float,
+                                              beta: float,
+                                              orthog_vol: float,
+                                              weights: np.ndarray,
+                                              nodes: np.ndarray,
+                                              timegrids,
+                                              variable_type: VariableType = VariableType.LOG_RETURN
+                                              ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """rough chain valuation on a shared fixed normal block
+    (logsv_pricer.py:1056-1119): each slice restarts from t = 0 using a
+    truncated prefix of the block."""
+    from stochvolmodels_tpu.models.rough.simulation import (
+        log_spot_full_combined_fixed,
+    )
+    vartheta = float(np.sqrt(beta ** 2 + orthog_vol ** 2))
+    rho = float(beta / vartheta)
+    option_prices_ttm, option_std_ttm = [], []
+    for ttm, forward, discfactor, strikes, types, timegrid in zip(
+            ttms, forwards, discfactors, strikes_ttms, optiontypes_ttms,
+            timegrids):
+        nb_steps = timegrid.size - 1
+        log_s, v, y = log_spot_full_combined_fixed(
+            nodes=nodes, weights=weights, sigma0=sigma0, theta=theta,
+            kappa1=kappa1, kappa2=kappa2, rho=rho, volvol=vartheta,
+            timegrid=np.asarray(timegrid), Z0=Z0[:nb_steps], Z1=Z1[:nb_steps])
+        sigma_terminal = jnp.sum(jnp.asarray(weights)[:, None] * v, axis=0)
+        prices, stds = compute_mc_vars_payoff(
+            x0=log_s, sigma0=sigma_terminal, qvar0=y, ttm=ttm,
+            forward=forward, strikes_ttm=jnp.asarray(strikes),
+            optiontypes_ttm=types, discfactor=discfactor,
             variable_type=variable_type)
         option_prices_ttm.append(np.asarray(prices))
         option_std_ttm.append(np.asarray(stds))

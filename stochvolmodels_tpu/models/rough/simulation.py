@@ -138,6 +138,42 @@ def log_spot_full_combined(nodes: np.ndarray,
     return log_s, v, y
 
 
+def log_spot_full_combined_fixed(nodes: np.ndarray,
+                                 weights: np.ndarray,
+                                 sigma0: float,
+                                 theta: float,
+                                 kappa1: float,
+                                 kappa2: float,
+                                 rho: float,
+                                 volvol: float,
+                                 timegrid: np.ndarray,
+                                 Z0: np.ndarray,
+                                 Z1: np.ndarray,
+                                 dtype=jnp.float64
+                                 ) -> Tuple[Array, Array, Array]:
+    """Strang-splitting simulation over pre-drawn normal blocks (the
+    reference's fixed-randoms rough contract, split_simulation.py:333-353)."""
+    n = len(nodes)
+    nb_path = Z0.shape[1]
+    h = float(timegrid[1] - timegrid[0])
+    nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None], (n, nb_path))
+    weights_p = jnp.broadcast_to(jnp.asarray(weights, dtype=dtype)[:, None], (n, nb_path))
+    v0 = jnp.full((n, nb_path), sigma0 / float(np.sum(weights)), dtype=dtype)
+
+    def step(carry, zs):
+        v, y, log_s = carry
+        vol_h, y_h, log_spot_h = strang_step(
+            nodes_p, weights_p, v0, theta, kappa1, kappa2, rho, volvol,
+            log_s, v, y, h, zs[0], zs[1])
+        return (vol_h, y_h, log_spot_h), None
+
+    zs = jnp.stack([jnp.asarray(Z0, dtype=dtype), jnp.asarray(Z1, dtype=dtype)],
+                   axis=1)  # (steps, 2, paths)
+    init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
+    (v, y, log_s), _ = jax.lax.scan(step, init, zs)
+    return log_s, v, y
+
+
 def rough_logsv_mc_chain_pricer(ttms: np.ndarray,
                                 forwards: np.ndarray,
                                 discfactors: np.ndarray,

@@ -71,6 +71,16 @@ def compute_normal_vegas_ttms(ttms, forwards, strikes_ttms, vols_ttms,
                                       strikes=strikes_ttms, vols=vols_ttms)
 
 
+def compute_normal_deltas_ttms(ttms, forwards, strikes_ttms, vols_ttms,
+                               optiontypes_ttms):
+    """ragged chain-level normal deltas (bachelier.py:146-159 API compat)."""
+    import numpy as np
+    return [np.asarray(compute_normal_slice_deltas(ttm=t, forward=f, strikes=s,
+                                                   vols=v, optiontypes=o))
+            for t, f, s, v, o in zip(ttms, forwards, strikes_ttms, vols_ttms,
+                                     optiontypes_ttms)]
+
+
 def compute_normal_delta_to_strike(ttm, forward, delta, vol) -> Array:
     """strike at a given normal delta (bachelier.py:62-73)."""
     delta = jnp.asarray(delta)

@@ -336,6 +336,25 @@ def infer_bsm_ivols_from_model_slice_prices(ttm, forward, strikes, optiontypes,
 infer_bsm_ivols_from_slice_prices = infer_bsm_ivols_from_model_slice_prices
 
 
+def compute_bsm_vanilla_deltas_ttms(ttms, forwards, strikes_ttms, vols_ttms,
+                                    optiontypes_ttms):
+    """ragged chain-level deltas (bsm.py:206-219 API compatibility)."""
+    return [np.asarray(compute_bsm_vanilla_delta(ttm=t, forward=f, strike=s,
+                                                 vol=v, optiontype=o))
+            for t, f, s, v, o in zip(ttms, forwards, strikes_ttms, vols_ttms,
+                                     optiontypes_ttms)]
+
+
+def compute_bsm_vegas_ttms(ttms, forwards, strikes_ttms, vols_ttms,
+                           optiontypes_ttms=None):
+    """ragged chain-level vegas (bsm.py:306-319 API compatibility)."""
+    return [np.asarray(compute_bsm_vanilla_vega(ttm=t, forward=f, strike=s, vol=v))
+            for t, f, s, v in zip(ttms, forwards, strikes_ttms, vols_ttms)]
+
+
+compute_bsm_vanilla_vegas_ttms = compute_bsm_vegas_ttms
+
+
 def infer_bsm_ivols_from_model_chain_prices(ttms,
                                             forwards,
                                             discfactors,

@@ -264,6 +264,22 @@ def align_y_limits_axs(axs, is_invisible_ys: bool = False) -> None:
             ax.axes.get_yaxis().set_visible(False)
 
 
+def set_subplot_border(fig: plt.Figure, n_ax_col: int = 1, n_ax_rows: int = 1) -> None:
+    """draw a border grid around the subplots of a figure."""
+    rects = []
+    height = 1.0 / n_ax_rows
+    for r in range(n_ax_rows):
+        rects.append(plt.Rectangle((0.0, r * height), 1.0, height, fill=False,
+                                   color='#00284A', lw=1, zorder=1000,
+                                   transform=fig.transFigure, figure=fig))
+    width = 1.0 / n_ax_col
+    for r in range(n_ax_col):
+        rects.append(plt.Rectangle((r * width, 0), width, 1.0, fill=False,
+                                   color='#00284A', lw=1, zorder=1000,
+                                   transform=fig.transFigure, figure=fig))
+    fig.patches.extend(rects)
+
+
 def flatten(items: Iterable) -> Any:
     for x in items:
         if isinstance(x, Iterable) and not isinstance(x, (str, bytes)):

@@ -37,6 +37,12 @@ def set_time_grid(ttm: float, nb_steps_per_year: int = 360) -> Tuple[int, float,
     return nb_steps, dt, grid_t
 
 
+def set_seed(value: int) -> None:
+    """seed numpy's global RNG (reference API compatibility; the jitted MC
+    kernels use stateless threefry keys instead — pass ``seed=`` to them)."""
+    np.random.seed(value)
+
+
 def timer(func):
     """decorator printing the wall-clock runtime of the wrapped call."""
     @functools.wraps(func)
