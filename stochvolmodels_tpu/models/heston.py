@@ -281,10 +281,16 @@ class HestonPricer(ModelPricer):
                                         params0: HestonParams = None,
                                         is_vega_weighted: bool = True,
                                         is_unit_ttm_vega: bool = False,
+                                        use_float32: Optional[bool] = None,
                                         **kwargs) -> HestonParams:
         """SLSQP fit of (v0, theta, kappa, rho, volvol) with the Feller
         inequality, using jax gradients through pricer + IV inversion
-        (heston_pricer.py:109-166 replaces finite differences)."""
+        (heston_pricer.py:109-166 replaces finite differences).
+
+        ``use_float32`` (default: True on TPU) traces the objective in
+        float32 — v5e has no native f64."""
+        if use_float32 is None:
+            use_float32 = jax.devices()[0].platform != "cpu"
         if params0 is not None:
             p0 = params0.to_array()
         else:
@@ -302,24 +308,37 @@ class HestonPricer(ModelPricer):
             weights = np.ones_like(market_vols)
         weights = jnp.asarray(np.where(np.asarray(grid.mask), weights, 0.0))
         market_vols = jnp.asarray(np.where(np.asarray(grid.mask), market_vols, 0.0))
+        if use_float32:
+            from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
+            grid = _grid_to_f32(grid)
+            weights = weights.astype(jnp.float32)
+            market_vols = market_vols.astype(jnp.float32)
         # freeze the transform grid across iterations (reference contract,
         # heston_pricer.py:221 via logsv_pricer.py:194-203)
         vol_scaler = float(np.minimum(0.3, np.sqrt(p0[0] * option_chain.ttms[0])))
 
-        obj_and_grad = jax.jit(jax.value_and_grad(partial(
-            _heston_calibration_objective, grid=grid, market_vols=market_vols,
-            weights=weights, vol_scaler=vol_scaler)))
+        loss = partial(_heston_calibration_objective, grid=grid,
+                       market_vols=market_vols, weights=weights,
+                       vol_scaler=vol_scaler)
+        if use_float32:
+            base_loss = loss
+
+            def loss(pars):
+                with jax.enable_x64(False):
+                    return base_loss(pars.astype(jnp.float32))
+
+        obj_and_grad = jax.jit(jax.value_and_grad(loss))
 
         def objective(pars: np.ndarray) -> Tuple[float, np.ndarray]:
             v, g = obj_and_grad(jnp.asarray(pars))
-            return float(v), np.asarray(g)
+            return float(v), np.asarray(g, dtype=np.float64)
 
         def feller(pars: np.ndarray) -> float:
             return 2.0 * pars[2] * pars[1] - pars[4] * pars[4]
 
         constraints = ({'type': 'ineq', 'fun': feller,
                         'jac': lambda p: np.array([0.0, 2.0 * p[2], 2.0 * p[1], 0.0, -2.0 * p[4]])})
-        options = {'ftol': 1e-8, 'maxiter': 200}
+        options = {'ftol': 1e-6 if use_float32 else 1e-8, 'maxiter': 200}
         res = minimize(objective, p0, jac=True, method='SLSQP',
                        constraints=constraints, bounds=bounds, options=options)
         v0, theta, kappa, rho, volvol = res.x
@@ -347,8 +366,10 @@ def _heston_calibration_objective(pars: Array, grid: ChainGrid,
         ttms=grid.ttms, forwards=grid.forwards, discfactors=grid.discfactors,
         strikes_ttms=grid.strikes, optiontypes_ttms=grid.optioncodes,
         model_prices_ttms=prices)
-    resid = weights * jnp.square(model_vols - market_vols)
-    return jnp.sum(jnp.where(jnp.isnan(resid), 0.0, resid))
+    nan_mask = jnp.isnan(model_vols)
+    clean = jnp.where(nan_mask, market_vols, model_vols)
+    resid = weights * jnp.square(clean - market_vols)
+    return jnp.sum(jnp.where(nan_mask, 0.0, resid))
 
 
 @partial(jax.jit, static_argnums=(7,))

@@ -167,7 +167,8 @@ def solve_a_ode_grid(ttm: float,
                      expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                      vol_backbone_eta=1.0,
                      nb_steps: Optional[int] = None,
-                     year_steps: int = 720
+                     year_steps: int = 720,
+                     unroll: int = 4
                      ) -> Cplx:
     """advance A over [0, ttm] for the whole grid by fixed-step RK4.
 
@@ -186,18 +187,36 @@ def solve_a_ode_grid(ttm: float,
         vol_backbone_eta=vol_backbone_eta)
     L, H = build_grid_ode_terms(M, L0, L1, h, phi_grid, psi_grid, is_spot_measure)
 
+    # Divergence freeze: large-phi lanes of the Riccati blow up in finite
+    # time (the reference lets them go NaN and nansum drops them,
+    # mgf_pricer.py nansum semantics).  Letting a lane reach inf/NaN here
+    # poisons the scan's VJP — the dropped lane's zero cotangent times a
+    # NaN local Jacobian contaminates the shared parameter gradient (acute
+    # in float32).  Instead, once |A| passes CAP the lane is frozen
+    # (sticky) at re=CAP, im=0: a constant with zero partials that
+    # _nansum_re always drops (CAP > its exp cap), so semantics match the
+    # reference's once-NaN-always-dropped behavior.
+    cap = 1e3 if jnp.result_type(a_t0.re) == jnp.float32 else 1e6
+
     def rk4_step(carry, _):
-        a_re, a_im = carry
+        a_re, a_im, dead = carry
         A = Cplx(a_re, a_im)
         k1 = _ode_rhs(A, M, L, H)
         k2 = _ode_rhs(A + k1 * (0.5 * dt), M, L, H)
         k3 = _ode_rhs(A + k2 * (0.5 * dt), M, L, H)
         k4 = _ode_rhs(A + k3 * dt, M, L, H)
         A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
-        return (A1.re, A1.im), None
+        # ~(x < cap) is also True for NaN
+        bad = dead | ~(jnp.abs(A1.re) < cap) | ~(jnp.abs(A1.im) < cap)
+        a_re = jnp.where(bad, cap, A1.re)
+        a_im = jnp.where(bad, 0.0, A1.im)
+        return (a_re, a_im, bad), None
 
-    (a_re, a_im), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im),
-                                   None, length=nb_steps, unroll=4)
+    dead0 = ~(jnp.abs(a_t0.re) < cap) | ~(jnp.abs(a_t0.im) < cap)
+    (a_re, a_im, _), _ = jax.lax.scan(
+        rk4_step, (jnp.where(dead0, cap, a_t0.re),
+                   jnp.where(dead0, 0.0, a_t0.im), dead0),
+        None, length=nb_steps, unroll=unroll)
     return Cplx(a_re, a_im)
 
 

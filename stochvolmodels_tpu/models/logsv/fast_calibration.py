@@ -1,0 +1,327 @@
+"""
+On-device LogSV calibration: the whole optimization loop inside one jit.
+
+The SLSQP path (models/logsv/pricer.py) does one host<->device roundtrip per
+objective evaluation — ~30ms of tunnel latency each, which dominates the
+<1s full-chain target on TPU.  Here the whole optimizer runs on device under
+``lax.fori_loop``: one dispatch evaluates pricer + implied-vol inversion +
+derivatives for every iteration with no host involvement.
+
+Two solvers:
+
+* :func:`calibrate_logsv_lm_on_device` — Levenberg-Marquardt on the
+  weighted-vol residuals; ~12-24 iterations match host SLSQP fit quality.
+  This is the production fast path (exposed as ``method='lm'`` on
+  ``LogSVPricer.calibrate_model_params_to_chain``).
+* :func:`calibrate_logsv_on_device` — projected Adam; first-order,
+  hundreds of iterations, kept for robustness comparisons.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from functools import partial as _partial
+import numpy as np
+
+from stochvolmodels_tpu.data.option_chain import OptionChain
+from stochvolmodels_tpu.models.logsv.params import LogSvParams
+from stochvolmodels_tpu.models.logsv.pricer import (
+    ConstraintsType,
+    _grid_to_f32,
+    _pad_panel,
+    logsv_chain_price_grid,
+    set_vol_scaler,
+    use_float32_default,
+)
+from stochvolmodels_tpu.ops import bsm
+
+Array = jnp.ndarray
+
+# optimizer vector: [sigma0, theta, kappa1, beta, volvol] (PARAMS5 layout)
+LOWER = np.array([0.1, 0.1, 0.25, -3.0, 0.2])
+UPPER = np.array([1.5, 1.5, 10.0, 3.0, 3.0])
+
+
+
+def _bounds_vector(p: Optional[LogSvParams], default: np.ndarray) -> np.ndarray:
+    """PARAMS5 [sigma0, theta, kappa1, beta, volvol] bounds from LogSvParams."""
+    if p is None:
+        return default
+    return np.array([p.sigma0, p.theta, p.kappa1, p.beta, p.volvol])
+
+
+def calibrate_logsv_on_device(option_chain: OptionChain,
+                              params0: LogSvParams,
+                              constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
+                              nb_iters: int = 200,
+                              learning_rate: float = 0.08,
+                              year_steps: int = 180,
+                              use_float32: Optional[bool] = None,
+                              is_vega_weighted: bool = True,
+                              params_min: Optional[LogSvParams] = None,
+                              params_max: Optional[LogSvParams] = None,
+                              ) -> Tuple[LogSvParams, float]:
+    """PARAMS5 calibration by on-device projected Adam; returns (params, obj).
+
+    One compiled program runs all ``nb_iters`` iterations.  First-order, so
+    it needs hundreds of iterations (~10s warm for 200 on a v5e chip);
+    prefer :func:`calibrate_logsv_lm_on_device` (sub-second) unless a
+    gradient-descent baseline is wanted.
+    """
+    if use_float32 is None:
+        use_float32 = use_float32_default()
+    dtype = jnp.float32 if use_float32 else jnp.float64
+
+    vol_scaler = set_vol_scaler(sigma0=option_chain.get_chain_atm_vols()[0],
+                                ttm=option_chain.ttms[0])
+    grid = option_chain.to_grid()
+    market_panel = _pad_panel(option_chain.get_mid_vols(), grid)
+    if is_vega_weighted:
+        vegas = [v / np.sum(v) for v in option_chain.get_chain_vegas()]
+        weights_panel = _pad_panel(vegas, grid)
+    else:
+        weights_panel = np.ones_like(market_panel)
+    mask = np.asarray(grid.mask)
+    weights = jnp.asarray(np.where(mask, weights_panel, 0.0), dtype=dtype)
+    market = jnp.asarray(np.where(mask, market_panel, 0.0), dtype=dtype)
+    if use_float32:
+        grid = _grid_to_f32(grid)
+    ttms_static = tuple(float(t) for t in option_chain.ttms)
+    lower = jnp.asarray(_bounds_vector(params_min, LOWER), dtype=dtype)
+    upper = jnp.asarray(_bounds_vector(params_max, UPPER), dtype=dtype)
+
+    def raw_loss(pars):
+        sigma0, theta, kappa1, beta, volvol = (pars[0], pars[1], pars[2],
+                                               pars[3], pars[4])
+        kappa2 = kappa1 / theta
+        prices = logsv_chain_price_grid(
+            grid, sigma0=sigma0, theta=theta, kappa1=kappa1, kappa2=kappa2,
+            beta=beta, volvol=volvol, vol_scaler=jnp.asarray(vol_scaler, dtype=dtype),
+            ttms_static=ttms_static, year_steps=year_steps, unroll=8)
+        vols = bsm.infer_bsm_implied_vol_fast(
+            forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+            strike=grid.strikes, given_price=prices,
+            discfactor=grid.discfactors[:, None],
+            optiontype=grid.optioncodes)
+        nan_mask = jnp.isnan(vols)
+        clean = jnp.where(nan_mask, market, vols)
+        r = weights * jnp.square(clean - market)
+        loss = jnp.sum(jnp.where(nan_mask, 0.0, r))
+        # an all-NaN region would otherwise score a perfect 0 and attract the
+        # optimizer; each dropped quote costs a penalty instead
+        loss = loss + 0.01 * jnp.sum(nan_mask & (weights > 0.0))
+        # martingale constraints as one-sided quadratic penalties
+        if constraints_type in (ConstraintsType.MMA_MARTINGALE,
+                                ConstraintsType.MMA_MARTINGALE_MOMENT4):
+            loss = loss + 10.0 * jnp.square(jnp.maximum(beta - kappa2, 0.0))
+        if constraints_type in (ConstraintsType.INVERSE_MARTINGALE,
+                                ConstraintsType.INVERSE_MARTINGALE_MOMENT4):
+            loss = loss + 10.0 * jnp.square(jnp.maximum(2.0 * beta - kappa2, 0.0))
+        if constraints_type in (ConstraintsType.MMA_MARTINGALE_MOMENT4,
+                                ConstraintsType.INVERSE_MARTINGALE_MOMENT4):
+            kappa = kappa1 + kappa2 * theta
+            vartheta2 = beta * beta + volvol * volvol
+            loss = loss + 10.0 * jnp.square(jnp.maximum(1.5 * vartheta2 - kappa, 0.0))
+        return loss
+
+    def run(p0):
+        maybe_32 = jax.enable_x64(False) if use_float32 else _nullcontext()
+        with maybe_32:
+            grad_fn = jax.value_and_grad(raw_loss)
+            b1, b2, eps = 0.9, 0.999, 1e-8
+
+            def body(i, state):
+                pars, m, v, best_pars, best_loss = state
+                loss, g = grad_fn(pars)
+                m = b1 * m + (1 - b1) * g
+                v = b2 * v + (1 - b2) * g * g
+                mhat = m / (1 - b1 ** (i + 1.0))
+                vhat = v / (1 - b2 ** (i + 1.0))
+                lr = learning_rate * 0.5 * (1.0 + jnp.cos(jnp.pi * i / nb_iters))
+                pars = pars - lr * mhat / (jnp.sqrt(vhat) + eps)
+                pars = jnp.clip(pars, lower, upper)
+                better = loss < best_loss
+                best_pars = jnp.where(better, state[0], best_pars)
+                best_loss = jnp.where(better, loss, best_loss)
+                return pars, m, v, best_pars, best_loss
+
+            init = (p0, jnp.zeros_like(p0), jnp.zeros_like(p0), p0,
+                    jnp.asarray(jnp.inf, dtype=p0.dtype))
+            pars, _, _, best_pars, best_loss = jax.lax.fori_loop(
+                0, nb_iters, body, init)
+            final_loss = raw_loss(pars)
+            better = final_loss < best_loss
+            best = jnp.where(better, pars, best_pars)
+            return best, jnp.where(better, final_loss, best_loss)
+
+    run_jit = jax.jit(run)
+    p0 = jnp.asarray([params0.sigma0, params0.theta, params0.kappa1,
+                      params0.beta, params0.volvol], dtype=dtype)
+    best, best_loss = run_jit(p0)
+    best = np.asarray(best, dtype=np.float64)
+    fit = LogSvParams(sigma0=best[0], theta=best[1], kappa1=best[2],
+                      kappa2=best[2] / best[1], beta=best[3], volvol=best[4])
+    return fit, float(best_loss)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        return False
+
+
+def _cg_solve(A, b, iters: int = 8):
+    """conjugate-gradient solve for a tiny SPD system (exact in dim steps).
+
+    jnp.linalg.solve lowers to an LU custom call that is disproportionately
+    slow on TPU for a 5x5 system inside a fori_loop; CG is pure XLA ops.
+    """
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = r @ r
+
+    def body(_, st):
+        x, r, p, rs = st
+        Ap = A @ p
+        alpha = rs / jnp.maximum(p @ Ap, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = r @ r
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return x
+
+
+@_partial(jax.jit, static_argnames=("ttms_static", "year_steps", "nb_iters",
+                                    "constraints_type", "use_float32"))
+def _lm_run(p0, grid, market, sqrtw, lower, upper, vol_scaler, *,
+            ttms_static, year_steps, nb_iters, constraints_type, use_float32):
+    maybe_32 = jax.enable_x64(False) if use_float32 else _nullcontext()
+    with maybe_32:
+        def residuals(pars):
+            sigma0, theta, kappa1, beta, volvol = (pars[0], pars[1], pars[2],
+                                                   pars[3], pars[4])
+            kappa2 = kappa1 / theta
+            prices = logsv_chain_price_grid(
+                grid, sigma0=sigma0, theta=theta, kappa1=kappa1, kappa2=kappa2,
+                beta=beta, volvol=volvol, vol_scaler=vol_scaler,
+                ttms_static=ttms_static, year_steps=year_steps, unroll=4)
+            vols = bsm.infer_bsm_implied_vol_fast(
+                forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+                strike=grid.strikes, given_price=prices,
+                discfactor=grid.discfactors[:, None],
+                optiontype=grid.optioncodes)
+            nan_mask = jnp.isnan(vols)
+            clean = jnp.where(nan_mask, market, vols)
+            r = (sqrtw * (clean - market)).ravel()
+            # martingale constraints as penalty residuals appended to the system
+            pen = []
+            if constraints_type in (ConstraintsType.MMA_MARTINGALE,
+                                    ConstraintsType.MMA_MARTINGALE_MOMENT4):
+                pen.append(jnp.sqrt(10.0) * jnp.maximum(beta - kappa2, 0.0))
+            if constraints_type in (ConstraintsType.INVERSE_MARTINGALE,
+                                    ConstraintsType.INVERSE_MARTINGALE_MOMENT4):
+                pen.append(jnp.sqrt(10.0) * jnp.maximum(2.0 * beta - kappa2, 0.0))
+            if constraints_type in (ConstraintsType.MMA_MARTINGALE_MOMENT4,
+                                    ConstraintsType.INVERSE_MARTINGALE_MOMENT4):
+                kappa = kappa1 + kappa2 * theta
+                vartheta2 = beta * beta + volvol * volvol
+                pen.append(jnp.sqrt(10.0) * jnp.maximum(1.5 * vartheta2 - kappa, 0.0))
+            if pen:
+                r = jnp.concatenate([r, jnp.stack(pen)])
+            return r
+
+        def r_and_jac(p):
+            # jacfwd: 5 tangent columns through one batched forward pass —
+            # far cheaper than jacrev's one-cotangent-per-quote batch; the
+            # implied-vol core is a custom_jvp so forward mode is exact
+            return residuals(p), jax.jacfwd(residuals)(p)
+
+        def body(_, state):
+            pars, lam, best_pars, best_cost = state
+            r, J = r_and_jac(pars)
+            cost = jnp.sum(r * r)
+            g = J.T @ r
+            JTJ = J.T @ J
+            # scale-invariant damping (Marquardt): lambda * diag(JTJ)
+            D = jnp.diag(jnp.maximum(jnp.diagonal(JTJ), 1e-10))
+            step = _cg_solve(JTJ + lam * D + 1e-12 * jnp.eye(5, dtype=pars.dtype), -g)
+            cand = jnp.clip(pars + step, lower, upper)
+            new_cost = jnp.sum(jnp.square(residuals(cand)))
+            accept = new_cost < cost
+            pars = jnp.where(accept, cand, pars)
+            lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
+                            jnp.minimum(lam * 4.0, 1e6))
+            better = new_cost < best_cost
+            best_pars = jnp.where(better, cand, best_pars)
+            best_cost = jnp.where(better, new_cost, best_cost)
+            return pars, lam, best_pars, best_cost
+
+        init = (p0, jnp.asarray(1e-2, dtype=p0.dtype), p0,
+                jnp.sum(jnp.square(residuals(p0))))
+        _, _, best_pars, best_cost = jax.lax.fori_loop(0, nb_iters, body, init)
+        return best_pars, best_cost
+
+
+def calibrate_logsv_lm_on_device(option_chain: OptionChain,
+                                 params0: LogSvParams,
+                                 constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
+                                 nb_iters: int = 16,
+                                 year_steps: int = 180,
+                                 use_float32: Optional[bool] = None,
+                                 is_vega_weighted: bool = True,
+                                 params_min: Optional[LogSvParams] = None,
+                                 params_max: Optional[LogSvParams] = None,
+                                 ) -> Tuple[LogSvParams, float]:
+    """PARAMS5 calibration by on-device Levenberg-Marquardt; returns (params, obj).
+
+    Gauss-Newton converges in ~12-16 iterations where first-order Adam needs
+    hundreds; the 5-column residual Jacobian comes from one batched ``jacfwd``
+    pass, so an iteration costs ~3 forward-pass latencies.  This is the
+    sub-second path to the reference's full-chain BTC calibration
+    (logsv_pricer.py:144-208 does the same least-squares via host SLSQP).
+    Box constraints are handled by projection, martingale constraints by
+    one-sided quadratic penalty residuals.  The compiled program is cached at
+    module level: repeat calls with the same chain shape skip re-tracing.
+    """
+    if use_float32 is None:
+        use_float32 = use_float32_default()
+    dtype = jnp.float32 if use_float32 else jnp.float64
+
+    vol_scaler = set_vol_scaler(sigma0=option_chain.get_chain_atm_vols()[0],
+                                ttm=option_chain.ttms[0])
+    grid = option_chain.to_grid()
+    market_panel = _pad_panel(option_chain.get_mid_vols(), grid)
+    if is_vega_weighted:
+        vegas = [v / np.sum(v) for v in option_chain.get_chain_vegas()]
+        weights_panel = _pad_panel(vegas, grid)
+    else:
+        weights_panel = np.ones_like(market_panel)
+    mask = np.asarray(grid.mask)
+    sqrtw = jnp.asarray(np.sqrt(np.where(mask, weights_panel, 0.0)), dtype=dtype)
+    market = jnp.asarray(np.where(mask, market_panel, 0.0), dtype=dtype)
+    if use_float32:
+        grid = _grid_to_f32(grid)
+    ttms_static = tuple(float(t) for t in option_chain.ttms)
+    lower = jnp.asarray(_bounds_vector(params_min, LOWER), dtype=dtype)
+    upper = jnp.asarray(_bounds_vector(params_max, UPPER), dtype=dtype)
+
+    p0 = jnp.asarray([params0.sigma0, params0.theta, params0.kappa1,
+                      params0.beta, params0.volvol], dtype=dtype)
+    best, best_cost = _lm_run(
+        p0, grid, market, sqrtw, lower, upper,
+        jnp.asarray(vol_scaler, dtype=dtype),
+        ttms_static=ttms_static, year_steps=year_steps, nb_iters=nb_iters,
+        constraints_type=constraints_type, use_float32=use_float32)
+    best = np.asarray(best, dtype=np.float64)
+    fit = LogSvParams(sigma0=best[0], theta=best[1], kappa1=best[2],
+                      kappa2=best[2] / best[1], beta=best[3], volvol=best[4])
+    return fit, float(best_cost)

@@ -113,8 +113,10 @@ class TdistPricer(ModelPricer):
             model_vols = bsm.infer_bsm_implied_vol(
                 forward=forward, ttm=ttm, strike=strikes, given_price=prices,
                 discfactor=discfactor, optiontype=codes)
-            resid = w * jnp.square(model_vols - market)
-            return jnp.sum(jnp.where(jnp.isnan(resid), 0.0, resid))
+            nan_mask = jnp.isnan(model_vols)
+            clean = jnp.where(nan_mask, market, model_vols)
+            resid = w * jnp.square(clean - market)
+            return jnp.sum(jnp.where(nan_mask, 0.0, resid))
 
         obj_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 

@@ -302,6 +302,120 @@ def _implied_vol_bwd(res, g):
 _implied_vol_core.defvjp(_implied_vol_fwd, _implied_vol_bwd)
 
 
+def _fast_iv_impl(given_price, forward, strike, ttm, discfactor, sgn,
+                  nb_bisect, nb_newton):
+    def price_at(vol):
+        s_ttm = vol * jnp.sqrt(ttm)
+        d1 = (jnp.log(forward / strike) + 0.5 * s_ttm * s_ttm) / s_ttm
+        d2 = d1 - s_ttm
+        return discfactor * sgn * (forward * ncdf(sgn * d1) - strike * ncdf(sgn * d2))
+
+    lo = jnp.full_like(given_price, IV_LOWER)
+    hi = jnp.full_like(given_price, IV_UPPER)
+    f_lo_raw = price_at(lo) - given_price
+    f_hi_raw = price_at(hi) - given_price
+    bracketed = f_lo_raw * f_hi_raw < 0.0
+    # unbracketable (or NaN) quotes are replaced by a guaranteed-solvable
+    # dummy BEFORE the solver so no NaN circulates through the iterations;
+    # the output is still NaN at unbracketed entries.
+    given_price = jnp.where(bracketed, given_price,
+                            price_at(jnp.ones_like(lo)))
+    f_lo = price_at(lo) - given_price
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        f_mid = price_at(mid) - given_price
+        go_up = f_mid * f_lo > 0.0   # same sign as lower -> root above mid
+        return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, nb_bisect, bisect, (lo, hi))
+    vol = 0.5 * (lo + hi)
+
+    def newton(_, vol):
+        s_ttm = vol * jnp.sqrt(ttm)
+        d1 = jnp.log(forward / strike) / s_ttm + 0.5 * s_ttm
+        vega = discfactor * forward * npdf(d1) * jnp.sqrt(ttm)
+        step = (price_at(vol) - given_price) / jnp.maximum(vega, 1e-12)
+        return jnp.clip(vol - step, IV_LOWER, IV_UPPER)
+
+    vol = jax.lax.fori_loop(0, nb_newton, newton, vol)
+    return jnp.where(bracketed, vol, jnp.nan)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+def _fast_iv_core(given_price, forward, strike, ttm, discfactor, sgn,
+                  nb_bisect, nb_newton):
+    return _fast_iv_impl(given_price, forward, strike, ttm, discfactor, sgn,
+                         nb_bisect, nb_newton)
+
+
+@_fast_iv_core.defjvp
+def _fast_iv_jvp(nb_bisect, nb_newton, primals, tangents):
+    # implicit-function-theorem tangent rule, dvol = (dP - dP_dx dx)/vega.
+    # A custom rule is essential: differentiating through the Newton polish
+    # compounds 1/vega four times, overflowing f32 for deep-OTM quotes and
+    # poisoning whole-chain calibration gradients with 0*inf=NaN.  custom_jvp
+    # (linear in tangents) supports BOTH jacfwd and, via transposition,
+    # reverse mode.
+    given_price, forward, strike, ttm, discfactor, sgn = primals
+    vol = _fast_iv_impl(given_price, forward, strike, ttm, discfactor, sgn,
+                        nb_bisect, nb_newton)
+
+    def price_fn(f_, k_, t_, df_, v_):
+        s_ttm = v_ * jnp.sqrt(t_)
+        d1 = (jnp.log(f_ / k_) + 0.5 * s_ttm * s_ttm) / s_ttm
+        d2 = d1 - s_ttm
+        return df_ * sgn * (f_ * ncdf(sgn * d1) - k_ * ncdf(sgn * d2))
+
+    safe_vol = jnp.where(jnp.isnan(vol), 1.0, vol)
+    grads = jax.grad(lambda f_, k_, t_, df_, v_: jnp.sum(price_fn(f_, k_, t_, df_, v_)),
+                     argnums=(0, 1, 2, 3, 4))(
+        jnp.broadcast_to(forward, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(strike, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(ttm, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(discfactor, vol.shape).astype(vol.dtype),
+        safe_vol)
+    dP_dF, dP_dK, dP_dT, dP_ddf, vega = grads
+    # floor vega in units of the forward so 1/vega can't overflow f32
+    floor = 1e-12 * jnp.broadcast_to(forward, vol.shape).astype(vol.dtype)
+    inv_vega = jnp.where(jnp.isnan(vol) | (jnp.abs(vega) < floor), 0.0,
+                         1.0 / vega)
+
+    dp, df_t, dk, dt_, ddf, _ = tangents
+    # inv_vega is exactly 0 at NaN-vol entries, so dvol stays clean there;
+    # the rule is linear in the tangents, which keeps it transposable
+    # (reverse mode works through it too)
+    dvol = inv_vega * (dp - dP_dF * df_t - dP_dK * dk - dP_dT * dt_
+                       - dP_ddf * ddf)
+    return vol, dvol
+
+
+def infer_bsm_implied_vol_fast(forward, ttm, strike, given_price,
+                               discfactor=1.0, optiontype='C',
+                               nb_bisect: int = 24, nb_newton: int = 4):
+    """fast implied vol: short bisection bracket + Newton polish.
+
+    ~15x fewer sequential stages than the reference's 200-iteration bisection
+    — intended for inside latency-bound calibration objectives; final
+    reporting should use :func:`infer_bsm_implied_vol` (exact reference
+    semantics).  NaN-at-unbracketed behavior is preserved; gradients come
+    from the implicit function theorem (1/vega), not AD through the solver.
+    """
+    given_price = jnp.asarray(given_price)
+    shape = jnp.broadcast_shapes(jnp.shape(given_price), jnp.shape(forward),
+                                 jnp.shape(strike), jnp.shape(ttm),
+                                 jnp.shape(_is_call(optiontype)))
+    dt = jnp.result_type(given_price, jnp.asarray(forward))
+    b = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype=dt), shape)
+    sgn = jnp.where(jnp.broadcast_to(_is_call(optiontype), shape), 1.0, -1.0).astype(dt)
+    return _fast_iv_core(b(given_price), b(forward), b(strike), b(ttm),
+                         b(discfactor), sgn, int(nb_bisect), int(nb_newton))
+
+
 def infer_bsm_implied_vol(forward,
                           ttm,
                           strike,

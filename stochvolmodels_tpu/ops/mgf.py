@@ -129,10 +129,20 @@ def _nansum_re(weights: Cplx, exponent: Cplx, axis: int = -1) -> Array:
     """Re[sum_n w_n exp(z_n)] with NaN terms dropped (reference nansum semantics).
 
     exponent and weights broadcast; exp is evaluated through the (re, im) pair.
+
+    Overflowing/NaN terms are dropped from *sanitized* inputs: masking only
+    the result leaves inf/NaN partials inside the VJP, where they turn the
+    where()'s zero cotangent into 0*inf=NaN and poison calibration gradients
+    (acute in float32, whose exp() overflows at ~88).
     """
-    e = jnp.exp(exponent.re)
-    term = e * (weights.re * jnp.cos(exponent.im) - weights.im * jnp.sin(exponent.im))
-    return jnp.sum(jnp.where(jnp.isnan(term), 0.0, term), axis=axis)
+    re, im = exponent.re, exponent.im
+    # just below log(finfo.max): exp() of anything kept is finite
+    cap = 0.98 * jnp.log(jnp.finfo(jnp.result_type(re)).max)
+    bad = jnp.isnan(re) | jnp.isnan(im) | (re > cap)
+    e = jnp.exp(jnp.where(bad, 0.0, re))
+    im_safe = jnp.where(bad, 0.0, im)
+    term = e * (weights.re * jnp.cos(im_safe) - weights.im * jnp.sin(im_safe))
+    return jnp.sum(jnp.where(bad | jnp.isnan(term), 0.0, term), axis=axis)
 
 
 def vanilla_prices_with_mgf_grid(log_mgf_grid: Cplx,

@@ -8,7 +8,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# single-threaded LLVM codegen: XLA:CPU's parallel codegen segfaults
+# (stack overflow in a codegen thread) partway through the suite once many
+# large modules (whole-chain value_and_grad programs) have been compiled
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -17,3 +23,26 @@ jax.config.update("jax_enable_x64", True)
 # jax.config (which wins over JAX_PLATFORMS env); tests run on 8 virtual
 # CPU devices, so force the platform back
 jax.config.update("jax_platforms", "cpu")
+
+# no persistent compile cache under tests: jax 0.9's cache serialization
+# (zstandard path) segfaults reproducibly on some of the large CPU
+# executables (e.g. jacfwd through the unrolled RK4 scan); the cache is a
+# TPU-side optimization and CPU test compiles are fast enough without it
+os.environ.setdefault("SVMTPU_NO_COMPILE_CACHE", "1")
+
+
+# XLA:CPU JIT code mappings accumulate per compiled executable; a full-suite
+# run crosses the kernel's vm.max_map_count (65530) and segfaults inside
+# LLVM (observed: maps 833 -> 63581, then SIGSEGV at the limit).  Dropping
+# executables between test modules keeps the count bounded; shared programs
+# recompile in later modules, which is slower but deterministic.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

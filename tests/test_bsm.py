@@ -130,3 +130,60 @@ class TestImpliedVol:
             strikes_ttms=strikes, optiontypes_ttms=types,
             model_prices_ttms=prices)
         np.testing.assert_allclose(np.asarray(ivols), vols, atol=1e-10)
+
+
+class TestFastImpliedVol:
+    """infer_bsm_implied_vol_fast: bisect+Newton with implicit-fn custom VJP."""
+
+    def test_matches_parity_bisection(self):
+        strikes = np.array([60.0, 80.0, 100.0, 120.0, 150.0])
+        vols = np.array([0.6, 0.4, 0.3, 0.35, 0.5])
+        prices = bsm.compute_bsm_vanilla_price(100.0, strikes, 0.5, vols, 'C')
+        fast = bsm.infer_bsm_implied_vol_fast(forward=100.0, ttm=0.5,
+                                              strike=strikes, given_price=prices,
+                                              optiontype='C')
+        ref = bsm.infer_bsm_implied_vol(forward=100.0, ttm=0.5, strike=strikes,
+                                        given_price=prices, optiontype='C')
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-7)
+
+    def test_nan_behavior_matches_reference(self):
+        # below-intrinsic and absurd prices are unbracketable -> NaN
+        bad = bsm.infer_bsm_implied_vol_fast(forward=100.0, ttm=0.5,
+                                             strike=90.0, given_price=5.0,
+                                             optiontype='C')
+        assert np.isnan(float(bad))
+        bad2 = bsm.infer_bsm_implied_vol_fast(forward=100.0, ttm=0.5,
+                                              strike=90.0, given_price=np.nan,
+                                              optiontype='C')
+        assert np.isnan(float(bad2))
+
+    def test_gradient_is_inverse_vega(self):
+        price = float(bsm.compute_bsm_vanilla_price(100.0, 105.0, 0.5, 0.3, 'C'))
+        g = float(jax.grad(lambda p: bsm.infer_bsm_implied_vol_fast(
+            forward=100.0, ttm=0.5, strike=105.0, given_price=p,
+            optiontype='C'))(price))
+        vega = float(bsm.compute_bsm_vanilla_vega(0.5, 100.0, 105.0, 0.3))
+        np.testing.assert_allclose(g, 1.0 / vega, rtol=1e-4)
+
+    def test_gradient_clean_through_unbracketable_batch(self):
+        """one bad quote in a batch must not poison the whole gradient.
+
+        This is the failure mode that froze on-device calibration: AD
+        straight through the Newton polish compounds 1/vega and a NaN
+        entry turns the masked-out zero cotangent into 0*NaN=NaN.
+        """
+        strikes = jnp.asarray([90.0, 100.0, 110.0])
+        good = bsm.compute_bsm_vanilla_price(100.0, strikes, 0.5, 0.3, 'C')
+
+        def loss(f):
+            prices = jnp.asarray([5.0, good[1], good[2]])  # [0]: below intrinsic
+            vols = bsm.infer_bsm_implied_vol_fast(forward=f, ttm=0.5,
+                                                  strike=strikes,
+                                                  given_price=prices,
+                                                  optiontype='C')
+            nan_mask = jnp.isnan(vols)
+            clean = jnp.where(nan_mask, 0.0, vols)
+            return jnp.sum(jnp.where(nan_mask, 0.0, jnp.square(clean)))
+
+        g = float(jax.grad(loss)(100.0))
+        assert np.isfinite(g)

@@ -278,3 +278,36 @@ class TestVolBackboneFit:
             varswap_strikes=pd.Series([1.0, 1.0], index=[1.0 / 12.0, 2.0 / 12.0]))
         assert len(backbone) == 2
         assert np.all(backbone.to_numpy() > 0)
+
+
+class TestOnDeviceCalibration:
+    """fast_calibration: whole optimizer inside one jit (LM is the fast path)."""
+
+    @pytest.mark.slow
+    def test_lm_calibration_improves_fit(self, chain):
+        from stochvolmodels_tpu.models.logsv.fast_calibration import (
+            calibrate_logsv_lm_on_device)
+        params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=2.21, kappa2=2.21,
+                              beta=0.15, volvol=1.85)
+        fit, cost = calibrate_logsv_lm_on_device(
+            chain, params0, nb_iters=6, year_steps=120, use_float32=True)
+        assert np.isfinite(cost)
+        pricer = LogSVPricer()
+        ivols = pricer.compute_model_ivols_for_chain(option_chain=chain, params=fit)
+        ivols0 = pricer.compute_model_ivols_for_chain(option_chain=chain, params=params0)
+        mids = chain.get_mid_vols()
+        err = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols, mids)])
+        err0 = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols0, mids)])
+        assert err < err0          # strictly better than the start point
+        assert err < 0.02          # and close to the SLSQP optimum (~0.009)
+
+    @pytest.mark.slow
+    def test_lm_via_pricer_method_kwarg(self, chain):
+        pricer = LogSVPricer()
+        params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=2.21, kappa2=2.21,
+                              beta=0.15, volvol=1.85)
+        fit = pricer.calibrate_model_params_to_chain(
+            option_chain=chain, params0=params0,
+            model_calibration_type=LogsvModelCalibrationType.PARAMS5,
+            method='lm', nb_iters=6, year_steps=120)
+        assert np.isfinite(fit.sigma0) and 0.1 <= fit.sigma0 <= 1.5

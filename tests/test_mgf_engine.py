@@ -121,3 +121,35 @@ class TestPdfThroughMgf:
         sd = vol * np.sqrt(ttm)
         expected = dx * np.exp(-0.5 * ((x - mu) / sd) ** 2) / (sd * np.sqrt(2 * np.pi))
         np.testing.assert_allclose(pdf, expected, atol=1e-6)
+
+
+class TestDigitalThroughMgf:
+    def test_bsm_digital_calls(self):
+        import stochvolmodels_tpu.ops.bsm as bsm_mod
+        ttm, vol, forward = 0.5, 0.4, 1.0
+        strikes = np.linspace(0.7, 1.4, 8)
+        types = np.full(8, 'C')
+        phi_grid = mgf.get_phi_grid(is_spot_measure=True,
+                                    vol_scaler=vol * np.sqrt(1.0 / 12.0))
+        log_mgf = bsm_log_mgf(phi_grid, ttm, vol)
+        prices = np.asarray(mgf.digital_prices_with_mgf_grid(
+            log_mgf_grid=log_mgf, phi_grid=phi_grid, forwards=forward,
+            strikes=strikes, optiontypes=types, real_phi_negative=True))
+        expected = np.asarray(bsm_mod.compute_bsm_digital_price(
+            forward, strikes, ttm, vol, types))
+        np.testing.assert_allclose(prices, expected, atol=1e-6)
+
+    def test_bsm_digital_puts(self):
+        import stochvolmodels_tpu.ops.bsm as bsm_mod
+        ttm, vol, forward = 0.5, 0.4, 1.0
+        strikes = np.linspace(0.7, 1.4, 8)
+        types = np.full(8, 'P')
+        phi_grid = mgf.get_phi_grid(is_spot_measure=True,
+                                    vol_scaler=vol * np.sqrt(1.0 / 12.0))
+        log_mgf = bsm_log_mgf(phi_grid, ttm, vol)
+        prices = np.asarray(mgf.digital_prices_with_mgf_grid(
+            log_mgf_grid=log_mgf, phi_grid=phi_grid, forwards=forward,
+            strikes=strikes, optiontypes=types, real_phi_negative=True))
+        expected = np.asarray(bsm_mod.compute_bsm_digital_price(
+            forward, strikes, ttm, vol, types))
+        np.testing.assert_allclose(prices, expected, atol=1e-6)
