@@ -14,6 +14,23 @@ from typing import Callable, Tuple, Union
 import numpy as np
 
 
+def _call_padded(ff: Callable, x_k: np.ndarray) -> np.ndarray:
+    """evaluate ff on a power-of-two-padded node batch.
+
+    The refinement loop produces batches of many different lengths
+    (1, n1, n2, 2*n1, ...); each distinct length would recompile the
+    jitted batched MGF solve behind ``ff``.  Padding to the next power of
+    two (repeating the last node) bounds the compile count at
+    log2(max batch), and the duplicate rows are sliced off after.
+    """
+    n = x_k.shape[0]
+    m = 1 << max(n - 1, 0).bit_length()
+    if m != n:
+        x_k = np.concatenate([x_k, np.full(m - n, x_k[-1])])
+    out = np.asarray(ff(x_k))
+    return out[:n]
+
+
 def func(ff: Callable, x: Union[float, np.ndarray]) -> np.ndarray:
     """weighted integrand terms w_k f(x_k) of the tanh-sinh scheme
     (double_exp_pricer.py:75-88)."""
@@ -26,7 +43,7 @@ def func(ff: Callable, x: Union[float, np.ndarray]) -> np.ndarray:
     exp_sinh_x = np.exp(half_pi * sinh_x)
     w_k = half_pi * cosh_x * exp_sinh_x
     x_k = exp_sinh_x
-    return (np.asarray(ff(x_k)).T * w_k).T
+    return (_call_padded(ff, x_k).T * w_k).T
 
 
 def part_sum(ff: Callable, h2: float, delta: int, N: int) -> np.ndarray:

@@ -26,7 +26,8 @@ from scipy.optimize import minimize
 from stochvolmodels_tpu.config import VariableType
 from stochvolmodels_tpu.data.option_chain import ChainGrid, OptionChain
 from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer
-from stochvolmodels_tpu.ops import bsm, mgf
+from stochvolmodels_tpu.ops import bsm
+from stochvolmodels_tpu.ops import lm, mgf
 from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
 from stochvolmodels_tpu.ops.random import key_from_seed, step_normals
 from stochvolmodels_tpu.utils.cplx import Cplx, cexp, clog, csqrt
@@ -291,6 +292,9 @@ class HestonPricer(ModelPricer):
         float32 — v5e has no native f64."""
         if use_float32 is None:
             use_float32 = jax.devices()[0].platform != "cpu"
+        method = kwargs.pop('method', 'slsqp')
+        if method not in ('slsqp', 'lm'):
+            raise ValueError(f"method must be 'slsqp' or 'lm', got {method!r}")
         if params0 is not None:
             p0 = params0.to_array()
         else:
@@ -317,6 +321,20 @@ class HestonPricer(ModelPricer):
         # heston_pricer.py:221 via logsv_pricer.py:194-203)
         vol_scaler = float(np.minimum(0.3, np.sqrt(p0[0] * option_chain.ttms[0])))
 
+        if method == 'lm':
+            # on-device Levenberg-Marquardt: the whole fit in one jit
+            # dispatch (ops/lm.py); Feller enters as a penalty residual
+            dtype = jnp.float32 if use_float32 else jnp.float64
+            best, _ = _heston_lm_run(
+                jnp.asarray(p0, dtype=dtype), grid,
+                market_vols.astype(dtype), jnp.sqrt(weights).astype(dtype),
+                jnp.asarray([b[0] for b in bounds], dtype=dtype),
+                jnp.asarray([b[1] for b in bounds], dtype=dtype),
+                jnp.asarray(vol_scaler, dtype=dtype),
+                nb_iters=kwargs.pop('nb_iters', 16), use_float32=use_float32)
+            best = np.asarray(best, dtype=np.float64)
+            return HestonParams(v0=best[0], theta=best[1], kappa=best[2],
+                                rho=best[3], volvol=best[4])
         loss = partial(_heston_calibration_objective, grid=grid,
                        market_vols=market_vols, weights=weights,
                        vol_scaler=vol_scaler)
@@ -343,6 +361,40 @@ class HestonPricer(ModelPricer):
                        constraints=constraints, bounds=bounds, options=options)
         v0, theta, kappa, rho, volvol = res.x
         return HestonParams(v0=v0, theta=theta, kappa=kappa, rho=rho, volvol=volvol)
+
+
+
+@partial(jax.jit, static_argnames=("nb_iters", "use_float32"))
+def _heston_lm_run(p0, grid, market, sqrtw, lower, upper, vol_scaler, *,
+                   nb_iters, use_float32):
+    """whole Heston LM fit in one dispatch; see ops/lm.py."""
+    def _run():
+        def residuals(pars):
+            v0, theta, kappa, rho, volvol = (pars[0], pars[1], pars[2],
+                                             pars[3], pars[4])
+            prices = heston_chain_price_grid(grid, v0=v0, theta=theta,
+                                             kappa=kappa, volvol=volvol,
+                                             rho=rho, vol_scaler=vol_scaler)
+            vols = bsm.infer_bsm_implied_vol_fast(
+                forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+                strike=grid.strikes, given_price=prices,
+                discfactor=grid.discfactors[:, None],
+                optiontype=grid.optioncodes)
+            nan_mask = jnp.isnan(vols)
+            clean = jnp.where(nan_mask, market, vols)
+            r = (sqrtw * (clean - market)).ravel()
+            # Feller inequality 2*kappa*theta >= volvol^2 as a one-sided
+            # penalty residual (the SLSQP path enforces it as an SLSQP
+            # inequality constraint)
+            feller = jnp.maximum(volvol * volvol - 2.0 * kappa * theta, 0.0)
+            return jnp.concatenate([r, jnp.sqrt(10.0) * feller[None]])
+
+        return lm.lm_minimize(residuals, p0, lower, upper, nb_iters=nb_iters)
+
+    if use_float32:
+        with jax.enable_x64(False):
+            return _run()
+    return _run()
 
 
 def _pad_like(ragged, grid: ChainGrid) -> Tuple[np.ndarray, np.ndarray]:

@@ -36,6 +36,7 @@ from stochvolmodels_tpu.models.logsv.pricer import (
     use_float32_default,
 )
 from stochvolmodels_tpu.ops import bsm
+from stochvolmodels_tpu.ops.lm import lm_minimize
 
 Array = jnp.ndarray
 
@@ -174,32 +175,6 @@ class _nullcontext:
         return False
 
 
-def _cg_solve(A, b, iters: int = 8):
-    """conjugate-gradient solve for a tiny SPD system (exact in dim steps).
-
-    jnp.linalg.solve lowers to an LU custom call that is disproportionately
-    slow on TPU for a 5x5 system inside a fori_loop; CG is pure XLA ops.
-    """
-    x = jnp.zeros_like(b)
-    r = b
-    p = r
-    rs = r @ r
-
-    def body(_, st):
-        x, r, p, rs = st
-        Ap = A @ p
-        alpha = rs / jnp.maximum(p @ Ap, 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = r @ r
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = r + beta * p
-        return x, r, p, rs_new
-
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
-    return x
-
-
 @_partial(jax.jit, static_argnames=("ttms_static", "year_steps", "nb_iters",
                                     "constraints_type", "use_float32"))
 def _lm_run(p0, grid, market, sqrtw, lower, upper, vol_scaler, *,
@@ -239,36 +214,7 @@ def _lm_run(p0, grid, market, sqrtw, lower, upper, vol_scaler, *,
                 r = jnp.concatenate([r, jnp.stack(pen)])
             return r
 
-        def r_and_jac(p):
-            # jacfwd: 5 tangent columns through one batched forward pass —
-            # far cheaper than jacrev's one-cotangent-per-quote batch; the
-            # implied-vol core is a custom_jvp so forward mode is exact
-            return residuals(p), jax.jacfwd(residuals)(p)
-
-        def body(_, state):
-            pars, lam, best_pars, best_cost = state
-            r, J = r_and_jac(pars)
-            cost = jnp.sum(r * r)
-            g = J.T @ r
-            JTJ = J.T @ J
-            # scale-invariant damping (Marquardt): lambda * diag(JTJ)
-            D = jnp.diag(jnp.maximum(jnp.diagonal(JTJ), 1e-10))
-            step = _cg_solve(JTJ + lam * D + 1e-12 * jnp.eye(5, dtype=pars.dtype), -g)
-            cand = jnp.clip(pars + step, lower, upper)
-            new_cost = jnp.sum(jnp.square(residuals(cand)))
-            accept = new_cost < cost
-            pars = jnp.where(accept, cand, pars)
-            lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-8),
-                            jnp.minimum(lam * 4.0, 1e6))
-            better = new_cost < best_cost
-            best_pars = jnp.where(better, cand, best_pars)
-            best_cost = jnp.where(better, new_cost, best_cost)
-            return pars, lam, best_pars, best_cost
-
-        init = (p0, jnp.asarray(1e-2, dtype=p0.dtype), p0,
-                jnp.sum(jnp.square(residuals(p0))))
-        _, _, best_pars, best_cost = jax.lax.fori_loop(0, nb_iters, body, init)
-        return best_pars, best_cost
+        return lm_minimize(residuals, p0, lower, upper, nb_iters=nb_iters)
 
 
 def calibrate_logsv_lm_on_device(option_chain: OptionChain,

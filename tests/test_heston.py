@@ -144,3 +144,27 @@ class TestCalibration:
         mids = chain.get_mid_vols()
         err = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols, mids)])
         assert err < 0.05  # mean abs IV error under 5 vol points
+
+
+class TestOnDeviceCalibration:
+    def test_lm_calibration_improves_fit(self, chain):
+        pricer = HestonPricer()
+        params0 = HestonParams(v0=0.8, theta=1.0, kappa=2.0, rho=0.1, volvol=1.5)
+        fit = pricer.calibrate_model_params_to_chain(
+            option_chain=chain, params0=params0, method='lm', nb_iters=10,
+            use_float32=True)
+        ivols = pricer.compute_model_ivols_for_chain(option_chain=chain, params=fit)
+        ivols0 = pricer.compute_model_ivols_for_chain(option_chain=chain, params=params0)
+        mids = chain.get_mid_vols()
+        err = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols, mids)])
+        err0 = np.nanmean([np.nanmean(np.abs(iv - m)) for iv, m in zip(ivols0, mids)])
+        assert err < err0
+        assert err < 0.05
+        # Feller penalty keeps the fit on the feasible side (or close)
+        assert 2.0 * fit.kappa * fit.theta - fit.volvol ** 2 > -0.5
+
+    def test_lm_rejects_unknown_method(self, chain):
+        pricer = HestonPricer()
+        with pytest.raises(ValueError):
+            pricer.calibrate_model_params_to_chain(
+                option_chain=chain, params0=None, method='nope')
