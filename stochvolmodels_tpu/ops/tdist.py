@@ -81,12 +81,17 @@ def cum_mean_tdist(x, mu=0.0, vol=0.2, nu=3.0, ttm=0.25) -> Array:
             + upsilon * norm * jnp.power(1.0 + jnp.square(z) / nu, -0.5 * (nu - 1.0)))
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nb_iters",))
 def imply_drift_tdist(rf_rate=0.0, vol=0.2, nu=3.0, ttm=0.25,
                       nb_iters: int = 50) -> Array:
     """risk-neutral drift mu solving the martingale condition (tdist.py:70-82).
 
     Fixed-iteration Newton (differentiable); the reference uses scipy fsolve
-    with xtol 1e-10 — Newton converges far past that here.
+    with xtol 1e-10 — Newton converges far past that here. Jitted at module
+    level so repeated scalar calls (term-structure sweeps) hit the cache.
     """
     rf_return = jnp.exp(rf_rate * ttm) - 1.0
 
@@ -111,6 +116,7 @@ def imply_drift_tdist(rf_rate=0.0, vol=0.2, nu=3.0, ttm=0.25,
     return jax.lax.fori_loop(0, nb_iters, body, mu0)
 
 
+@jax.jit
 def compute_default_prob_tdist(ttm, vol, nu=4.5, rf_rate=0.0) -> Array:
     """P(terminal return <= -1) under the risk-neutral drift (tdist.py:85-96)."""
     risk_neutral_mu = imply_drift_tdist(rf_rate=rf_rate, vol=vol, nu=nu, ttm=ttm)
@@ -118,6 +124,7 @@ def compute_default_prob_tdist(ttm, vol, nu=4.5, rf_rate=0.0) -> Array:
     return cdf_tdist(x=x_star, mu=0.0, vol=vol, nu=nu, ttm=ttm)
 
 
+@jax.jit
 def compute_forward_tdist(spot, ttm, vol, nu=4.5, rf_rate=0.0) -> Array:
     """forward with the default barrier (tdist.py:99-113)."""
     risk_neutral_mu = imply_drift_tdist(rf_rate=rf_rate, vol=vol, nu=nu, ttm=ttm)
@@ -138,6 +145,14 @@ def compute_vanilla_price_tdist(spot,
                                 ) -> Array:
     """vanilla prices under the Student-t terminal law (tdist.py:116-157);
     vectorized over strikes/optiontypes."""
+    return _vanilla_price_tdist_core(
+        spot, jnp.asarray(strikes), ttm, vol, nu, _is_call(optiontypes),
+        rf_rate, is_compute_risk_neutral_mu)
+
+
+@partial(jax.jit, static_argnames=("is_compute_risk_neutral_mu",))
+def _vanilla_price_tdist_core(spot, strikes, ttm, vol, nu, is_call, rf_rate,
+                              is_compute_risk_neutral_mu):
     discfactor = jnp.exp(-rf_rate * ttm)
     if is_compute_risk_neutral_mu:
         risk_neutral_mu = imply_drift_tdist(rf_rate=rf_rate, vol=vol, nu=nu, ttm=ttm)
@@ -145,9 +160,6 @@ def compute_vanilla_price_tdist(spot,
         risk_neutral_mu = rf_rate
     spot_star = spot * (1.0 + risk_neutral_mu * ttm)
     x_lower_bound = -1.0 - risk_neutral_mu * ttm
-
-    strikes = jnp.asarray(strikes)
-    is_call = _is_call(optiontypes)
     y = strikes / spot - (1.0 + risk_neutral_mu * ttm)
     c_y = cdf_tdist(x=y, mu=0.0, vol=vol, nu=nu, ttm=ttm)
     h_y = cum_mean_tdist(x=y, mu=0.0, vol=vol, nu=nu, ttm=ttm)
