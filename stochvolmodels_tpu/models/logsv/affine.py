@@ -168,7 +168,8 @@ def solve_a_ode_grid(ttm: float,
                      vol_backbone_eta=1.0,
                      nb_steps: Optional[int] = None,
                      year_steps: int = 720,
-                     unroll: int = 4
+                     unroll: int = 4,
+                     warmup_scale: Optional[float] = None
                      ) -> Cplx:
     """advance A over [0, ttm] for the whole grid by fixed-step RK4.
 
@@ -176,10 +177,36 @@ def solve_a_ode_grid(ttm: float,
     Replaces the reference's per-point solve_ivp loop
     (affine_expansion.py:491-529) and its daily-stepped fixed-point scheme
     (:306-384) with one batched integrator.
+
+    ``warmup_scale``: stiffness scale of the initial transient (≈ vartheta2 ·
+    max|A(0)|).  Non-zero A(0) (the SIGMA density path seeds A^(1)(0) = -Θ
+    with |Θ| up to 600, get_init_conditions_a) decays on a 1/warmup_scale
+    timescale that a uniform grid cannot resolve; a geometric dt ramp from
+    0.1/warmup_scale up to the uniform step tracks the decaying stiffness
+    (the reference leans on scipy's adaptive RK45/BDF for this,
+    affine_expansion.py:229-303).
     """
     if nb_steps is None:
         nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
     dt = float(ttm) / nb_steps
+
+    if warmup_scale is not None and warmup_scale * dt > 0.2:
+        # dt ∝ elapsed time tracks the 1/t decay of the Riccati transient's
+        # stiffness (|A(t)| ~ 1/(c t) ⇒ stable dt ~ t); 0.05·t keeps a 20x
+        # safety margin for the higher-order quadratic couplings
+        warmup_dts = []
+        d, t_acc = 0.01 / warmup_scale, 0.0
+        while d < dt and t_acc + d < 0.5 * float(ttm):
+            warmup_dts.append(d)
+            t_acc += d
+            d = max(d, 0.05 * t_acc)
+        rem = float(ttm) - t_acc
+        nb_uniform = max(int(np.ceil(rem / dt)), 16)
+        dts = np.concatenate([np.asarray(warmup_dts),
+                              np.full(nb_uniform, rem / nb_uniform)])
+        return _solve_a_ode_grid_dts(dts, theta, kappa1, kappa2, beta, volvol,
+                                     phi_grid, psi_grid, a_t0, is_spot_measure,
+                                     expansion_order, vol_backbone_eta, unroll)
 
     M, L0, L1, h = func_a_ode_quadratic_terms(
         theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
@@ -217,6 +244,61 @@ def solve_a_ode_grid(ttm: float,
         rk4_step, (jnp.where(dead0, cap, a_t0.re),
                    jnp.where(dead0, 0.0, a_t0.im), dead0),
         None, length=nb_steps, unroll=unroll)
+    return Cplx(a_re, a_im)
+
+
+_DTS_CHUNK = 16384
+
+
+def _solve_a_ode_grid_dts(dts: np.ndarray, theta, kappa1, kappa2, beta,
+                          volvol, phi_grid: Cplx, psi_grid: Cplx, a_t0: Cplx,
+                          is_spot_measure: bool,
+                          expansion_order: ExpansionOrder,
+                          vol_backbone_eta, unroll: int) -> Cplx:
+    """RK4 over an explicit (possibly non-uniform) step schedule; same
+    divergence-freeze semantics as solve_a_ode_grid.
+
+    Grids beyond ~20k lanes are chunked host-side: a single xs-scan program
+    at (40000, 5) f64 reproducibly crashes the TPU worker (observed on v5e
+    via the axon tunnel), while <=20k-lane programs run fine.
+    """
+    n_lanes = phi_grid.re.shape[0]
+    if n_lanes > _DTS_CHUNK:
+        outs = []
+        for lo in range(0, n_lanes, _DTS_CHUNK):
+            hi = min(lo + _DTS_CHUNK, n_lanes)
+            sl = slice(lo, hi)
+            outs.append(_solve_a_ode_grid_dts(
+                dts, theta, kappa1, kappa2, beta, volvol,
+                Cplx(phi_grid.re[sl], phi_grid.im[sl]),
+                Cplx(psi_grid.re[sl], psi_grid.im[sl]),
+                Cplx(a_t0.re[sl], a_t0.im[sl]),
+                is_spot_measure, expansion_order, vol_backbone_eta, unroll))
+        return Cplx(jnp.concatenate([o.re for o in outs]),
+                    jnp.concatenate([o.im for o in outs]))
+    M, L0, L1, h = func_a_ode_quadratic_terms(
+        theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+        is_spot_measure=is_spot_measure, expansion_order=expansion_order,
+        vol_backbone_eta=vol_backbone_eta)
+    L, H = build_grid_ode_terms(M, L0, L1, h, phi_grid, psi_grid, is_spot_measure)
+    cap = 1e3 if jnp.result_type(a_t0.re) == jnp.float32 else 1e6
+
+    def rk4_step(carry, dt):
+        a_re, a_im, dead = carry
+        A = Cplx(a_re, a_im)
+        k1 = _ode_rhs(A, M, L, H)
+        k2 = _ode_rhs(A + k1 * (0.5 * dt), M, L, H)
+        k3 = _ode_rhs(A + k2 * (0.5 * dt), M, L, H)
+        k4 = _ode_rhs(A + k3 * dt, M, L, H)
+        A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
+        bad = dead | ~(jnp.abs(A1.re) < cap) | ~(jnp.abs(A1.im) < cap)
+        return (jnp.where(bad, cap, A1.re), jnp.where(bad, 0.0, A1.im), bad), None
+
+    dead0 = ~(jnp.abs(a_t0.re) < cap) | ~(jnp.abs(a_t0.im) < cap)
+    (a_re, a_im, _), _ = jax.lax.scan(
+        rk4_step, (jnp.where(dead0, cap, a_t0.re),
+                   jnp.where(dead0, 0.0, a_t0.im), dead0),
+        jnp.asarray(dts), unroll=unroll)
     return Cplx(a_re, a_im)
 
 
@@ -390,13 +472,35 @@ def compute_logsv_a_mgf_grid(ttm: float,
         a_t0 = get_init_conditions_a(phi_grid=phi_grid, psi_grid=psi_grid,
                                      theta_grid=theta_grid, n_terms=n_terms,
                                      variable_type=variable_type)
+    warmup_scale = None
+    if variable_type in (VariableType.SIGMA, VariableType.Q_VAR):
+        # SIGMA seeds A^(1)(0) = -Theta (|Theta| up to 600); Q_VAR forces the
+        # Riccati with -2psi (|psi| up to 4000).  Both transients are stiff on
+        # a ~1/(vartheta2 * max|transform|) timescale that the uniform grid
+        # cannot resolve.  Traced params fall back to the uniform grid (the
+        # pdf/QVAR pricing paths pass concrete floats).
+        try:
+            grid_span = theta_grid.im if variable_type == VariableType.SIGMA \
+                else psi_grid.im
+            span = float(np.max(np.abs(np.asarray(grid_span))) + 1.0)
+            vartheta2 = float(beta) ** 2 + float(volvol) ** 2
+            warmup_scale = max(vartheta2, float(kappa1) + float(kappa2)) * span
+            if variable_type == VariableType.Q_VAR and nb_steps is None:
+                # the Q_VAR Riccati keeps oscillating at amplitude ~ sqrt(psi)
+                # (no 1/t decay), so the uniform step must shrink ~ 1/sqrt(psi):
+                # empirically dt = 1/720 is stable to |psi| ~ 1000 — scale from
+                # there with a 2x margin
+                year_steps_eff = int(720 * max(1.0, 2.0 * np.sqrt(span / 1000.0)))
+                nb_steps = max(int(np.ceil(year_steps_eff * float(ttm))), 16)
+        except (TypeError, jax.errors.TracerArrayConversionError):
+            warmup_scale = None
     a_t1 = solve_a_ode_grid(ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
                             beta=beta, volvol=volvol,
                             phi_grid=phi_grid, psi_grid=psi_grid, a_t0=a_t0,
                             is_spot_measure=is_spot_measure,
                             expansion_order=expansion_order,
                             vol_backbone_eta=vol_backbone_eta,
-                            nb_steps=nb_steps)
+                            nb_steps=nb_steps, warmup_scale=warmup_scale)
     y = sigma0 - theta
     if expansion_order == ExpansionOrder.FIRST:
         ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y * y])

@@ -126,7 +126,12 @@ def compute_bsm_vanilla_delta(ttm, forward, strike, vol, optiontype,
 
 compute_bsm_vanilla_delta_vector = compute_bsm_vanilla_delta
 compute_bsm_vanilla_slice_deltas = compute_bsm_vanilla_delta
-compute_bsm_vanilla_grid_deltas = compute_bsm_vanilla_delta
+def compute_bsm_vanilla_grid_deltas(ttm, forwards, strike, vol, optiontype,
+                                    discfactor=1.0) -> Array:
+    """deltas over a grid of forwards at one strike (bsm.py:215-245)."""
+    return compute_bsm_vanilla_delta(forward=forwards, strike=strike, ttm=ttm,
+                                     vol=vol, optiontype=optiontype,
+                                     discfactor=discfactor)
 
 
 def compute_bsm_vanilla_vega(ttm, forward, strike, vol, optiontype=None) -> Array:

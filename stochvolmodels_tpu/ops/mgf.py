@@ -197,8 +197,23 @@ def vanilla_prices_with_mgf_grid(log_mgf_grid: Cplx,
     return jnp.where(is_call, call_px, put_px)
 
 
-# alias matching the reference name
-vanilla_slice_pricer_with_mgf_grid = vanilla_prices_with_mgf_grid
+def vanilla_slice_pricer_with_mgf_grid(log_mgf_grid: Cplx,
+                                       phi_grid: Cplx,
+                                       forward,
+                                       strikes,
+                                       optiontypes,
+                                       discfactor=1.0,
+                                       is_spot_measure: bool = True,
+                                       is_simpson: bool = True) -> Array:
+    """single-slice entry matching the reference signature
+    (mgf_pricer.py:135-144); the payoff-kernel branch is detected from the
+    (concrete) grid's real part as the reference does at runtime."""
+    re0 = float(np.asarray(phi_grid.re).ravel()[0])
+    return vanilla_prices_with_mgf_grid(
+        log_mgf_grid=log_mgf_grid, phi_grid=phi_grid, forwards=forward,
+        strikes=strikes, optiontypes=optiontypes, discfactors=discfactor,
+        is_spot_measure=is_spot_measure, is_simpson=is_simpson,
+        real_phi_is_half=abs(abs(re0) - 0.5) < 1e-12)
 
 
 def slice_pricer_with_mgf_grid_with_gamma(log_mgf_grid: Cplx,
@@ -281,7 +296,20 @@ def digital_prices_with_mgf_grid(log_mgf_grid: Cplx,
     return df * price
 
 
-digital_slice_pricer_with_mgf_grid = digital_prices_with_mgf_grid
+def digital_slice_pricer_with_mgf_grid(log_mgf_grid: Cplx,
+                                       phi_grid: Cplx,
+                                       forward,
+                                       strikes,
+                                       optiontypes,
+                                       discfactor=1.0,
+                                       is_simpson: bool = True) -> Array:
+    """single-slice entry matching the reference signature
+    (mgf_pricer.py:185-194)."""
+    re0 = float(np.asarray(phi_grid.re).ravel()[0])
+    return digital_prices_with_mgf_grid(
+        log_mgf_grid=log_mgf_grid, phi_grid=phi_grid, forwards=forward,
+        strikes=strikes, optiontypes=optiontypes, discfactors=discfactor,
+        is_simpson=is_simpson, real_phi_negative=re0 < 0.0)
 
 
 def qvar_prices_with_mgf_grid(log_mgf_grid: Cplx,

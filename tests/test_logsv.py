@@ -216,6 +216,26 @@ class TestQvarAndPdfs:
                          variable_type=VariableType.SIGMA)
         assert 0.9 < np.sum(pdf) < 1.1
 
+    def test_stiff_pdfs_all_variables(self):
+        """high-volvol paper params (vartheta2 ~ 5.7) make the SIGMA/Q_VAR
+        transform ODEs stiff: the SIGMA seed A^(1)(0) = -Theta (|Theta| to
+        600) and the Q_VAR forcing -2psi (|psi| to 4000) both exploded the
+        uniform-step RK4 before the graded-warmup schedule (affine.py
+        solve_a_ode_grid warmup_scale)."""
+        params = LogSvParams(sigma0=0.8327, theta=1.0139, kappa1=4.8609,
+                             kappa2=4.7940, beta=0.1988, volvol=2.3694)
+        ttm = 0.25
+        for vt, lo, hi in ((VariableType.SIGMA, 0.95, 1.05),
+                           (VariableType.Q_VAR, 0.95, 1.05)):
+            grid = params.get_variable_space_grid(variable_type=vt, ttm=ttm,
+                                                  n=200, n_stdevs=4.5)
+            pdf = logsv_pdfs(params=params, ttm=ttm, space_grid=grid,
+                             variable_type=vt)
+            mass = float(np.nansum(pdf))
+            assert lo < mass < hi, f"{vt}: mass={mass}"
+            mean = float(np.nansum(pdf * grid) / mass)
+            assert 0.5 < mean < 1.5, f"{vt}: mean={mean}"
+
 
 class TestCalibration:
     def test_gradient_flows(self, chain):
