@@ -1,0 +1,137 @@
+"""
+Smoke tests for the paper-reproduction suite (papers/): the cheap, CPU-only
+modules run end-to-end so syntax or API drift in papers/ fails CI. The
+heavy calibration/MC figures are exercised manually (they are scripts, not
+library surface).
+"""
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+import seaborn as sns
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+def test_vol_drift_figure():
+    from papers.logsv_model_with_quadratic_drift import vol_drift
+    with sns.axes_style("darkgrid"):
+        _, axs = plt.subplots(1, 2)
+    vol_drift.plot_drift(axs=axs)
+
+
+def test_admissible_regions():
+    from papers.logsv_model_with_quadratic_drift import compare_admis_reg
+    fig = compare_admis_reg.plot_admissible_regions()
+    assert fig is not None
+
+
+def test_steady_state_moments():
+    from papers.logsv_model_with_quadratic_drift import steady_state_pdf as ssp
+    p = list(ssp.SS_PDF_PARAMS.values())[1]
+    sigma = np.linspace(1e-5, 12, 100000)
+    g = ssp.steady_state(sigma, p)
+    np.testing.assert_allclose(np.trapezoid(g, sigma), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.trapezoid(g * sigma, sigma),
+                               ssp.vol_moment(p, 1), atol=1e-6)
+    assert np.isfinite(ssp.vol_skewness(p))
+    assert ssp.excess_kurtosis(p, kappa2=4.0) > 0.0
+
+
+def test_q_kernel_valuation():
+    from papers.risk_premia_gmm import q_kernel
+    x = np.linspace(-5.0, 5.0, 5000)
+    pdf = q_kernel.compute_normal_pdf(x)
+    np.testing.assert_allclose(np.sum(pdf), 1.0, atol=1e-6)
+    # kernel-normalized forward prices correctly
+    fwd = q_kernel.value_under_q_kernel(b=0.25, pdf=pdf, x=x, payoff=np.exp(x))
+    np.testing.assert_allclose(fwd, 1.0, atol=1e-3)
+
+
+def test_pricing_kernels_plot():
+    from papers.risk_premia_gmm import check_kernel
+    check_kernel.plot_kernels()
+
+
+def test_gmm_risk_premia_increasing_in_kappa():
+    from papers.risk_premia_gmm.gmm_slides import compute_risk_premia
+    from stochvolmodels_tpu import GmmParams
+    params = GmmParams(gmm_weights=np.array([0.3, 0.5, 0.2]),
+                       gmm_mus=np.array([-0.5, 0.0, 0.4]),
+                       gmm_vols=np.array([0.5, 0.3, 0.4]), ttm=0.25)
+    rps = [compute_risk_premia(params, kappa=k) for k in (0.5, 1.5, 3.0)]
+    assert rps[0] < rps[1] < rps[2]
+
+
+def test_fit_kappa_recovers_sign():
+    from papers.risk_premia_gmm.gmm_slides import fit_kappa
+    rng = np.random.default_rng(3)
+    returns = pd.Series(0.001 + 0.01 * rng.standard_normal(3000))
+    assert fit_kappa(returns) > 0.0
+
+
+def test_inverse_options_net_delta():
+    from papers.inverse_options.compare_net_delta import compare_net_deltas, compare_pnl
+    _, axs = plt.subplots(1, 2)
+    compare_net_deltas(ttm=14 / 365, forward=62000.0, vol=0.6, ax=axs[0])
+    compare_pnl(ttm=14 / 365, forward=62000.0, vol=0.6, ax=axs[1])
+
+
+def test_volatility_models_synthetic_pipeline():
+    from papers.volatility_models import autocorr_fit as acf
+    from papers.volatility_models import ss_distribution_fit as ssd
+    from papers.volatility_models.load_data import get_synthetic_vol
+    from papers.volatility_models.vol_beta import estimate_vol_beta
+    vol, rets = get_synthetic_vol("SPY", nb_days=1500)
+    p = ssd.fit_distribution_log_sv(vol)
+    assert 0.05 < p.theta < 1.0
+    alpha, c = acf.fit_autocorr_power(vol, num_lags=30)
+    assert -0.5 <= alpha <= 0.5
+    beta = estimate_vol_beta(vol, rets)
+    assert np.isfinite(beta.iloc[-1])
+
+
+def test_path_autocorr_white_noise():
+    from papers.volatility_models.autocorr_fit import compute_path_autocorr
+    rng = np.random.default_rng(0)
+    acf = compute_path_autocorr(rng.standard_normal(20000), num_lags=5)
+    assert acf[0] == 1.0
+    assert np.all(np.abs(acf[1:]) < 0.05)
+
+
+def test_sabr_refit_roundtrip():
+    from papers.sv_for_factor_hjm import calibration_fig_8_9 as f89
+    chain = f89.get_futures_data()
+    refit, calib = f89.refit_to_sabr(chain)
+    assert np.all(calib["alpha"] > 0)
+    assert np.all(np.abs(calib["rho"]) < 1.0)
+    assert all(np.all(np.isfinite(iv)) and np.all(iv > 0)
+               for iv in refit.ivs_call_ttms)
+
+
+def test_il_sqrt_claim_vs_lognormal():
+    from papers.il_hedging.run_logsv_for_il_payoff import (
+        _to_complex,
+        square_root_payoff_pricer_with_mgf_grid,
+    )
+    from scipy.stats import norm
+    from stochvolmodels_tpu import get_transform_var_grid
+    vol, ttm, F, pa, pb = 0.6, 10 / 365, 2200.0, 2000.0, 2400.0
+    phi_c = get_transform_var_grid(vol_scaler=vol * np.sqrt(ttm), real_phi=-0.4)[0]
+    phi = _to_complex(phi_c)
+    log_mgf = 0.5 * phi * (phi + 1.0) * vol * vol * ttm
+    got = square_root_payoff_pricer_with_mgf_grid(log_mgf_grid=log_mgf, phi_grid=phi,
+                                                  forward=F, pa=pa, pb=pb)
+    v = vol * np.sqrt(ttm)
+    za = (np.log(pa / F) + 0.5 * v * v) / v
+    zb = (np.log(pb / F) + 0.5 * v * v) / v
+    want = np.sqrt(F) * np.exp(-v * v / 8) * (norm.cdf(zb - 0.5 * v) - norm.cdf(za - 0.5 * v))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
