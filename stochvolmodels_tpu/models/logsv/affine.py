@@ -479,21 +479,27 @@ def compute_logsv_a_mgf_grid(ttm: float,
         # a ~1/(vartheta2 * max|transform|) timescale that the uniform grid
         # cannot resolve.  Traced params fall back to the uniform grid (the
         # pdf/QVAR pricing paths pass concrete floats).
+        grid_span = theta_grid.im if variable_type == VariableType.SIGMA \
+            else psi_grid.im
+        # the transform grids are static constants, concrete even under a jit
+        # trace of the params
+        span = float(np.max(np.abs(np.asarray(grid_span))) + 1.0)
         try:
-            grid_span = theta_grid.im if variable_type == VariableType.SIGMA \
-                else psi_grid.im
-            span = float(np.max(np.abs(np.asarray(grid_span))) + 1.0)
             vartheta2 = float(beta) ** 2 + float(volvol) ** 2
-            warmup_scale = max(vartheta2, float(kappa1) + float(kappa2)) * span
-            if variable_type == VariableType.Q_VAR and nb_steps is None:
-                # the Q_VAR Riccati keeps oscillating at amplitude ~ sqrt(psi)
-                # (no 1/t decay), so the uniform step must shrink ~ 1/sqrt(psi):
-                # empirically dt = 1/720 is stable to |psi| ~ 1000 — scale from
-                # there with a 2x margin
-                year_steps_eff = int(720 * max(1.0, 2.0 * np.sqrt(span / 1000.0)))
-                nb_steps = max(int(np.ceil(year_steps_eff * float(ttm))), 16)
+            rate = max(vartheta2, float(kappa1) + float(kappa2))
         except (TypeError, jax.errors.TracerArrayConversionError):
-            warmup_scale = None
+            # traced params (jitted QVAR pricing path): conservative static
+            # bound — vartheta2 <= 40 covers volvol to ~6.3; extra warmup
+            # steps from overshooting cost O(100) RK4 steps only
+            rate = 40.0
+        warmup_scale = rate * span
+        if variable_type == VariableType.Q_VAR and nb_steps is None:
+            # the Q_VAR Riccati keeps oscillating at amplitude ~ sqrt(psi)
+            # (no 1/t decay), so the uniform step must shrink ~ 1/sqrt(psi):
+            # empirically dt = 1/720 is stable to |psi| ~ 1000 — scale from
+            # there with a 2x margin
+            year_steps_eff = int(720 * max(1.0, 2.0 * np.sqrt(span / 1000.0)))
+            nb_steps = max(int(np.ceil(year_steps_eff * float(ttm))), 16)
     a_t1 = solve_a_ode_grid(ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
                             beta=beta, volvol=volvol,
                             phi_grid=phi_grid, psi_grid=psi_grid, a_t0=a_t0,
