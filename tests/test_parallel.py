@@ -85,3 +85,38 @@ def test_sharded_gradient_through_mc():
     v, g = jax.jit(jax.value_and_grad(loss))(pars, x0, v0, q0)
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@requires_devices
+@pytest.mark.slow
+def test_lm_calibration_sweep_matches_single():
+    """8 perturbed BTC chains calibrate in one sharded dispatch; each result
+    matches the single-chain LM fit."""
+    import dataclasses
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    from stochvolmodels_tpu.models.logsv.fast_calibration import calibrate_logsv_lm_on_device
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.parallel.sweep import calibrate_logsv_lm_sweep
+
+    base = get_btc_test_chain_data()
+    scales = [0.95, 1.05]
+    chains = [dataclasses.replace(base,
+                                  bid_ivs=[s * iv for iv in base.bid_ivs],
+                                  ask_ivs=[s * iv for iv in base.ask_ivs])
+              for s in scales]
+    params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=2.21, kappa2=2.21,
+                          beta=0.15, volvol=1.85)
+    mesh = make_path_mesh()
+    results = calibrate_logsv_lm_sweep(chains, params0, nb_iters=6, mesh=mesh,
+                                       use_float32=False)
+    assert len(results) == len(chains)
+    single_fit, single_cost = calibrate_logsv_lm_on_device(
+        chains[0], params0, nb_iters=6, use_float32=False)
+    fit, cost = results[0]
+    np.testing.assert_allclose(cost, single_cost, rtol=1e-6)
+    np.testing.assert_allclose(
+        [fit.sigma0, fit.theta, fit.kappa1, fit.beta, fit.volvol],
+        [single_fit.sigma0, single_fit.theta, single_fit.kappa1,
+         single_fit.beta, single_fit.volvol], rtol=1e-6)
+    # vol-scaled chains fit to scaled sigma0
+    assert results[0][0].sigma0 < results[1][0].sigma0
