@@ -1,0 +1,27 @@
+"""
+Every example and paper module imports cleanly (all are __main__-guarded, so
+import executes no pricing). Guards the demo surface against API drift.
+"""
+import importlib
+import pathlib
+
+import matplotlib
+import pytest
+
+matplotlib.use("Agg")
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+
+EXAMPLES = sorted(p.stem for p in (ROOT / "examples").glob("*.py"))
+PAPERS = sorted(str(p.relative_to(ROOT))[:-3].replace("/", ".")
+                for p in (ROOT / "papers").rglob("*.py"))
+
+
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_imports(name):
+    importlib.import_module(f"examples.{name}")
+
+
+@pytest.mark.parametrize("name", PAPERS)
+def test_paper_module_imports(name):
+    importlib.import_module(name)
