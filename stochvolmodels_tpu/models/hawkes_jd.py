@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import asdict, dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -311,6 +313,7 @@ def hawkesjd_chain_pricer_with_risk_premia(model_params: HawkesJDParams,
 # Monte Carlo with intensity thinning
 # ----------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("ttm", "nb_steps_per_year"))
 def simulate_hawkesjd_terminal(key,
                                ttm: float,
                                x0: Array,
@@ -337,8 +340,8 @@ def simulate_hawkesjd_terminal(key,
     nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
     sdt = float(np.sqrt(dt))
     nb_path = x0.shape[0]
-    compensator_p_dt = dt * (np.exp(shift_p) / (1.0 - mean_p) - 1.0)
-    compensator_m_dt = dt * (np.exp(shift_m) / (1.0 - mean_m) - 1.0)
+    compensator_p_dt = dt * (jnp.exp(shift_p) / (1.0 - mean_p) - 1.0)
+    compensator_m_dt = dt * (jnp.exp(shift_m) / (1.0 - mean_m) - 1.0)
     drift_dt = (mu - 0.5 * sigma * sigma) * dt
 
     def step(carry, step_idx):

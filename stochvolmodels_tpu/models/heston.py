@@ -149,6 +149,7 @@ def heston_chain_price_grid(grid: ChainGrid,
 # Monte Carlo
 # ----------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("ttm", "nb_steps_per_year", "dtype"))
 def simulate_heston_terminal(key: jax.Array,
                              x0: Array,
                              var0: Array,
@@ -165,10 +166,12 @@ def simulate_heston_terminal(key: jax.Array,
 
     ttm must be concrete (static step count).  State arrays are (nb_path,).
     Per-step normals are derived from ``key`` by folding in the step index.
+    Jitted with the model params traced, so repricing over perturbed params
+    reuses one compiled program per (ttm, path-count).
     """
     nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
     sqrt_dt = float(np.sqrt(dt))
-    rho_1 = np.sqrt(1.0 - rho * rho) if isinstance(rho, float) else jnp.sqrt(1.0 - rho * rho)
+    rho_1 = jnp.sqrt(1.0 - rho * rho)
     nb_path = x0.shape[0]
     carry_dtype = x0.dtype
 

@@ -173,6 +173,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
 # Monte Carlo (Eq. 3.59 scheme)
 # ----------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("ttm", "is_spot_measure",
+                                   "nb_steps_per_year", "dtype"))
 def simulate_logsv_terminal(key: jax.Array,
                             x0: Array,
                             sigma0: Array,
@@ -189,7 +191,9 @@ def simulate_logsv_terminal(key: jax.Array,
                             dtype=jnp.float64
                             ) -> Tuple[Array, Array, Array]:
     """explicit Euler on (X, ln sigma, I) to horizon ttm
-    (logsv_pricer.py:843-940).
+    (logsv_pricer.py:843-940).  Jitted with the model params traced so
+    calibration-style repricing over perturbed params reuses one compiled
+    program per (ttm, path-count) shape.
 
     Exact reference discretization: X uses the pre-update sigma, the
     log-volatility drift is (kappa1 theta/sigma - kappa1) + kappa2(theta -

@@ -17,6 +17,7 @@ expm fast path of expm.py is unnecessary because the RK4 drift solve
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -102,6 +103,33 @@ def strang_step(nodes: Array, weights: Array, v0: Array,
     return vol_h, y_h, log_spot_h
 
 
+@partial(jax.jit, static_argnames=("nb_steps", "nb_path", "n_nodes", "dtype"))
+def _log_spot_scan(nodes, weights, sigma0, theta, kappa1, kappa2, rho, volvol,
+                   dt, key, *, nb_steps: int, nb_path: int, n_nodes: int,
+                   dtype) -> Tuple[Array, Array, Array]:
+    """jitted Strang-splitting scan; params are traced, so calibration-style
+    repricing over perturbed parameter sets reuses one compiled program."""
+    nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None],
+                               (n_nodes, nb_path))
+    weights_p = jnp.broadcast_to(jnp.asarray(weights, dtype=dtype)[:, None],
+                                 (n_nodes, nb_path))
+    v0 = jnp.full((n_nodes, nb_path), 1.0, dtype=dtype) \
+        * (jnp.asarray(sigma0, dtype=dtype) / jnp.sum(jnp.asarray(weights, dtype=dtype)))
+
+    def step(carry, step_idx):
+        v, y, log_s = carry
+        k = jax.random.fold_in(key, step_idx)
+        z = jax.random.normal(k, (2, nb_path), dtype=dtype)
+        vol_h, y_h, log_spot_h = strang_step(
+            nodes_p, weights_p, v0, theta, kappa1, kappa2, rho, volvol,
+            log_s, v, y, dt, z[0], z[1])
+        return (vol_h, y_h, log_spot_h), None
+
+    init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
+    (v, y, log_s), _ = jax.lax.scan(step, init, jnp.arange(nb_steps), unroll=2)
+    return log_s, v, y
+
+
 def log_spot_full_combined(nodes: np.ndarray,
                            weights: np.ndarray,
                            sigma0: float,
@@ -120,22 +148,13 @@ def log_spot_full_combined(nodes: np.ndarray,
     (split_simulation.py:333-353 wrapped with on-the-fly threefry normals)."""
     n = len(nodes)
     nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
-    nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None], (n, nb_path))
-    weights_p = jnp.broadcast_to(jnp.asarray(weights, dtype=dtype)[:, None], (n, nb_path))
-    v0 = jnp.full((n, nb_path), sigma0 / float(np.sum(weights)), dtype=dtype)
-
-    def step(carry, step_idx):
-        v, y, log_s = carry
-        k = jax.random.fold_in(key, step_idx)
-        z = jax.random.normal(k, (2, nb_path), dtype=dtype)
-        vol_h, y_h, log_spot_h = strang_step(
-            nodes_p, weights_p, v0, theta, kappa1, kappa2, rho, volvol,
-            log_s, v, y, dt, z[0], z[1])
-        return (vol_h, y_h, log_spot_h), None
-
-    init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
-    (v, y, log_s), _ = jax.lax.scan(step, init, jnp.arange(nb_steps), unroll=2)
-    return log_s, v, y
+    params = [jnp.asarray(v, dtype=dtype)
+              for v in (sigma0, theta, kappa1, kappa2, rho, volvol)]
+    return _log_spot_scan(jnp.asarray(nodes, dtype=dtype),
+                          jnp.asarray(weights, dtype=dtype), *params,
+                          jnp.asarray(dt, dtype=dtype), key,
+                          nb_steps=nb_steps, nb_path=nb_path, n_nodes=n,
+                          dtype=dtype)
 
 
 def log_spot_full_combined_fixed(nodes: np.ndarray,
