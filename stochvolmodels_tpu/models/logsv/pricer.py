@@ -280,6 +280,7 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
     return option_prices_ttm, option_std_ttm
 
 
+@partial(jax.jit, static_argnames=("dt", "is_spot_measure"))
 def simulate_logsv_terminal_fixed(W0: Array,
                                   W1: Array,
                                   dt: float,
@@ -295,7 +296,9 @@ def simulate_logsv_terminal_fixed(W0: Array,
                                   is_spot_measure: bool = True
                                   ) -> Tuple[Array, Array, Array]:
     """Euler step over pre-drawn unscaled normal blocks (steps, paths) —
-    the reference's fixed-randoms contract (logsv_pricer.py:914-923)."""
+    the reference's fixed-randoms contract (logsv_pricer.py:914-923).
+    Jitted with traced params: the MC calibration engine reprices this every
+    optimizer iteration with the same frozen blocks."""
     sdt = float(np.sqrt(dt))
     if is_spot_measure:
         alpha, adj = -1.0, 0.0

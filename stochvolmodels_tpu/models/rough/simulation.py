@@ -173,11 +173,26 @@ def log_spot_full_combined_fixed(nodes: np.ndarray,
     """Strang-splitting simulation over pre-drawn normal blocks (the
     reference's fixed-randoms rough contract, split_simulation.py:333-353)."""
     n = len(nodes)
-    nb_path = Z0.shape[1]
     h = float(timegrid[1] - timegrid[0])
-    nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None], (n, nb_path))
-    weights_p = jnp.broadcast_to(jnp.asarray(weights, dtype=dtype)[:, None], (n, nb_path))
-    v0 = jnp.full((n, nb_path), sigma0 / float(np.sum(weights)), dtype=dtype)
+    params = [jnp.asarray(v, dtype=dtype)
+              for v in (sigma0, theta, kappa1, kappa2, rho, volvol)]
+    return _log_spot_scan_fixed(jnp.asarray(nodes, dtype=dtype),
+                                jnp.asarray(weights, dtype=dtype), *params,
+                                jnp.asarray(Z0, dtype=dtype),
+                                jnp.asarray(Z1, dtype=dtype),
+                                h=h, n_nodes=n, dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("h", "n_nodes", "dtype"))
+def _log_spot_scan_fixed(nodes, weights, sigma0, theta, kappa1, kappa2, rho,
+                         volvol, Z0, Z1, *, h: float, n_nodes: int,
+                         dtype) -> Tuple[Array, Array, Array]:
+    """jitted fixed-randoms scan; params traced so every calibration
+    iteration over the frozen block reuses one compiled program."""
+    nb_path = Z0.shape[1]
+    nodes_p = jnp.broadcast_to(nodes[:, None], (n_nodes, nb_path))
+    weights_p = jnp.broadcast_to(weights[:, None], (n_nodes, nb_path))
+    v0 = jnp.full((n_nodes, nb_path), 1.0, dtype=dtype) * (sigma0 / jnp.sum(weights))
 
     def step(carry, zs):
         v, y, log_s = carry
@@ -186,8 +201,7 @@ def log_spot_full_combined_fixed(nodes: np.ndarray,
             log_s, v, y, h, zs[0], zs[1])
         return (vol_h, y_h, log_spot_h), None
 
-    zs = jnp.stack([jnp.asarray(Z0, dtype=dtype), jnp.asarray(Z1, dtype=dtype)],
-                   axis=1)  # (steps, 2, paths)
+    zs = jnp.stack([Z0, Z1], axis=1)  # (steps, 2, paths)
     init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
     (v, y, log_s), _ = jax.lax.scan(step, init, zs)
     return log_s, v, y
