@@ -111,3 +111,126 @@ def kernel_l2_relative_error(H: float, nodes: np.ndarray, weights: np.ndarray,
     c = kernel_self(H, T)
     err2 = max(c - 2.0 * weights @ b + weights @ A @ weights, 0.0)
     return float(np.sqrt(err2 / c))
+
+
+# ----------------------------------------------------------------------------
+# research quadrature rules (counterparts of the vendored alternatives in
+# RoughKernel.py: AbiJaber-ElEuch :172, Alfonsi-Kebaier :134, Gaussian :311,
+# dispatcher :1030).  The fractional kernel is the Laplace transform of the
+# measure mu(dx) = x^{-H-1/2} dx / (Gamma(H+1/2) Gamma(1/2-H)); each rule is
+# a different discretization of mu.  european_rule remains the production
+# path (logsv_params.approximate_kernel); these are provided for parity and
+# research comparisons.
+# ----------------------------------------------------------------------------
+
+def _mu_norm(H: float) -> float:
+    """normalization of the kernel measure mu."""
+    return 1.0 / (sp_gamma(H + 0.5) * sp_gamma(0.5 - H))
+
+
+def _mu_moments(H: float, a: float, b: float) -> Tuple[float, float]:
+    """(mass, first moment) of mu on [a, b]:
+    int x^{-H-1/2} dx = (b^(1/2-H) - a^(1/2-H)) / (1/2-H),
+    int x^(1/2-H) dx = (b^(3/2-H) - a^(3/2-H)) / (3/2-H)."""
+    c = _mu_norm(H)
+    p0, p1 = 0.5 - H, 1.5 - H
+    mass = c * (b ** p0 - a ** p0) / p0
+    mom1 = c * (b ** p1 - a ** p1) / p1
+    return mass, mom1
+
+
+def abi_jaber_el_euch_rule(H: float, N: int, T: float
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """uniform-partition rule of Abi Jaber & El Euch (2019): split [0, eta_N]
+    into N equal cells of width pi_N ~ N^(-1/5)/T and take the cell mass as
+    weight, cell mean as node (one-point moment matching per cell)."""
+    pi_n = N ** (-0.2) / T * (np.sqrt(10.0) * (1.0 - 2.0 * H) / (5.0 - 2.0 * H)) ** 0.4
+    edges = pi_n * np.arange(N + 1)
+    nodes = np.empty(N)
+    weights = np.empty(N)
+    for i in range(N):
+        mass, mom1 = _mu_moments(H, edges[i], edges[i + 1])
+        weights[i] = mass
+        nodes[i] = mom1 / mass
+    return nodes, weights
+
+
+def ak_geometric_rule(H: float, N: int, T: float, K: float = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Alfonsi-Kebaier-style hybrid partition: uniform cells on [0, K], then
+    a geometrically growing tail; per-cell one-point moment matching, with
+    the tail growth factor and a global weight scale tuned against the L2
+    error functional."""
+    if N == 1:
+        return european_rule(H, 1, T)
+    n_half = max(N // 2, 1)
+    if K is None:
+        K = n_half ** 0.8
+
+    def build(growth: float) -> Tuple[np.ndarray, np.ndarray]:
+        edges = np.concatenate([np.linspace(0.0, K, n_half + 1),
+                                K * growth ** np.arange(1, N - n_half + 1)])
+        nodes = np.empty(N)
+        weights = np.empty(N)
+        for i in range(N):
+            mass, mom1 = _mu_moments(H, edges[i], edges[i + 1])
+            weights[i] = mass
+            nodes[i] = mom1 / mass
+        return nodes, weights
+
+    def err(growth: float) -> float:
+        nodes, weights = build(growth)
+        return kernel_l2_relative_error(H, nodes, weights, T)
+
+    res = minimize(lambda g: err(float(g[0])), x0=np.array([1.2]),
+                   bounds=((1.01, 50.0),))
+    nodes, weights = build(float(res.x[0]))
+    scale = minimize(lambda s: kernel_l2_relative_error(H, nodes, s[0] * weights, T),
+                     x0=np.array([1.0]), bounds=((0.0, None),))
+    return nodes, float(scale.x[0]) * weights
+
+
+def gaussian_rule(H: float, N: int, T: float, m: int = 1
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Gaussian quadrature of mu on a geometric partition (Bayer-Breneis
+    style): level-m Gauss-Jacobi on the singular first cell [0, xi0], level-m
+    Gauss-Legendre (against the smooth density) on each geometric cell up to
+    xi_n; N = m * number_of_cells total nodes."""
+    from scipy.special import roots_jacobi, roots_legendre
+
+    n_cells = max(N // m, 1)
+    alpha = H + 0.5
+    c = _mu_norm(H)
+    xi0 = 1.0 / T
+    xi_max = min(MAX_NODE, xi0 * 10.0 ** (n_cells - 1) * 3.0)
+    edges = np.concatenate([[0.0], np.geomspace(xi0, xi_max, n_cells)])
+    nodes, weights = [], []
+    for i in range(n_cells):
+        a, b = edges[i], edges[i + 1]
+        if a == 0.0:
+            # x = b (1+t)/2: weight x^-alpha dx -> Jacobi(0, -alpha) on t
+            t, w = roots_jacobi(m, 0.0, -alpha)
+            x = b * (1.0 + t) / 2.0
+            wq = c * w * (b / 2.0) ** (1.0 - alpha)
+        else:
+            t, w = roots_legendre(m)
+            x = a + (b - a) * (1.0 + t) / 2.0
+            wq = c * w * (b - a) / 2.0 * x ** (-alpha)
+        nodes.append(x)
+        weights.append(wq)
+    return np.concatenate(nodes), np.concatenate(weights)
+
+
+def quadrature_rule(H: float, N: int, T: float, mode: str = "european"
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """dispatcher over the available rules (RoughKernel.py:1030)."""
+    mode = mode.lower()
+    if mode == "european":
+        return european_rule(H, N, T)
+    if mode in ("abi-jaber", "abi_jaber", "aje"):
+        return abi_jaber_el_euch_rule(H, N, T)
+    if mode in ("ak", "alfonsi-kebaier"):
+        return ak_geometric_rule(H, N, T)
+    if mode in ("gaussian", "gauss"):
+        return gaussian_rule(H, N, T)
+    raise NotImplementedError(f"mode={mode}")

@@ -101,3 +101,31 @@ class TestRoughMc:
         with np.load(baseline_path) as z:
             for i, p in enumerate(mc_prices):
                 np.testing.assert_allclose(p, z[f"prices_{i}"], rtol=1e-7)
+
+
+class TestQuadratureRules:
+    """alternative kernel discretizations (RoughKernel.py research rules):
+    each achieves a finite L2 error and the production european_rule beats
+    or matches all of them."""
+
+    def test_rule_family_errors(self):
+        from stochvolmodels_tpu.models.rough.kernel import (
+            kernel_l2_relative_error,
+            quadrature_rule,
+        )
+        H, T, N = 0.1, 1.0, 3
+        errs = {}
+        for mode in ("european", "abi-jaber", "ak", "gaussian"):
+            nodes, w = quadrature_rule(H, N, T, mode=mode)
+            assert np.all(np.asarray(nodes) >= 0.0)
+            assert np.all(np.isfinite(w))
+            errs[mode] = kernel_l2_relative_error(H, np.asarray(nodes),
+                                                  np.asarray(w), T)
+        assert errs["european"] <= min(errs.values()) + 1e-12
+        assert errs["european"] < 0.05
+        assert all(e < 1.0 for e in errs.values())
+
+    def test_dispatcher_unknown_mode(self):
+        from stochvolmodels_tpu.models.rough.kernel import quadrature_rule
+        with pytest.raises(NotImplementedError):
+            quadrature_rule(0.1, 2, 1.0, mode="nope")
