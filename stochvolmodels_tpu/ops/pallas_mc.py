@@ -79,17 +79,23 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
         w1 = z1 * sdt
         sig2dt = eta2 * sigma * sigma * dtf
         x = x + alpha_f * 0.5 * sig2dt + eta * sigma * w0
-        lns = lns + ((kappa1 * theta / sigma - kappa1)
+        # approx reciprocal: ~2^-12 relative error on a term already O(dt)
+        lns = lns + ((kappa1 * theta * pl.reciprocal(sigma, approx=True) - kappa1)
                      + kappa2 * (theta - sigma) + adj * sigma
                      - 0.5 * vartheta2) * dtf + beta * w0 + volvol * w1
         sigma_new = jnp.exp(lns)
         qvar = qvar + 0.5 * (sig2dt + eta2 * sigma_new * sigma_new * dtf)
         return x, lns, sigma_new, qvar
 
+    def body2(i, carry):
+        # manual 2-step unroll (Mosaic supports only unroll=1 or full)
+        return body(i, body(i, carry))
+
     lns0 = lns0_ref[:]
-    x, lns, sigma, qvar = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(nb_steps), body,
-        (x0_ref[:], lns0, jnp.exp(lns0), qv0_ref[:]))
+    carry = (x0_ref[:], lns0, jnp.exp(lns0), qv0_ref[:])
+    x, lns, sigma, qvar = jax.lax.fori_loop(0, nb_steps // 2, body2, carry)
+    if nb_steps % 2:
+        x, lns, sigma, qvar = body(0, (x, lns, sigma, qvar))
     x_ref[:] = x
     sig_ref[:] = sigma
     qvar_ref[:] = qvar
