@@ -26,8 +26,12 @@ if not os.environ.get("SVMTPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: TPU compiles go through a remote helper in
-# this environment (~20-200s per program); cache them across processes
-if not os.environ.get("SVMTPU_NO_COMPILE_CACHE"):
+# this environment (~20-200s per program); cache them across processes.
+# Skipped for forced-CPU runs: CPU AOT artifacts cached by the remote
+# compile service carry that machine's feature set and loading them on the
+# local host risks SIGILL (observed "machine features mismatch" warnings).
+if not os.environ.get("SVMTPU_NO_COMPILE_CACHE") \
+        and not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     _cache_dir = os.environ.get("SVMTPU_COMPILE_CACHE_DIR",
                                 os.path.expanduser("~/.cache/svmtpu_jax"))
     try:

@@ -568,3 +568,107 @@ def simulate_logsv_MF(ttms: np.ndarray,
         I0s.append(np.asarray(carry[2]))
         sigma0s.append(np.exp(np.asarray(carry[3]))[:, None])
     return x0s, y0s, I0s, sigma0s
+
+
+def simulate_logsv_futures_MF(params: MultiFactRateLogSvParams,
+                              ttm: float,
+                              t_start: float,
+                              t_end: float,
+                              basis_type: str = "NELSON-SIEGEL",
+                              f0: Optional[float] = None,
+                              nb_path: int = 100000,
+                              seed: Optional[int] = None,
+                              year_steps: int = 720) -> np.ndarray:
+    """terminal futures rates F_ttm simulated under the T-forward measure
+    (rate_logsv_pricer.py:1040-1144): the log-shifted rate
+    zeta = ln(F + 1/Delta) follows an exponential martingale with loadings
+    a0(t) = a(t) + beta(t) h1(t), a1(t) = volvol(t) h1(t) from the
+    QT-transform and the convexity-adjustment ODE's dense output, and the
+    vol drift picks up the measure-change term beta . eta."""
+    from stochvolmodels_tpu.utils.rate_core import bracket as _bracket
+
+    Delta = t_end - t_start
+    nb_steps, dt, grid_t = set_time_grid(ttm=float(ttm), nb_steps_per_year=year_steps)
+    sdt = float(np.sqrt(dt))
+    key = key_from_seed(seed if seed is not None else 16)
+    d = params.basis.nb_factors
+
+    _, _, h1_dense, _, _ = futures_conv_adj(
+        t_start=t_start, basis_type=basis_type, params=params, t0=0.0,
+        Delta=Delta, settlement_type=FutSettleType.EURODOLLAR,
+        expansion_order=ExpansionOrder.ZERO, dense_output=True, t_grid=grid_t)
+    a, eta, _, _, _, beta, volvol = params.transform_QT_params(
+        expiry=float(ttm), t_start=t_start, t_end=t_end, t_grid=grid_t)
+
+    if f0 is None:
+        f0 = float(np.asarray(calc_futures_rate(
+            ccy=params.ccy, basis_type=basis_type, params=params,
+            x0=np.zeros((1, d)), y0=np.zeros((1, params.basis.nb_aux_factors)),
+            sigma0=params.sigma0 * np.ones((1, 1)), t0=0.0,
+            t_start=t_start, t_end=t_end, Delta=Delta,
+            settlement_type=FutSettleType.EURODOLLAR,
+            expansion_order=ExpansionOrder.FIRST)[0]).ravel()[0])
+
+    # per-step panels at the step start times
+    S = nb_steps
+    a0 = jnp.asarray(a[:S] + beta[:S] * np.asarray(h1_dense)[:S, None])   # (S, d)
+    a1 = jnp.asarray(volvol[:S] * np.asarray(h1_dense)[:S])               # (S,)
+    adj = jnp.asarray(np.einsum('sd,sd->s', beta[:S], eta[:S]))           # (S,)
+    beta_s = jnp.asarray(beta[:S])
+    volvol_s = jnp.asarray(volvol[:S])
+    vartheta2_s = jnp.asarray(np.einsum('sd,sd->s', beta[:S], beta[:S])
+                              + volvol[:S] ** 2)
+    theta, kappa1, kappa2 = params.theta, params.kappa1, params.kappa2
+
+    def step(carry, inp):
+        zeta, log_vol = carry
+        step_idx, a0_t, a1_t, adj_t, beta_t, volvol_t, vartheta2 = inp
+        k = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+        k0, k1 = jax.random.split(k)
+        w0 = jax.random.normal(k0, (nb_path, d)) * sdt
+        w1 = jax.random.normal(k1, (nb_path,)) * sdt
+        sigma = jnp.exp(log_vol)
+        sigma2 = sigma * sigma
+        drift = -(a0_t @ a0_t) * 0.5 - 0.5 * a1_t * a1_t - (a0_t @ eta_j[step_idx])
+        zeta = zeta + drift * sigma2 * dt + sigma * (w0 @ a0_t) + sigma * w1 * a1_t
+        log_vol = log_vol + ((kappa1 * theta / sigma)
+                             - (kappa1 - kappa2 * theta + 0.5 * vartheta2)
+                             - (kappa2 + adj_t) * sigma) * dt \
+            + w0 @ beta_t + volvol_t * w1
+        return (zeta, log_vol), None
+
+    eta_j = jnp.asarray(eta[:S])
+    inputs = (jnp.arange(S), a0, a1, adj, beta_s, volvol_s, vartheta2_s)
+    init = (jnp.full(nb_path, np.log(f0 + 1.0 / Delta)),
+            jnp.full(nb_path, np.log(params.sigma0)))
+    (zeta, _), _ = jax.jit(lambda c, i: jax.lax.scan(step, c, i))(init, inputs)
+    return np.asarray(jnp.exp(zeta) - 1.0 / Delta)
+
+
+def calc_futures_mc_vols(params: MultiFactRateLogSvParams,
+                         ttm: float,
+                         t_start: float,
+                         t_end: float,
+                         strikes: np.ndarray,
+                         optiontypes: np.ndarray,
+                         basis_type: str = "NELSON-SIEGEL",
+                         nb_path: int = 100000,
+                         seed: Optional[int] = None
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(f0, MC normal vols, MC stderr-of-price) for futures options: simulate
+    F_ttm under Q^T, average the payoffs, and imply Bachelier vols."""
+    f_t = simulate_logsv_futures_MF(params=params, ttm=ttm, t_start=t_start,
+                                    t_end=t_end, basis_type=basis_type,
+                                    nb_path=nb_path, seed=seed)
+    f0 = float(np.mean(f_t))
+    strikes = np.asarray(strikes)
+    is_call = np.asarray([str(o) == 'C' for o in np.asarray(optiontypes)])
+    payoff = np.where(is_call[:, None],
+                      np.maximum(f_t[None, :] - strikes[:, None], 0.0),
+                      np.maximum(strikes[:, None] - f_t[None, :], 0.0))
+    prices = payoff.mean(axis=1)
+    stderrs = payoff.std(axis=1) / np.sqrt(nb_path)
+    vols = np.asarray(infer_normal_ivols_from_slice_prices(
+        ttm=ttm, forward=f0, strikes=strikes, optiontypes=np.asarray(optiontypes),
+        model_prices=prices, discfactor=1.0))
+    return f0, vols, stderrs

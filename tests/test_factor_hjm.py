@@ -195,3 +195,44 @@ class TestTermStructure:
         ts = TermStructure.create_multi_fact_from_vec(
             np.array([0.0, 1.0, 2.0]), np.array([0.1, 0.2, 0.3]))
         assert ts.xs.shape == (2, 3)
+
+
+class TestFuturesMC:
+    @pytest.mark.slow
+    def test_futures_mc_vs_de_pricer(self):
+        """terminal futures rates simulated under Q^T reproduce the
+        DE-quadrature normal smile within MC error (~1.5bp at 50k paths)."""
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            FutSettleType,
+            calc_futures_mc_vols,
+            logsv_chain_de_pricer,
+        )
+        from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+            UnderlyingType,
+        )
+        nelson_siegel = NelsonSiegel(meanrev=0.55, key_terms=np.array([2.0, 5.0, 10.0]))
+        ttm = 75.0 / 365.0
+        times = np.array([0.0, ttm])
+        params = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=0.5, kappa2=1.0,
+            beta=TermStructure.create_multi_fact_from_vec(
+                times, 0.2 * np.ones(3)),
+            volvol=TermStructure.create_from_scalar(times, 0.35),
+            A=np.array([0.012, 0.011, 0.010])[None, :] * np.ones((1, 1)),
+            R=np.array([[1.0, 0.99, 0.97], [0.99, 1.0, 0.98], [0.97, 0.98, 1.0]]),
+            basis=nelson_siegel, ccy="USD_NS", vol_interpolation="BY_YIELD")
+        params.q = params.theta
+        t_start, t_end = ttm, ttm + 0.25
+        strikes = np.array([0.052, 0.057, 0.062])
+        f0_mc, mc_vols, _ = calc_futures_mc_vols(
+            params, ttm, t_start, t_end, strikes=strikes,
+            optiontypes=np.array(['C', 'C', 'C']), nb_path=50000, seed=42)
+        t_grid = generate_ttms_grid(np.array([ttm]))
+        _, ivols = logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=np.array([ttm]),
+            forwards=[np.array([f0_mc])], strikes_ttms=[[strikes]],
+            optiontypes_ttms=[np.repeat('C', 3)],
+            underlying_type=UnderlyingType.FUTURES,
+            settlement_type=FutSettleType.EURODOLLAR)
+        de_vols = np.asarray(ivols[0][0]).ravel()
+        np.testing.assert_allclose(mc_vols, de_vols, atol=2.5e-4)
