@@ -164,9 +164,38 @@ def plot_mkt_model_joint_fut_smile_MF(params0: MultiFactRateLogSvParams,
     return fig
 
 
+def benchmark_analytic_vs_mc_fut(params0: MultiFactRateLogSvParams,
+                                 ttm: float = 75.0 / 365.0,
+                                 nb_path: int = 50000) -> pd.DataFrame:
+    """futures-option DE smile vs terminal-futures MC under Q^T (reference
+    BENCHMARK_ANALYTIC_VS_MC_FUT, :446-...)."""
+    from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+        calc_futures_mc_vols,
+    )
+    from stochvolmodels_tpu.utils.rate_core import generate_ttms_grid
+
+    t_start, t_end = ttm, ttm + 0.25
+    f0_mc, mc_vols, _ = calc_futures_mc_vols(
+        params0, ttm, t_start, t_end,
+        strikes=np.array([0.052, 0.057, 0.062]),
+        optiontypes=np.array(["C", "C", "C"]), nb_path=nb_path, seed=42)
+    strikes = np.array([0.052, 0.057, 0.062])
+    t_grid = generate_ttms_grid(np.array([ttm]))
+    _, ivols = logsv_chain_de_pricer(
+        params=params0, t_grid=t_grid, ttms=np.array([ttm]),
+        forwards=[np.array([f0_mc])], strikes_ttms=[[strikes]],
+        optiontypes_ttms=[np.repeat("C", 3)],
+        underlying_type=UnderlyingType.FUTURES,
+        settlement_type=FutSettleType.EURODOLLAR)
+    return pd.DataFrame({"strike": strikes,
+                         "DE vol (bp)": np.round(np.asarray(ivols[0][0]).ravel() * 1e4, 1),
+                         "MC vol (bp)": np.round(mc_vols * 1e4, 1)})
+
+
 class UnitTests(Enum):
     CALIBRATE_LOGSV_FUT = 6
     SABR_REFIT = 7
+    BENCHMARK_ANALYTIC_VS_MC_FUT = 12
 
 
 def run_unit_test(unit_test: UnitTests, is_save: bool = False):
@@ -176,6 +205,10 @@ def run_unit_test(unit_test: UnitTests, is_save: bool = False):
         print(pd.DataFrame(calib_params, index=futoption_chain.ttms_ids))
         print(futoption_chain_fit.strikes_ttms)
         print(futoption_chain_fit.ivs_call_ttms)
+    elif unit_test == UnitTests.BENCHMARK_ANALYTIC_VS_MC_FUT:
+        params0 = get_fut_calib_rate_logsv_params()["USD"]
+        params0.q = params0.theta * 1.0
+        print(benchmark_analytic_vs_mc_fut(params0))
     elif unit_test == UnitTests.CALIBRATE_LOGSV_FUT:
         params0 = get_fut_calib_rate_logsv_params()["USD"]
         params0.q = params0.theta * 1.0
