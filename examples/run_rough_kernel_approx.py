@@ -7,6 +7,7 @@ import numpy as np
 from stochvolmodels_tpu.models.rough.kernel import (
     european_rule,
     kernel_l2_relative_error,
+    quadrature_rule,
 )
 
 if __name__ == '__main__':
@@ -18,3 +19,11 @@ if __name__ == '__main__':
             err = kernel_l2_relative_error(H, nodes, weights, T)
             print(f"  N={n}: nodes={np.round(nodes, 3)}, "
                   f"weights={np.round(weights, 3)}, rel L2 err={err:0.3f}")
+
+    # research-rule comparison (RoughKernel.py alternatives)
+    print("\nrule comparison at H=0.1, T=1, N=3 (rel L2 err):")
+    for mode in ('european', 'ak', 'gaussian', 'abi-jaber'):
+        nodes, weights = quadrature_rule(0.1, 3, 1.0, mode=mode)
+        err = kernel_l2_relative_error(0.1, np.asarray(nodes),
+                                       np.asarray(weights), 1.0)
+        print(f"  {mode:10s}: {err:0.4f}")

@@ -2,6 +2,8 @@
 Rough LogSV (Markovian lift): kernel quadrature quality, degeneracy to the
 standard dynamics at H = 1/2, and rough-MC pricing sanity at H = 0.1.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -129,3 +131,50 @@ class TestQuadratureRules:
         from stochvolmodels_tpu.models.rough.kernel import quadrature_rule
         with pytest.raises(NotImplementedError):
             quadrature_rule(0.1, 2, 1.0, mode="nope")
+
+
+class TestReferenceCrossParity:
+    """cross-implementation parity vs the reference's committed regression
+    baseline (reference tests/test_rough_logsv_pricer_regression/*.npz): with
+    the reference's kernel nodes/weights (computed by running its scipy
+    RoughKernel.european_rule; H=0.1, N=3, T=0.43), our fixed-randoms rough
+    chain pricer reproduces the reference's prices to <0.5% on every strike
+    (z < 0.05 of MC stderr) — the numpy normal stream, Strang splitting and
+    payoff assembly all match.  Note our own european_rule yields a *lower*
+    L2 kernel error (0.354 vs 0.412 relative at this config) but different
+    nodes, hence different default prices."""
+
+    REF_NPZ = ("/root/reference/stochvolmodels/tests/"
+               "test_rough_logsv_pricer_regression/"
+               "test_rough_logsv_pricer_pricing_regression.npz")
+    # output of the reference RoughKernel.european_rule(0.1, 3, 0.4301)
+    REF_NODES = np.array([7.80003238e-02, 5.21204286e+00, 1.08883635e+02])
+    REF_WEIGHTS = np.array([0.77792437, 1.55682086, 8.52877932])
+
+    @pytest.mark.skipif(not os.path.exists(REF_NPZ),
+                        reason="reference baseline not mounted")
+    def test_prices_match_reference_baseline(self, chain):
+        from stochvolmodels_tpu.models.logsv.pricer import (
+            get_randoms_for_rough_vol_chain_valuation,
+            rough_logsv_mc_chain_pricer_fixed_randoms,
+        )
+        Z0, Z1, grid_ttms = get_randoms_for_rough_vol_chain_valuation(
+            ttms=chain.ttms, nb_path=10000, nb_steps_per_year=360, seed=10)
+        prices, stds = rough_logsv_mc_chain_pricer_fixed_randoms(
+            ttms=chain.ttms, forwards=chain.forwards,
+            discfactors=chain.discfactors, strikes_ttms=chain.strikes_ttms,
+            optiontypes_ttms=chain.optiontypes_ttms, Z0=Z0, Z1=Z1,
+            sigma0=0.377, theta=0.347, kappa1=1.29, kappa2=1.93, beta=2.45,
+            orthog_vol=1.81, weights=self.REF_WEIGHTS, nodes=self.REF_NODES,
+            timegrids=grid_ttms)
+        ref = np.load(self.REF_NPZ)
+        for i in range(len(chain.ttms)):
+            ours = np.asarray(prices[i])
+            theirs = ref[f"option_prices_ttm_{i}"]
+            sd = np.asarray(stds[i])
+            # the rigorous criterion is the z-score: differences stay below
+            # a fifth of the MC standard error at matched randoms (pathwise
+            # roundoff divergence, not scheme differences)
+            np.testing.assert_allclose(ours, theirs, rtol=1.5e-2,
+                                       atol=1e-5 * float(chain.forwards[i]))
+            assert np.max(np.abs(ours - theirs) / np.maximum(sd, 1e-8)) < 0.2
