@@ -34,7 +34,13 @@ def compute_normal_price(forward, strike, ttm, vol, discfactor=1.0,
     return discfactor * jnp.where(is_call, call_px, put_px)
 
 
-compute_normal_slice_prices = compute_normal_price
+def compute_normal_slice_prices(ttm, forward, strikes, vols, optiontypes,
+                                discfactor=1.0) -> Array:
+    """prices for one maturity slice, plural-kwarg reference signature
+    (bachelier.py:38-60)."""
+    return compute_normal_price(forward=forward, strike=strikes, ttm=ttm,
+                                vol=vols, optiontype=optiontypes,
+                                discfactor=discfactor)
 
 
 def compute_normal_delta(ttm, forward, strike, vol, optiontype, discfactor=1.0) -> Array:

@@ -125,7 +125,15 @@ def compute_bsm_vanilla_delta(ttm, forward, strike, vol, optiontype,
 
 
 compute_bsm_vanilla_delta_vector = compute_bsm_vanilla_delta
-compute_bsm_vanilla_slice_deltas = compute_bsm_vanilla_delta
+
+
+def compute_bsm_vanilla_slice_deltas(ttm, forward, strikes, vols,
+                                     optiontypes, discfactor=1.0) -> Array:
+    """deltas for one maturity slice, plural-kwarg reference signature
+    (bsm.py:183-201)."""
+    return compute_bsm_vanilla_delta(forward=forward, strike=strikes, ttm=ttm,
+                                     vol=vols, optiontype=optiontypes,
+                                     discfactor=discfactor)
 def compute_bsm_vanilla_grid_deltas(ttm, forwards, strike, vol, optiontype,
                                     discfactor=1.0) -> Array:
     """deltas over a grid of forwards at one strike (bsm.py:215-245)."""
@@ -146,8 +154,17 @@ def compute_bsm_vanilla_vega(ttm, forward, strike, vol, optiontype=None) -> Arra
 
 
 compute_bsm_vanilla_vega_vector = compute_bsm_vanilla_vega
-compute_bsm_slice_vegas = compute_bsm_vanilla_vega
-compute_bsm_vanilla_slice_vegas = compute_bsm_vanilla_vega
+
+
+def compute_bsm_vanilla_slice_vegas(ttm, forward, strikes, vols,
+                                    optiontypes=None) -> Array:
+    """vegas for one maturity slice, plural-kwarg reference signature
+    (bsm.py:388-404)."""
+    return compute_bsm_vanilla_vega(forward=forward, strike=strikes, ttm=ttm,
+                                    vol=vols, optiontype=optiontypes)
+
+
+compute_bsm_slice_vegas = compute_bsm_vanilla_slice_vegas
 
 
 def compute_bsm_vanilla_gamma(ttm, forward, strike, vol) -> Array:

@@ -1,0 +1,209 @@
+"""
+Direct numerical parity against the mounted reference implementation.
+
+The reference's numba kernels run as plain Python under the stub in
+reference_oracle.py, giving the gold-standard oracle for the BASELINE
+"analytic parity" target: the same inputs through both implementations.
+Tolerances: closed forms at ~1e-10 (identical formulas, different vector
+math), ODE-based pricers at ~1e-6 relative (our fixed-step RK4 vs the
+reference's adaptive scipy solves).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from reference_oracle import load_reference
+
+import stochvolmodels_tpu as ours
+
+ref = load_reference()
+
+STRIKES = np.array([0.6, 0.8, 0.95, 1.0, 1.05, 1.2, 1.5])
+TYPES = np.array(['P', 'P', 'P', 'C', 'C', 'C', 'C'])
+
+
+class TestBsmParity:
+    def test_vanilla_prices(self):
+        for ttm in (0.05, 0.5, 2.0):
+            for vol in (0.1, 0.5, 1.2):
+                r = ref.compute_bsm_vanilla_slice_prices(
+                    ttm=ttm, forward=1.0, strikes=STRIKES, optiontypes=TYPES,
+                    vols=np.full_like(STRIKES, vol), discfactor=0.97)
+                o = np.asarray(ours.compute_bsm_vanilla_slice_prices(
+                    ttm=ttm, forward=1.0, strikes=STRIKES, optiontypes=TYPES,
+                    vols=np.full_like(STRIKES, vol), discfactor=0.97))
+                np.testing.assert_allclose(o, r, atol=1e-12)
+
+    def test_inverse_prices(self):
+        types = np.array(['IP', 'IP', 'IC', 'IC', 'IC', 'IC', 'IC'])
+        r = ref.compute_bsm_vanilla_slice_prices(
+            ttm=0.25, forward=1.0, strikes=STRIKES, optiontypes=types, vols=np.full_like(STRIKES, 0.8))
+        o = np.asarray(ours.compute_bsm_vanilla_slice_prices(
+            ttm=0.25, forward=1.0, strikes=STRIKES, optiontypes=types, vols=np.full_like(STRIKES, 0.8)))
+        np.testing.assert_allclose(o, r, atol=1e-12)
+
+    def test_greeks(self):
+        kwargs = dict(ttm=0.5, forward=1.0, strikes=STRIKES, optiontypes=TYPES, vols=np.full_like(STRIKES, 0.4))
+        np.testing.assert_allclose(
+            np.asarray(ours.compute_bsm_vanilla_slice_deltas(**kwargs)),
+            ref.compute_bsm_vanilla_slice_deltas(**kwargs), atol=1e-12)
+        from _ref_stochvolmodels.pricers.analytic import bsm as ref_bsm
+        np.testing.assert_allclose(
+            np.asarray(ours.compute_bsm_vanilla_slice_vegas(**kwargs)),
+            ref_bsm.compute_bsm_vanilla_slice_vegas(**kwargs), atol=1e-12)
+
+    def test_implied_vol_bisection(self):
+        for vol in (0.2, 0.8):
+            prices = ref.compute_bsm_vanilla_slice_prices(
+                ttm=0.5, forward=1.0, strikes=STRIKES, optiontypes=TYPES, vols=np.full_like(STRIKES, vol))
+            r = ref.infer_bsm_ivols_from_slice_prices(
+                ttm=0.5, forward=1.0, discfactor=1.0, strikes=STRIKES,
+                optiontypes=TYPES, model_prices=prices)
+            o = np.asarray(ours.infer_bsm_ivols_from_slice_prices(
+                ttm=0.5, forward=1.0, discfactor=1.0, strikes=STRIKES,
+                optiontypes=TYPES, model_prices=np.asarray(prices)))
+            np.testing.assert_allclose(o, r, atol=1e-10)
+
+
+class TestBachelierParity:
+    def test_prices_and_ivols(self):
+        strikes = np.linspace(-0.01, 0.11, 7)
+        types = np.where(strikes < 0.05, 'P', 'C')
+        r = ref.compute_normal_slice_prices(ttm=1.0, forward=0.05,
+                                            strikes=strikes, optiontypes=types,
+                                            vols=np.full_like(strikes, 0.01))
+        o = np.asarray(ours.compute_normal_slice_prices(
+            ttm=1.0, forward=0.05, strikes=strikes, optiontypes=types, vols=np.full_like(strikes, 0.01)))
+        np.testing.assert_allclose(o, r, atol=1e-14)
+        r_iv = ref.infer_normal_ivols_from_slice_prices(
+            ttm=1.0, forward=0.05, strikes=strikes, optiontypes=types,
+            model_prices=r, discfactor=1.0)
+        o_iv = np.asarray(ours.infer_normal_ivols_from_slice_prices(
+            ttm=1.0, forward=0.05, strikes=strikes, optiontypes=types,
+            model_prices=np.asarray(o), discfactor=1.0))
+        np.testing.assert_allclose(o_iv, r_iv, atol=1e-10)
+
+
+class TestMgfEngineParity:
+    def test_grids_and_weights(self):
+        from _ref_stochvolmodels.utils import mgf_pricer as ref_mgf
+        r_phi = ref_mgf.get_phi_grid(vol_scaler=0.3)
+        o_phi = ours.get_phi_grid(vol_scaler=0.3)
+        np.testing.assert_allclose(np.asarray(o_phi.re), np.real(r_phi), atol=1e-14)
+        np.testing.assert_allclose(np.asarray(o_phi.im), np.imag(r_phi), atol=1e-12)
+        r_w = ref_mgf.compute_integration_weights(var_grid=r_phi, is_simpson=True)
+        o_w = np.asarray(ours.compute_integration_weights(var_grid=o_phi,
+                                                          is_simpson=True))
+        np.testing.assert_allclose(o_w, np.real(r_w), atol=1e-12)
+
+    def test_vanilla_slice_pricer_with_bsm_mgf(self):
+        """the reference's own engine oracle (examples/run_bsm_mgf_pricer.py):
+        feed the closed-form BSM log-MGF through both quadratures."""
+        from _ref_stochvolmodels.utils import mgf_pricer as ref_mgf
+        vol, ttm = 0.4, 0.5
+        r_phi = ref_mgf.get_phi_grid(vol_scaler=vol * np.sqrt(ttm))
+        log_mgf = 0.5 * r_phi * (r_phi + 1.0) * vol * vol * ttm
+        r = ref_mgf.vanilla_slice_pricer_with_mgf_grid(
+            log_mgf_grid=log_mgf, phi_grid=r_phi, forward=1.0,
+            strikes=STRIKES, optiontypes=TYPES, discfactor=1.0)
+        from stochvolmodels_tpu.utils.cplx import Cplx
+        o = np.asarray(ours.vanilla_slice_pricer_with_mgf_grid(
+            log_mgf_grid=Cplx(np.real(log_mgf), np.imag(log_mgf)),
+            phi_grid=Cplx(np.real(r_phi), np.imag(r_phi)),
+            forward=1.0, strikes=STRIKES, optiontypes=TYPES, discfactor=1.0))
+        np.testing.assert_allclose(o, r, atol=1e-12)
+
+    def test_digital_slice_pricer_with_bsm_mgf(self):
+        from _ref_stochvolmodels.utils import mgf_pricer as ref_mgf
+        vol, ttm = 0.4, 0.5
+        r_phi = ref_mgf.get_phi_grid(vol_scaler=vol * np.sqrt(ttm))
+        log_mgf = 0.5 * r_phi * (r_phi + 1.0) * vol * vol * ttm
+        r = ref_mgf.digital_slice_pricer_with_mgf_grid(
+            log_mgf_grid=log_mgf, phi_grid=r_phi, forward=1.0,
+            strikes=STRIKES, optiontypes=TYPES, discfactor=1.0)
+        from stochvolmodels_tpu.utils.cplx import Cplx
+        o = np.asarray(ours.digital_slice_pricer_with_mgf_grid(
+            log_mgf_grid=Cplx(np.real(log_mgf), np.imag(log_mgf)),
+            phi_grid=Cplx(np.real(r_phi), np.imag(r_phi)),
+            forward=1.0, strikes=STRIKES, optiontypes=TYPES, discfactor=1.0))
+        np.testing.assert_allclose(o, r, atol=1e-12)
+
+
+class TestHestonParity:
+    def test_chain_prices(self):
+        chain_r = ref.get_btc_test_chain_data()
+        chain_o = ours.get_btc_test_chain_data()
+        params_r = ref.HestonParams(v0=0.8, theta=1.0, kappa=2.0, rho=0.2, volvol=1.5)
+        pr = ref.HestonPricer().price_chain(option_chain=chain_r, params=params_r)
+        po = ours.HestonPricer().price_chain(
+            option_chain=chain_o,
+            params=ours.HestonParams(v0=0.8, theta=1.0, kappa=2.0, rho=0.2, volvol=1.5))
+        for r, o in zip(pr, po):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-8, atol=1e-10)
+
+
+class TestTdistParity:
+    def test_vanilla_prices(self):
+        strikes = np.linspace(0.7, 1.3, 7)
+        types = np.where(strikes < 1.0, 'P', 'C')
+        r = ref.compute_vanilla_price_tdist(spot=1.0, strikes=strikes,
+                                            optiontypes=types, ttm=0.25,
+                                            vol=0.4, nu=3.5, rf_rate=0.02)
+        o = np.asarray(ours.compute_vanilla_price_tdist(
+            spot=1.0, strikes=strikes, optiontypes=types, ttm=0.25,
+            vol=0.4, nu=3.5, rf_rate=0.02))
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-10)
+
+
+class TestVolMomentsParity:
+    def test_analytic_qvar(self):
+        from _ref_stochvolmodels.pricers.logsv import vol_moments_ode as ref_vmo
+        p_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0, kappa2=4.0,
+                              beta=0.3, volvol=1.5)
+        p_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0, kappa2=4.0,
+                               beta=0.3, volvol=1.5)
+        for ttm in (0.05, 0.25, 1.0):
+            r = ref_vmo.compute_analytic_qvar(params=p_r, ttm=ttm, n_terms=4)
+            o = ours.compute_analytic_qvar(params=p_o, ttm=ttm, n_terms=4)
+            np.testing.assert_allclose(o, r, rtol=1e-9)
+
+    def test_vol_moments(self):
+        from _ref_stochvolmodels.pricers.logsv import vol_moments_ode as ref_vmo
+        p_r = ref.LogSvParams(sigma0=1.2, theta=1.0, kappa1=4.0, kappa2=4.0,
+                              beta=0.0, volvol=1.5)
+        p_o = ours.LogSvParams(sigma0=1.2, theta=1.0, kappa1=4.0, kappa2=4.0,
+                               beta=0.0, volvol=1.5)
+        t = np.array([0.1, 0.5, 1.0])
+        r = ref_vmo.compute_vol_moments_t(params=p_r, ttm=t, n_terms=4)
+        o = np.asarray(ours.compute_vol_moments_t(params=p_o, ttm=t, n_terms=4))
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-12)
+
+
+class TestLogSvAnalyticParity:
+    @pytest.mark.slow
+    def test_slice_prices_vs_reference_ode(self):
+        """our batched-RK4 Fourier slice vs the reference's per-point
+        scipy-solve chain pricer (pure Python under the stub; one maturity
+        keeps the reference's 1000 solve_ivp calls affordable)."""
+        from _ref_stochvolmodels.pricers import logsv_pricer as ref_lp
+        params_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                   kappa2=4.0, beta=0.2, volvol=1.7)
+        ttm, forward = 0.25, 1.0
+        r_prices = ref_lp.logsv_chain_pricer(
+            params=params_r, ttms=np.array([ttm]), forwards=np.array([forward]),
+            discfactors=np.array([1.0]), strikes_ttms=(STRIKES,),
+            optiontypes_ttms=(TYPES,))[0]
+        params_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                    kappa2=4.0, beta=0.2, volvol=1.7)
+        o_prices = ours.LogSVPricer().price_chain(
+            option_chain=ours.OptionChain(
+                ttms=np.array([ttm]), forwards=np.array([forward]),
+                discfactors=np.array([1.0]), strikes_ttms=[STRIKES],
+                optiontypes_ttms=[TYPES]),
+            params=params_o)[0]
+        np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices),
+                                   rtol=2e-5, atol=2e-7)
