@@ -343,7 +343,22 @@ def qvar_prices_with_mgf_grid(log_mgf_grid: Cplx,
     return jnp.maximum(df * option_price / t, 1e-10)
 
 
-slice_qvar_pricer_with_a_grid = qvar_prices_with_mgf_grid
+def slice_qvar_pricer_with_a_grid(log_mgf_grid: Cplx,
+                                  psi_grid: Cplx,
+                                  ttm,
+                                  strikes,
+                                  optiontypes,
+                                  forward=None,
+                                  discfactor=1.0,
+                                  is_simpson: bool = True,
+                                  is_spot_measure: bool = True) -> Array:
+    """single-slice entry matching the reference signature
+    (mgf_pricer.py:285-293)."""
+    return qvar_prices_with_mgf_grid(
+        log_mgf_grid=log_mgf_grid, psi_grid=psi_grid, ttms=ttm,
+        strikes=strikes, optiontypes=optiontypes, forwards=forward,
+        discfactors=discfactor, is_simpson=is_simpson,
+        is_spot_measure=is_spot_measure)
 
 
 def pdf_with_mgf_grid(log_mgf_grid: Cplx,

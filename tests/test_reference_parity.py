@@ -207,3 +207,76 @@ class TestLogSvAnalyticParity:
             params=params_o)[0]
         np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices),
                                    rtol=2e-5, atol=2e-7)
+
+
+class TestGmmParity:
+    def test_vanilla_prices(self):
+        from _ref_stochvolmodels.pricers import gmm_pricer as ref_gmm
+        from stochvolmodels_tpu.models.gmm import compute_gmm_vanilla_price
+        w = np.array([0.3, 0.5, 0.2])
+        mus = np.array([-0.4, 0.0, 0.3])
+        vols = np.array([0.5, 0.3, 0.45])
+        r = np.array([ref_gmm.compute_gmm_vanilla_price(
+            gmm_weights=w, gmm_mus=mus, gmm_vols=vols, ttm=0.25, forward=1.0,
+            strike=float(k), optiontype=str(t))
+            for k, t in zip(STRIKES, TYPES)])
+        o = np.asarray(compute_gmm_vanilla_price(
+            gmm_weights=w, gmm_mus=mus, gmm_vols=vols, ttm=0.25, forward=1.0,
+            strike=STRIKES, optiontype=TYPES))
+        np.testing.assert_allclose(o, r, atol=1e-12)
+
+
+class TestHawkesParity:
+    @pytest.mark.slow
+    def test_chain_prices_vs_reference_ode(self):
+        """our batched-RK4 Riccati vs the reference's 500 solve_ivp calls."""
+        from _ref_stochvolmodels.pricers import hawkes_jd_pricer as ref_hawkes
+        params_r = ref_hawkes.HawkesJDParams()  # BTC defaults
+        r_prices = ref_hawkes.hawkesjd_chain_pricer(
+            model_params=params_r, ttms=np.array([0.25]),
+            forwards=np.array([1.0]), discfactors=np.array([1.0]),
+            strikes_ttms=(STRIKES,), optiontypes_ttms=(TYPES,))
+        params_o = ours.HawkesJDParams()
+        o_prices = ours.HawkesJDPricer().price_chain(
+            option_chain=ours.OptionChain(
+                ttms=np.array([0.25]), forwards=np.array([1.0]),
+                discfactors=np.array([1.0]), strikes_ttms=[STRIKES],
+                optiontypes_ttms=[TYPES]),
+            params=params_o)[0]
+        np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices[0]),
+                                   rtol=1e-4, atol=1e-7)
+
+
+class TestQvarPricerParity:
+    def test_qvar_slice_with_analytic_mgf(self):
+        """both QVAR slice pricers on the same synthetic A-grid: for a
+        deterministic-QV model log E[exp(psi QV)] = psi * qv0."""
+        from _ref_stochvolmodels.utils import mgf_pricer as ref_mgf
+        from stochvolmodels_tpu.utils.cplx import Cplx
+        psi_r = ref_mgf.get_psi_grid()
+        qv0, ttm = 0.6, 0.25
+        log_mgf = psi_r * qv0 * ttm
+        strikes = np.array([0.4, 0.6, 0.8])
+        types = np.array(['C', 'C', 'C'])  # reference supports calls only
+        r = ref_mgf.slice_qvar_pricer_with_a_grid(
+            log_mgf_grid=log_mgf, psi_grid=psi_r, ttm=ttm, forward=qv0,
+            strikes=strikes, optiontypes=types)
+        o = np.asarray(ours.slice_qvar_pricer_with_a_grid(
+            log_mgf_grid=Cplx(np.real(log_mgf), np.imag(log_mgf)),
+            psi_grid=Cplx(np.real(psi_r), np.imag(psi_r)),
+            ttm=ttm, forward=qv0, strikes=strikes, optiontypes=types))
+        np.testing.assert_allclose(o, r, atol=1e-10)
+
+
+class TestLogSvPdfParity:
+    @pytest.mark.slow
+    def test_logreturn_pdf(self):
+        from _ref_stochvolmodels.pricers import logsv_pricer as ref_lp
+        params_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                   kappa2=4.0, beta=0.2, volvol=1.7)
+        params_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                    kappa2=4.0, beta=0.2, volvol=1.7)
+        x = np.linspace(-1.5, 1.5, 101)
+        r = ref_lp.logsv_pdfs(params=params_r, ttm=0.5, space_grid=x)
+        o = np.asarray(ours.logsv_pdfs(params=params_o, ttm=0.5, space_grid=x))
+        np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-8)
