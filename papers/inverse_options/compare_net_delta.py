@@ -83,10 +83,13 @@ def compare_pnl(ttm: float,
         if not is_btc_pnl:
             pnl = pnl * spot_grid
         positive = spot_grid[pnl >= 0.0]
-        lower_be = positive[0] / forward - 1.0
-        upper_be = positive[-1] / forward - 1.0
-        series.append(pd.Series(pnl, index=returns_grid,
-                                name=f"{name}: breakevens=({lower_be:0.2%}, {upper_be:0.2%})"))
+        if positive.size > 0:
+            lower_be = positive[0] / forward - 1.0
+            upper_be = positive[-1] / forward - 1.0
+            label = f"{name}: breakevens=({lower_be:0.2%}, {upper_be:0.2%})"
+        else:
+            label = f"{name}: no breakeven region"
+        series.append(pd.Series(pnl, index=returns_grid, name=label))
     df = pd.concat(series, axis=1)
     sns.lineplot(data=df, dashes=False, ax=ax)
     ax.set_ylabel("BTC P&L" if is_btc_pnl else "USD P&L")

@@ -89,6 +89,9 @@ def plot_qvar_vs_mc(params: Dict[str, LogSvParams] = TEST_PARAMS,
                     title: str = "Expected values",
                     ax: plt.Subplot = None) -> None:
     """E[sigma_t] or E[QV_t/t] curves in t vs MC bands."""
+    if ax is None:
+        with sns.axes_style("darkgrid"):
+            _, ax = plt.subplots(1, 1, figsize=(12, 6), tight_layout=True)
     pricer = LogSVPricer()
     analytic_curves = []
     colors = plot.get_n_sns_colors(n=len(params))
@@ -101,7 +104,10 @@ def plot_qvar_vs_mc(params: Dict[str, LogSvParams] = TEST_PARAMS,
             mc_mean = np.mean(sigma_t, axis=1)
             mc_std = 2.0 * 1.96 * np.std(sigma_t, axis=1) / np.sqrt(nb_path)
         else:
-            q_var = pd.DataFrame(np.square(sigma_t)).expanding(axis=0).mean().to_numpy()
+            # expanding mean of sigma^2 along the time axis (pandas 3 dropped
+            # expanding(axis=0))
+            q_var = (np.cumsum(np.square(sigma_t), axis=0)
+                     / np.arange(1, sigma_t.shape[0] + 1)[:, None])
             mc_mean = np.mean(q_var, axis=1)
             mc_std = 2.0 * 1.96 * np.std(q_var, axis=1) / np.sqrt(nb_path)
         ax.errorbar(x=grid_t[::grid_step], y=mc_mean[::grid_step], yerr=mc_std[::grid_step],

@@ -35,8 +35,11 @@ def get_synthetic_vol(ticker: str = "SPY",
                "MOVE": dict(theta=0.9, kappa1=2.0, kappa2=2.0, beta=-0.3, volvol=0.7),
                "BTC": dict(theta=0.75, kappa1=2.2, kappa2=2.2, beta=0.2, volvol=1.3),
                "ETH": dict(theta=0.95, kappa1=2.2, kappa2=2.2, beta=0.2, volvol=1.3)}
+    import zlib
+
     p = presets.get(ticker, presets["SPY"])
-    rng = np.random.default_rng(seed + abs(hash(ticker)) % 1000)
+    # crc32, not hash(): str hashing is salted per process and would defeat seed
+    rng = np.random.default_rng(seed + zlib.crc32(ticker.encode()) % 1000)
     dt = 1.0 / af
     sdt = np.sqrt(dt)
     vartheta = np.sqrt(p["beta"] ** 2 + p["volvol"] ** 2)

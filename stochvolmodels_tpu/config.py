@@ -30,6 +30,10 @@ if not os.environ.get("SVMTPU_NO_X64"):
 # Skipped for forced-CPU runs: CPU AOT artifacts cached by the remote
 # compile service carry that machine's feature set and loading them on the
 # local host risks SIGILL (observed "machine features mismatch" warnings).
+# Limitation: the skip keys on the JAX_PLATFORMS env var at import; a
+# process that forces CPU only via jax.config.update after import keeps the
+# cache (every in-repo CPU entry point — conftest, scripts — sets the env
+# var too, so the exposed path is external callers only).
 if not os.environ.get("SVMTPU_NO_COMPILE_CACHE") \
         and not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     _cache_dir = os.environ.get("SVMTPU_COMPILE_CACHE_DIR",

@@ -12,6 +12,7 @@ measures as a ``lax.scan`` over precomputed per-step coefficient panels.
 from __future__ import annotations
 
 from enum import Enum
+from functools import partial
 from typing import List, Optional, Tuple, Union
 
 import jax
@@ -585,8 +586,6 @@ def simulate_logsv_futures_MF(params: MultiFactRateLogSvParams,
     a0(t) = a(t) + beta(t) h1(t), a1(t) = volvol(t) h1(t) from the
     QT-transform and the convexity-adjustment ODE's dense output, and the
     vol drift picks up the measure-change term beta . eta."""
-    from stochvolmodels_tpu.utils.rate_core import bracket as _bracket
-
     Delta = t_end - t_start
     nb_steps, dt, grid_t = set_time_grid(ttm=float(ttm), nb_steps_per_year=year_steps)
     sdt = float(np.sqrt(dt))
@@ -614,22 +613,37 @@ def simulate_logsv_futures_MF(params: MultiFactRateLogSvParams,
     a0 = jnp.asarray(a[:S] + beta[:S] * np.asarray(h1_dense)[:S, None])   # (S, d)
     a1 = jnp.asarray(volvol[:S] * np.asarray(h1_dense)[:S])               # (S,)
     adj = jnp.asarray(np.einsum('sd,sd->s', beta[:S], eta[:S]))           # (S,)
+    eta_s = jnp.asarray(eta[:S])
     beta_s = jnp.asarray(beta[:S])
     volvol_s = jnp.asarray(volvol[:S])
     vartheta2_s = jnp.asarray(np.einsum('sd,sd->s', beta[:S], beta[:S])
                               + volvol[:S] ** 2)
-    theta, kappa1, kappa2 = params.theta, params.kappa1, params.kappa2
+    inputs = (jnp.arange(S), a0, a1, adj, eta_s, beta_s, volvol_s, vartheta2_s)
+    init = (jnp.full(nb_path, np.log(f0 + 1.0 / Delta)),
+            jnp.full(nb_path, np.log(params.sigma0)))
+    zeta, _ = _futures_scan(init, inputs, key,
+                            jnp.asarray(params.theta), jnp.asarray(params.kappa1),
+                            jnp.asarray(params.kappa2), dt=float(dt), sdt=sdt,
+                            nb_path=nb_path, d=d)
+    return np.asarray(jnp.exp(zeta) - 1.0 / Delta)
+
+
+@partial(jax.jit, static_argnames=("dt", "sdt", "nb_path", "d"))
+def _futures_scan(init, inputs, key, theta, kappa1, kappa2, *, dt, sdt,
+                  nb_path, d):
+    """module-level jitted scan so repeated futures-MC calls with the same
+    (step count, path count) reuse one compiled program."""
 
     def step(carry, inp):
         zeta, log_vol = carry
-        step_idx, a0_t, a1_t, adj_t, beta_t, volvol_t, vartheta2 = inp
+        step_idx, a0_t, a1_t, adj_t, eta_t, beta_t, volvol_t, vartheta2 = inp
         k = jax.random.fold_in(key, step_idx.astype(jnp.int32))
         k0, k1 = jax.random.split(k)
         w0 = jax.random.normal(k0, (nb_path, d)) * sdt
         w1 = jax.random.normal(k1, (nb_path,)) * sdt
         sigma = jnp.exp(log_vol)
         sigma2 = sigma * sigma
-        drift = -(a0_t @ a0_t) * 0.5 - 0.5 * a1_t * a1_t - (a0_t @ eta_j[step_idx])
+        drift = -(a0_t @ a0_t) * 0.5 - 0.5 * a1_t * a1_t - (a0_t @ eta_t)
         zeta = zeta + drift * sigma2 * dt + sigma * (w0 @ a0_t) + sigma * w1 * a1_t
         log_vol = log_vol + ((kappa1 * theta / sigma)
                              - (kappa1 - kappa2 * theta + 0.5 * vartheta2)
@@ -637,12 +651,7 @@ def simulate_logsv_futures_MF(params: MultiFactRateLogSvParams,
             + w0 @ beta_t + volvol_t * w1
         return (zeta, log_vol), None
 
-    eta_j = jnp.asarray(eta[:S])
-    inputs = (jnp.arange(S), a0, a1, adj, beta_s, volvol_s, vartheta2_s)
-    init = (jnp.full(nb_path, np.log(f0 + 1.0 / Delta)),
-            jnp.full(nb_path, np.log(params.sigma0)))
-    (zeta, _), _ = jax.jit(lambda c, i: jax.lax.scan(step, c, i))(init, inputs)
-    return np.asarray(jnp.exp(zeta) - 1.0 / Delta)
+    return jax.lax.scan(step, init, inputs)[0]
 
 
 def calc_futures_mc_vols(params: MultiFactRateLogSvParams,

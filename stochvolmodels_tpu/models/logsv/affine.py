@@ -181,8 +181,8 @@ def solve_a_ode_grid(ttm: float,
     ``warmup_scale``: stiffness scale of the initial transient (≈ vartheta2 ·
     max|A(0)|).  Non-zero A(0) (the SIGMA density path seeds A^(1)(0) = -Θ
     with |Θ| up to 600, get_init_conditions_a) decays on a 1/warmup_scale
-    timescale that a uniform grid cannot resolve; a geometric dt ramp from
-    0.1/warmup_scale up to the uniform step tracks the decaying stiffness
+    timescale that a uniform grid cannot resolve; a ramp from
+    0.01/warmup_scale growing as dt = 0.05·t tracks the decaying stiffness
     (the reference leans on scipy's adaptive RK45/BDF for this,
     affine_expansion.py:229-303).
     """

@@ -77,6 +77,9 @@ def calibrate_logsv_lm_sweep(option_chains: Sequence[OptionChain],
     dtype = jnp.float32 if use_float32 else jnp.float64
     if isinstance(params0, LogSvParams):
         params0 = [params0] * len(chains)
+    elif len(params0) != len(chains):
+        raise ValueError(f"params0 has {len(params0)} entries for "
+                         f"{len(chains)} chains")
 
     grids, markets, sqrtws, p0s, vol_scalers = [], [], [], [], []
     for chain, par0 in zip(chains, params0):
