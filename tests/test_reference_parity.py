@@ -280,3 +280,45 @@ class TestLogSvPdfParity:
         r = ref_lp.logsv_pdfs(params=params_r, ttm=0.5, space_grid=x)
         o = np.asarray(ours.logsv_pdfs(params=params_o, ttm=0.5, space_grid=x))
         np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-8)
+
+
+class TestFactorHjmParity:
+    @pytest.mark.slow
+    def test_swaption_de_vols_vs_reference(self):
+        """our batched-RK4 rate affine expansion + tanh-sinh DE quadrature vs
+        the reference's solve_ivp implementation on an identical 3-factor
+        Nelson-Siegel setup.  The oracle vols below were produced by running
+        the stubbed reference logsv_chain_de_pricer on this exact setup
+        (f0 matches to 16 digits; agreement within 0.3bp of ~170bp)."""
+        from stochvolmodels_tpu.models.factor_hjm import logsv_chain_de_pricer
+        from stochvolmodels_tpu.utils.rate_core import (
+            generate_ttms_grid,
+            get_default_swap_term_structure,
+        )
+        ns = NelsonSiegel(meanrev=0.55, key_terms=np.array([2.0, 5.0, 10.0]))
+        ts = np.array([0.0, 1.0])
+        params = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=2.0, kappa2=2.0,
+            beta=TermStructure.create_multi_fact_from_vec(
+                ts, np.array([0.15, -0.075, 0.0])),
+            volvol=TermStructure.create_from_scalar(ts, 0.6),
+            A=np.array([[0.01, 0.01, 0.01]]), R=np.eye(3), basis=ns,
+            ccy="USD", vol_interpolation="BY_YIELD")
+        expiry = 1.0
+        ts_sw = get_default_swap_term_structure(expiry, 1.0)
+        f0 = float(np.asarray(ns.swap_rate(0.0, ts_sw, np.zeros(3), np.zeros(8),
+                                           ccy="USD")[0]).ravel()[0])
+        np.testing.assert_allclose(f0, 0.0439378948506126, rtol=1e-12)
+        strikes = f0 + np.linspace(-0.01, 0.01, 5)
+        t_grid = generate_ttms_grid(np.array([expiry]))
+        _, ivols = logsv_chain_de_pricer(
+            params=params, t_grid=t_grid, ttms=np.array([expiry]),
+            forwards=[np.array([f0])] * 3, strikes_ttms=[[strikes]] * 3,
+            optiontypes_ttms=[np.repeat('C', 5)])
+        ref_vols_bp = np.array([
+            [171.72, 170.74, 169.96, 169.38, 169.00],
+            [144.29, 142.93, 141.80, 140.92, 140.31],
+            [101.34, 100.46, 99.91, 99.72, 99.89]])
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(ivols[i][0]).ravel() * 1e4,
+                                       ref_vols_bp[i], atol=0.5)
