@@ -291,6 +291,11 @@ class TestFactorHjmParity:
         the stubbed reference logsv_chain_de_pricer on this exact setup
         (f0 matches to 16 digits; agreement within 0.3bp of ~170bp)."""
         from stochvolmodels_tpu.models.factor_hjm import logsv_chain_de_pricer
+        from stochvolmodels_tpu.models.factor_hjm.rate_factor_basis import NelsonSiegel
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
+            MultiFactRateLogSvParams,
+            TermStructure,
+        )
         from stochvolmodels_tpu.utils.rate_core import (
             generate_ttms_grid,
             get_default_swap_term_structure,
