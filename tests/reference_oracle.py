@@ -56,7 +56,8 @@ def load_reference():
     """import and return the reference `stochvolmodels` package (cached)."""
     _install_numba_stub()
     ref_root = "/root/reference"
-    if ref_root not in sys.path:
+    added = ref_root not in sys.path
+    if added:
         sys.path.insert(0, ref_root)
     # the repo-local compat shim shadows the name; evict it for this import
     shadowed = {k: v for k, v in sys.modules.items()
@@ -64,7 +65,13 @@ def load_reference():
     for k in shadowed:
         del sys.modules[k]
     import importlib
-    ref = importlib.import_module("stochvolmodels")
+    try:
+        ref = importlib.import_module("stochvolmodels")
+    finally:
+        # leaving /root/reference on sys.path would make the repo's `papers`
+        # namespace package resolve to the reference's papers/ tree
+        if added and ref_root in sys.path:
+            sys.path.remove(ref_root)
     ref_mods = {k: v for k, v in sys.modules.items()
                 if k == "stochvolmodels" or k.startswith("stochvolmodels.")}
     # restore the shim under the public name; keep reference modules reachable
