@@ -504,17 +504,37 @@ class LogSVPricer(ModelPricer):
                     variable_type: VariableType = VariableType.LOG_RETURN,
                     expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                     vol_scaler: Optional[float] = None,
+                    precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
+        """``precision='exact'`` (default) runs the ODE grid in float64 at 720
+        steps/yr for 1e-8 reference parity; ``'fast'`` runs float32 at 180
+        steps/yr (the on-device-LM configuration: ~1e-4 relative price
+        accuracy, well inside market bid-ask, and several times faster on a
+        v5e chip, which has no native f64)."""
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))
         grid = option_chain.to_grid()
         etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
-        prices = _logsv_chain_price_grid_jit(
-            grid, params.sigma0, params.theta, params.kappa1, params.kappa2,
-            params.beta, params.volvol, tuple(float(e) for e in etas),
-            vol_scaler, tuple(float(t) for t in option_chain.ttms),
-            variable_type, expansion_order, is_spot_measure)
+        import contextlib
+        if precision == "fast":
+            grid = _grid_to_f32(grid)
+            year_steps = 180
+            cast = np.float32
+            ctx = jax.enable_x64(False)  # f32 trace, as in the LM fast path
+        elif precision == "exact":
+            year_steps = 720
+            cast = float
+            ctx = contextlib.nullcontext()
+        else:
+            raise NotImplementedError(f"precision={precision}")
+        with ctx:
+            prices = _logsv_chain_price_grid_jit(
+                grid, cast(params.sigma0), cast(params.theta), cast(params.kappa1),
+                cast(params.kappa2), cast(params.beta), cast(params.volvol),
+                tuple(float(e) for e in etas),
+                cast(vol_scaler), tuple(float(t) for t in option_chain.ttms),
+                variable_type, expansion_order, is_spot_measure, year_steps)
         return option_chain.unpad_panel(prices)
 
     @timer
@@ -983,11 +1003,11 @@ def _backbone_etas_jnp(sigma0, theta, kappa1, kappa2, beta, volvol,
     return etas
 
 
-@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12))
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13))
 def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                 volvol, vol_backbone_etas, vol_scaler,
                                 ttms_static, variable_type, expansion_order,
-                                is_spot_measure):
+                                is_spot_measure, year_steps=720):
     return logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
                                   kappa1=kappa1, kappa2=kappa2, beta=beta,
                                   volvol=volvol,
@@ -996,4 +1016,5 @@ def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                   ttms_static=ttms_static,
                                   variable_type=variable_type,
                                   expansion_order=expansion_order,
-                                  is_spot_measure=is_spot_measure)
+                                  is_spot_measure=is_spot_measure,
+                                  year_steps=year_steps)

@@ -331,3 +331,21 @@ class TestOnDeviceCalibration:
             model_calibration_type=LogsvModelCalibrationType.PARAMS5,
             method='lm', nb_iters=6, year_steps=120)
         assert np.isfinite(fit.sigma0) and 0.1 <= fit.sigma0 <= 1.5
+
+
+class TestFastPrecision:
+    def test_fast_mode_matches_exact(self, chain):
+        """precision='fast' (f32, 180 steps/yr — the on-device-LM config)
+        agrees with the exact f64 pricer to ~1e-4 relative."""
+        pricer = LogSVPricer()
+        exact = pricer.price_chain(option_chain=chain, params=PARAMS)
+        fast = pricer.price_chain(option_chain=chain, params=PARAMS,
+                                  precision="fast")
+        for f, e in zip(fast, exact):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_unknown_precision_raises(self, chain):
+        with pytest.raises(NotImplementedError):
+            LogSVPricer().price_chain(option_chain=chain, params=PARAMS,
+                                      precision="bogus")
