@@ -20,6 +20,7 @@ def main() -> None:
                         choices=["analytic", "mc", "rough"])
     parser.add_argument("--n", type=int, default=100)
     parser.add_argument("--nb_path", type=int, default=50000)
+    parser.add_argument("--precision", default="exact", choices=["exact", "fast"])
     args = parser.parse_args()
 
     import jax
@@ -35,7 +36,8 @@ def main() -> None:
     # warm-up compile (excluded from timings, like the reference's numba warm-up)
     def reprice(params):
         if args.mode == "analytic":
-            return pricer.price_chain(option_chain=chain, params=params)
+            return pricer.price_chain(option_chain=chain, params=params,
+                                      precision=args.precision)
         if args.mode == "mc":
             return pricer.model_mc_price_chain(option_chain=chain, params=params,
                                                nb_path=args.nb_path,
