@@ -82,7 +82,14 @@ def compute_gmm_vanilla_price(gmm_weights,
     return discfactor * (gmm_weights @ prices_i)
 
 
-compute_gmm_vanilla_slice_prices = compute_gmm_vanilla_price
+def compute_gmm_vanilla_slice_prices(gmm_weights, gmm_mus, gmm_vols, ttm,
+                                     forward, strikes, optiontypes,
+                                     discfactor=1.0) -> Array:
+    """slice entry with the reference's plural kwargs (gmm_pricer.py:225-244)."""
+    return compute_gmm_vanilla_price(gmm_weights=gmm_weights, gmm_mus=gmm_mus,
+                                     gmm_vols=gmm_vols, ttm=ttm, forward=forward,
+                                     strike=strikes, optiontype=optiontypes,
+                                     discfactor=discfactor)
 
 
 def gmm_vanilla_chain_pricer(gmm_weights, gmm_mus, gmm_vols, ttms, forwards,

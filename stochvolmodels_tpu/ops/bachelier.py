@@ -183,7 +183,12 @@ def infer_normal_ivols_from_model_slice_prices(ttm, forward, strikes, optiontype
                                     discfactor=discfactor, optiontype=optiontypes)
 
 
-infer_normal_ivols_from_slice_prices = infer_normal_ivols_from_model_slice_prices
+def infer_normal_ivols_from_slice_prices(ttm, forward, discfactor, strikes,
+                                         optiontypes, model_prices) -> Array:
+    """reference positional order (bachelier.py:255-270): discfactor third."""
+    return infer_normal_ivols_from_model_slice_prices(
+        ttm=ttm, forward=forward, strikes=strikes, optiontypes=optiontypes,
+        model_prices=model_prices, discfactor=discfactor)
 
 
 def infer_normal_ivols_from_chain_prices(ttms, forwards, discfactors, strikes_ttms,

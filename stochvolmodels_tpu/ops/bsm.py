@@ -469,7 +469,12 @@ def infer_bsm_ivols_from_model_slice_prices(ttm, forward, strikes, optiontypes,
                                  optiontype=optiontypes)
 
 
-infer_bsm_ivols_from_slice_prices = infer_bsm_ivols_from_model_slice_prices
+def infer_bsm_ivols_from_slice_prices(ttm, forward, discfactor, strikes,
+                                      optiontypes, model_prices) -> Array:
+    """reference positional order (bsm.py:493-509): discfactor third."""
+    return infer_bsm_ivols_from_model_slice_prices(
+        ttm=ttm, forward=forward, strikes=strikes, optiontypes=optiontypes,
+        model_prices=model_prices, discfactor=discfactor)
 
 
 def compute_bsm_vanilla_deltas_ttms(ttms, forwards, strikes_ttms, vols_ttms,
