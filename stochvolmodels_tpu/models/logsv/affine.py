@@ -53,10 +53,12 @@ def func_a_ode_quadratic_terms(theta,
                                kappa2,
                                beta,
                                volvol,
+                               phi=None,
+                               psi=None,
                                is_spot_measure: bool = True,
                                expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                                vol_backbone_eta=1.0
-                               ) -> Tuple[Array, Array, Array, Array]:
+                               ):
     """assemble the phi-independent pieces of M^(k), L^(k)(p), H^(k)(p)
     (affine_expansion.py:67-184).
 
@@ -66,8 +68,20 @@ def func_a_ode_quadratic_terms(theta,
         L(phi) = L0 + phi * L1,     H(phi, psi) = h * (phi(phi+p) - 2 psi),
 
     with real L0, L1 (n, n) and h (n,).  Returns (M, L0, L1, h); all real
-    arrays (params may be traced scalars).
+    arrays (params may be traced scalars).  With ``phi``/``psi`` given (the
+    reference's per-point signature), returns the combined complex
+    (M, L, H) instead.
     """
+    if phi is not None:
+        out = func_a_ode_quadratic_terms(
+            theta, kappa1, kappa2, beta, volvol,
+            is_spot_measure=is_spot_measure, expansion_order=expansion_order,
+            vol_backbone_eta=vol_backbone_eta)
+        M, L0, L1, h = map(np.asarray, out)
+        phi = complex(phi)
+        psi = complex(0.0 if psi is None else psi)
+        p = 1.0 if is_spot_measure else -1.0
+        return M, L0 + phi * L1, h * (phi * (phi + p) - 2.0 * psi)
     n = get_expansion_n(expansion_order)
     theta2 = theta * theta
     vartheta2 = beta * beta + volvol * volvol
@@ -154,16 +168,17 @@ def _ode_rhs(A: Cplx, M: Array, L: Cplx, H: Cplx) -> Cplx:
     return Cplx(quad_re + lin_re + H.re, quad_im + lin_im + H.im)
 
 
-def solve_a_ode_grid(ttm: float,
+def solve_a_ode_grid(phi_grid: Cplx,
+                     psi_grid: Cplx,
+                     ttm: float,
                      theta,
                      kappa1,
                      kappa2,
                      beta,
                      volvol,
-                     phi_grid: Cplx,
-                     psi_grid: Cplx,
-                     a_t0: Cplx,
                      is_spot_measure: bool = True,
+                     a_t0: Cplx = None,
+                     is_stiff_solver: bool = False,
                      expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                      vol_backbone_eta=1.0,
                      nb_steps: Optional[int] = None,
@@ -184,8 +199,15 @@ def solve_a_ode_grid(ttm: float,
     timescale that a uniform grid cannot resolve; a ramp from
     0.01/warmup_scale growing as dt = 0.05·t tracks the decaying stiffness
     (the reference leans on scipy's adaptive RK45/BDF for this,
-    affine_expansion.py:229-303).
+    affine_expansion.py:229-303).  ``is_stiff_solver`` is accepted for
+    reference-signature parity and ignored (the warmup schedule covers the
+    stiff regimes).
     """
+    del is_stiff_solver
+    n = get_expansion_n(expansion_order)
+    if a_t0 is None:
+        a_t0 = Cplx(jnp.zeros((phi_grid.shape[0], n)),
+                    jnp.zeros((phi_grid.shape[0], n)))
     if nb_steps is None:
         nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
     dt = float(ttm) / nb_steps
@@ -346,9 +368,14 @@ class _OdeResultShim:
 def solve_ode_for_a(ttm, theta, kappa1, kappa2, beta, volvol, phi, psi,
                     is_spot_measure: bool = True, a_t0=None,
                     expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                    is_stiff_solver: bool = False, dense_output: bool = False,
                     vol_backbone_eta: float = 1.0, **kwargs) -> _OdeResultShim:
     """single-point solve matching the reference entry point
-    (affine_expansion.py:229-303); backed by the batched RK4."""
+    (affine_expansion.py:229-303); backed by the batched RK4.
+    ``is_stiff_solver``/``dense_output`` accepted for signature parity; the
+    shim returns only the terminal state (chain sub-intervals give
+    trajectories, see papers ode_sol_in_time)."""
+    del is_stiff_solver, dense_output
     n = get_expansion_n(expansion_order)
     phi_c = Cplx(jnp.array([np.real(phi)]), jnp.array([np.imag(phi)]))
     psi_c = Cplx(jnp.array([np.real(psi)]), jnp.array([np.imag(psi)]))
@@ -369,6 +396,7 @@ def solve_ode_for_a(ttm, theta, kappa1, kappa2, beta, volvol, phi, psi,
 def solve_analytic_ode_for_a(ttm, theta, kappa1, kappa2, beta, volvol, phi,
                              psi, is_spot_measure, a_t0=None,
                              expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                             year_days: int = 360,
                              **kwargs) -> np.ndarray:
     """compat alias for the reference's semi-analytic path
     (affine_expansion.py:306-384); backed by the same RK4 solver (which is
@@ -457,6 +485,8 @@ def compute_logsv_a_mgf_grid(ttm: float,
                              variable_type: VariableType = VariableType.LOG_RETURN,
                              expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                              a_t0: Optional[Cplx] = None,
+                             is_stiff_solver: bool = False,
+                             is_analytic: bool = False,
                              is_spot_measure: bool = True,
                              vol_backbone_eta=1.0,
                              nb_steps: Optional[int] = None,
@@ -465,8 +495,12 @@ def compute_logsv_a_mgf_grid(ttm: float,
     """solve the coefficient ODEs and contract against powers of
     Y = sigma0 - theta (affine_expansion.py:570-685).
 
-    Returns (A(tau) panel (N, n), log MGF (N,)).
+    Returns (A(tau) panel (N, n), log MGF (N,)).  ``is_stiff_solver`` /
+    ``is_analytic`` are the reference's solver selectors, accepted for
+    signature parity — the batched RK4 (with graded warmup) covers both
+    regimes here.
     """
+    del is_stiff_solver, is_analytic
     n_terms = get_expansion_n(expansion_order)
     if a_t0 is None:
         a_t0 = get_init_conditions_a(phi_grid=phi_grid, psi_grid=psi_grid,

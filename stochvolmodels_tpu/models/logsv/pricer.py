@@ -422,7 +422,8 @@ def rough_logsv_mc_chain_pricer_fixed_randoms(ttms: np.ndarray,
                                               weights: np.ndarray,
                                               nodes: np.ndarray,
                                               timegrids,
-                                              variable_type: VariableType = VariableType.LOG_RETURN
+                                              variable_type: VariableType = VariableType.LOG_RETURN,
+                                              debug: bool = False
                                               ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """rough chain valuation on a shared fixed normal block
     (logsv_pricer.py:1056-1119): each slice restarts from t = 0 using a

@@ -162,8 +162,14 @@ _normal_iv_core.defvjp(_normal_iv_fwd, _normal_iv_bwd)
 
 
 def infer_normal_implied_vol(forward, ttm, strike, given_price, discfactor=1.0,
-                             optiontype='C') -> Array:
-    """normal implied vol; NaN outside [0.001, 0.1]; grad w.r.t. price only."""
+                             optiontype='C', tol: float = 1e-12,
+                             is_bounds_to_nan: bool = True) -> Array:
+    """normal implied vol on the reference bracket; grad w.r.t. price only.
+
+    ``tol`` accepted for parity (bachelier.py:195-237; the fixed iteration
+    count exceeds it); ``is_bounds_to_nan=False`` clamps out-of-bracket
+    prices to the violated bound instead of NaN."""
+    del tol
     given_price = jnp.asarray(given_price)
     shape = jnp.broadcast_shapes(jnp.shape(given_price), jnp.shape(forward),
                                  jnp.shape(strike), jnp.shape(ttm),
@@ -171,8 +177,16 @@ def infer_normal_implied_vol(forward, ttm, strike, given_price, discfactor=1.0,
     dt = jnp.result_type(given_price, jnp.asarray(forward))
     b = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype=dt), shape)
     is_call_f = jnp.where(jnp.broadcast_to(_is_call(optiontype), shape), 1.0, -1.0).astype(dt)
-    return _normal_iv_core(b(given_price), b(forward), b(strike), b(ttm),
-                           b(discfactor), is_call_f)
+    res = _normal_iv_core(b(given_price), b(forward), b(strike), b(ttm),
+                          b(discfactor), is_call_f)
+    if not is_bounds_to_nan:
+        p_low = compute_normal_price(forward=forward, strike=strike, ttm=ttm,
+                                     vol=0.001, optiontype=optiontype,
+                                     discfactor=discfactor)
+        unbracketed = jnp.isnan(res) & jnp.isfinite(b(given_price))
+        res = jnp.where(unbracketed,
+                        jnp.where(b(given_price) <= p_low, 0.001, 0.1), res)
+    return res
 
 
 def infer_normal_ivols_from_model_slice_prices(ttm, forward, strikes, optiontypes,

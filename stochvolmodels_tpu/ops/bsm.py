@@ -443,13 +443,20 @@ def infer_bsm_implied_vol(forward,
                           strike,
                           given_price,
                           discfactor=1.0,
-                          optiontype='C'
+                          optiontype='C',
+                          tol: float = 1e-16,
+                          is_bounds_to_nan: bool = True
                           ) -> Array:
-    """Black implied vol by the reference bisection; NaN outside [0.01, 5.0].
+    """Black implied vol by the reference bisection on [0.01, 5.0].
 
     Elementwise over broadcastable inputs; differentiable w.r.t. price,
     forward, strike, ttm and discount factor via the implicit function theorem.
+    ``tol`` is accepted for reference parity (bsm.py:445-489) — the fixed 200
+    bisection iterations exceed any representable tolerance.  With
+    ``is_bounds_to_nan`` (reference default) out-of-bracket prices give NaN;
+    otherwise they clamp to the violated bound.
     """
+    del tol
     given_price = jnp.asarray(given_price)
     shape = jnp.broadcast_shapes(jnp.shape(given_price), jnp.shape(forward),
                                  jnp.shape(strike), jnp.shape(ttm),
@@ -457,8 +464,17 @@ def infer_bsm_implied_vol(forward,
     dt = jnp.result_type(given_price, jnp.asarray(forward))
     b = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype=dt), shape)
     is_call_f = jnp.where(jnp.broadcast_to(_is_call(optiontype), shape), 1.0, -1.0).astype(dt)
-    return _implied_vol_core(b(given_price), b(forward), b(strike), b(ttm),
-                             b(discfactor), is_call_f)
+    res = _implied_vol_core(b(given_price), b(forward), b(strike), b(ttm),
+                            b(discfactor), is_call_f)
+    if not is_bounds_to_nan:
+        p_low = compute_bsm_vanilla_price(forward=forward, strike=strike,
+                                          ttm=ttm, vol=0.01,
+                                          optiontype=optiontype,
+                                          discfactor=discfactor)
+        unbracketed = jnp.isnan(res) & jnp.isfinite(b(given_price))
+        res = jnp.where(unbracketed,
+                        jnp.where(b(given_price) <= p_low, 0.01, 5.0), res)
+    return res
 
 
 def infer_bsm_ivols_from_model_slice_prices(ttm, forward, strikes, optiontypes,

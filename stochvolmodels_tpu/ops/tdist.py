@@ -172,9 +172,13 @@ def _vanilla_price_tdist_core(spot, strikes, ttm, vol, nu, is_call, rf_rate,
 
 
 def infer_implied_vol_tdist(spot, ttm, strike, given_price, rf_rate=0.0,
-                            optiontype='C', nu=4.5) -> Array:
+                            optiontype='C', nu=4.5, tol: float = 1e-12,
+                            is_bounds_to_nan: bool = False) -> Array:
     """Student-t implied vol by the reference bisection on [0.05, 10]
-    (tdist.py:160-201); vectorized."""
+    (tdist.py:160-201); vectorized.  ``tol`` accepted for parity;
+    ``is_bounds_to_nan=True`` maps out-of-bracket results to NaN (the
+    reference default here is False: clamp to the bound)."""
+    del tol
     given_price = jnp.asarray(given_price)
     is_call = _is_call(optiontype)
 
@@ -208,7 +212,9 @@ def infer_implied_vol_tdist(spot, ttm, strike, given_price, rf_rate=0.0,
     dx0 = jnp.where(f < 0.0, x2 - x1, x1 - x2)
     _, _, xmid, _ = jax.lax.fori_loop(0, 100, body,
                                       (rtb0, dx0, rtb0, jnp.zeros_like(bracketed)))
-    return jnp.where(bracketed, xmid, jnp.where(f < 0.0, x1, x2))
+    out_of_bracket = jnp.where(jnp.asarray(is_bounds_to_nan), jnp.nan,
+                               jnp.where(f < 0.0, x1, x2))
+    return jnp.where(bracketed, xmid, out_of_bracket)
 
 
 def infer_tdist_implied_vols_from_model_slice_prices(ttm, spot, strikes,

@@ -52,15 +52,21 @@ def _fmt_axis(ax, xvar_format: Optional[str], yvar_format: Optional[str],
             tick.set_rotation(x_rotation)
 
 
-def set_legend_colors(ax, fontsize: int = 12, **kwargs) -> None:
-    """recolour legend text to match line colours."""
+def set_legend_colors(ax, text_weight: Optional[str] = None,
+                      colors: Optional[List[str]] = None,
+                      fontsize: int = 12, **kwargs) -> None:
+    """recolour legend text to match line colours (plots.py reference
+    signature: optional explicit colors and font weight)."""
     leg = ax.get_legend()
     if leg is None:
         return
-    colors = [line.get_color() for line in leg.get_lines()]
+    if colors is None:
+        colors = [line.get_color() for line in leg.get_lines()]
     for text, color in zip(leg.get_texts(), colors):
         text.set_color(color)
         text.set_size(fontsize)
+        if text_weight is not None:
+            text.set_weight(text_weight)
 
 
 def vol_slice_fit(bid_vol: pd.Series,
@@ -70,9 +76,12 @@ def vol_slice_fit(bid_vol: pd.Series,
                   strike_name: str = 'strike',
                   bid_name: str = 'bid',
                   ask_name: str = 'ask',
+                  mid_name: str = 'mid',
                   model_color: str = 'black',
                   bid_color: str = 'red',
                   ask_color: str = 'green',
+                  mid_color: str = 'slateblue',
+                  is_add_mids: bool = False,
                   atm_points: Optional[Dict[str, Tuple[float, float]]] = None,
                   yvar_format: str = '{:.0%}',
                   xvar_format: Optional[str] = '{:0,.0f}',
@@ -95,8 +104,10 @@ def vol_slice_fit(bid_vol: pd.Series,
     for name, color in zip(model_vols.columns, palette):
         legend_entries.append((name, {'color': color}))
 
-    for vol, name, color in ((bid_vol, bid_name, bid_color),
-                             (ask_vol, ask_name, ask_color)):
+    markers = [(bid_vol, bid_name, bid_color), (ask_vol, ask_name, ask_color)]
+    if is_add_mids:
+        markers.append((0.5 * (bid_vol + ask_vol), mid_name, mid_color))
+    for vol, name, color in markers:
         ax.scatter(vol.index.to_numpy(), vol.to_numpy(), color=color, s=40,
                    linewidth=3, marker='_')
         legend_entries.append((name, {'color': color, 'linestyle': '', 'marker': '_'}))
@@ -119,24 +130,38 @@ def vol_slice_fit(bid_vol: pd.Series,
 
 
 def model_vols_ts(model_vols: Union[pd.Series, pd.DataFrame],
+                  is_delta_space: bool = False,
                   xvar_format: str = '{:0,.0f}',
                   yvar_format: str = '{:.0%}',
                   x_rotation: int = 0,
                   xlabel: str = 'strike',
+                  n_tickwindow: Optional[int] = None,
                   marker: Optional[str] = None,
                   title: Optional[str] = None,
                   fontsize: int = 10,
                   legend_loc: str = 'upper center',
                   ax=None,
                   **kwargs) -> Optional[plt.Figure]:
-    """implied vols across strikes, one line per maturity slice."""
+    """implied vols across strikes, one line per maturity slice.
+
+    ``is_delta_space`` labels the x axis in BSM deltas (plots.py:272-326);
+    ``n_tickwindow`` thins the x ticks to every n-th."""
     fig = None
     if ax is None:
         fig, ax = plt.subplots(1, 1, figsize=(8, 8))
     sns.lineplot(data=model_vols, dashes=False, marker=marker, ax=ax)
     ax.legend(loc=legend_loc, fontsize=fontsize, framealpha=0)
     set_legend_colors(ax, fontsize=fontsize)
+    if is_delta_space:
+        xvar_format = None
+        ax.set_xticks(range(len(model_vols.index)))
+        ax.set_xticklabels(map_deltas_to_str(np.asarray(model_vols.index)))
+        xlabel = 'delta'
     _fmt_axis(ax, xvar_format, yvar_format, x_rotation)
+    if n_tickwindow is not None:
+        for idx, tick in enumerate(ax.xaxis.get_ticklabels()):
+            if idx % n_tickwindow != 0:
+                tick.set_visible(False)
     ax.set_xlabel(xlabel)
     if title is not None:
         ax.set_title(title, fontsize=fontsize)
