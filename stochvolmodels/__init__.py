@@ -242,3 +242,13 @@ for _name, _mod in {
     'stochvolmodels.pricers.factor_hjm.rate_logsv_pricer': _rlpr,
 }.items():
     _sys.modules[_name] = _mod
+
+# Mirror what a real package import does: set every aliased submodule as an
+# attribute of its parent, so `import stochvolmodels; stochvolmodels.data...`
+# works without a prior deep import (reference parity: the reference package
+# imports its submodules at __init__, which binds them as attributes).
+for _name in [n for n in _sys.modules if n.startswith('stochvolmodels.')]:
+    _parent_name, _, _child = _name.rpartition('.')
+    _parent = _sys.modules.get(_parent_name)
+    if _parent is not None and not hasattr(_parent, _child):
+        setattr(_parent, _child, _sys.modules[_name])

@@ -18,8 +18,11 @@ from typing import List, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.integrate import solve_ivp
 
+from stochvolmodels_tpu.models.factor_hjm.conv_adj import (
+    conv_adj_linear_block,
+    solve_conv_adj,
+)
 from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import de_pricer
 from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
     UnderlyingType,
@@ -62,78 +65,6 @@ class FutSettleType(Enum):
 # futures convexity adjustment (Theorem 3.3 / 3.5)
 # ----------------------------------------------------------------------------
 
-def conv_adj_rhs_MF(tau: float,
-                    state0: np.ndarray,
-                    ttm: float,
-                    params: MultiFactRateLogSvParams,
-                    Delta: float,
-                    settlement_type: FutSettleType,
-                    expansion_order: ExpansionOrder
-                    ) -> np.ndarray:
-    """RHS of the multi-factor convexity-adjustment ODE
-    (rate_logsv_pricer.py:58-146)."""
-    q = params.theta if params.q is None else params.q
-    ts = params.beta.ts
-    sz_X = params.basis.nb_factors
-    sz_Y = params.basis.nb_aux_factors
-    D_X = params.basis.get_generating_matrix()
-    D_Y = params.basis.get_aux_generating_matrix()
-
-    if expansion_order == ExpansionOrder.FIRST:
-        if settlement_type == FutSettleType.SOFR:
-            raise NotImplementedError
-    elif expansion_order != ExpansionOrder.ZERO:
-        raise NotImplementedError
-
-    B1, B2 = state0[:sz_X], state0[sz_X:sz_X + sz_Y]
-    if expansion_order == ExpansionOrder.FIRST:
-        h1, h2, h0 = state0[-3], state0[-2], state0[-1]
-    else:
-        h1, h0 = state0[-2], state0[-1]
-        h2 = 0.0
-
-    idx_t = bracket(ts[1:], ttm - tau, True)
-    kappa0 = params.kappa1 * (params.theta - q) + params.kappa2 * q * (params.theta - q)
-    kappa1 = params.kappa1 - params.kappa2 * params.theta + 2.0 * params.kappa2 * q
-    kappa2 = params.kappa2
-    beta_t = params.beta.xs[idx_t]
-    volvol_t = params.volvol.xs[idx_t]
-    vartheta_sq = np.linalg.norm(beta_t) ** 2 + volvol_t ** 2
-    C_t, M_t, Omega_t = params.C[idx_t], params.M[idx_t], params.Omega[idx_t]
-    B0 = params.basis.get_basis(0.0)
-    B0_ext = params.basis.get_aux_basis(0.0)
-
-    B1_M_B1 = B1 @ M_t @ B1
-    B1_C_beta = B1 @ C_t @ beta_t
-    B2_Omega = B2 @ Omega_t
-
-    rhs = np.zeros_like(state0)
-    rhs[:sz_X] = B1 @ D_X
-    rhs[sz_X:sz_X + sz_Y] = B2 @ D_Y
-    if settlement_type == FutSettleType.SOFR:
-        if tau < Delta:
-            rhs[:sz_X] += B0
-            rhs[sz_X:sz_X + sz_Y] += B0_ext
-
-    if expansion_order == ExpansionOrder.FIRST:
-        rhs[-3] = (2.0 * q * (0.5 * B1_M_B1 + B2_Omega) + 2.0 * kappa0 * h2
-                   - kappa1 * h1 + vartheta_sq * (q * h1 * h1 + 2.0 * q * h2
-                                                  + 2.0 * q * q * h1 * h2)
-                   + 2.0 * q * (h1 + q * h2) * B1_C_beta)
-        rhs[-2] = ((0.5 * B1_M_B1 + B2_Omega) - 2.0 * kappa1 * h2 - kappa2 * h1
-                   + vartheta_sq * (0.5 * h1 * h1 + h2 + 4.0 * q * h1 * h2
-                                    + 2.0 * q * q * h2 * h2)
-                   + (h1 + 4.0 * q * h2) * B1_C_beta)
-        rhs[-1] = (q * q * (0.5 * B1_M_B1 + B2_Omega) + kappa0 * h1
-                   + vartheta_sq * q * q * (0.5 * h1 * h1 + h2)
-                   + q * q * h1 * B1_C_beta)
-    else:
-        core = 0.5 * B1_M_B1 + B2_Omega + h1 * B1_C_beta + 0.5 * vartheta_sq * h1 * h1
-        rhs[-2] = 2.0 * q * core - kappa1 * h1
-        rhs[-1] = q * q * core + kappa0 * h1
-    return rhs
-
-
 def futures_conv_adj(t_start: float,
                      basis_type: str,
                      params: MultiFactRateLogSvParams,
@@ -144,54 +75,58 @@ def futures_conv_adj(t_start: float,
                      dense_output: bool = False,
                      t_grid: Optional[np.ndarray] = None) -> Tuple[np.ndarray, ...]:
     """futures convexity adjustment, analytic form of Theorem 3.5
-    (rate_logsv_pricer.py:149-227)."""
+    (reference behavior: rate_logsv_pricer.py:58-227, a 13-dim per-call
+    solve_ivp; here the linear bond-coefficient block is closed form and
+    only the 2-3-dim h-system is integrated — one jitted ``lax.scan`` RK4
+    with exact stage coefficients, see ``conv_adj.py``).
+
+    Returns (b1, b2, h1, h2, h0) at ``tau_eval = t_start - t0`` (EURODOLLAR;
+    plus Delta for SOFR), or dense arrays over ``tau = t_start - t_grid``
+    when ``dense_output`` is set.
+    """
     assert basis_type == "NELSON-SIEGEL"
-    bond_coeffs = params.basis.bond_coeffs(Delta)
-    vol_init = np.zeros(3 if expansion_order == ExpansionOrder.FIRST else 2)
-    if settlement_type == FutSettleType.EURODOLLAR:
-        cond_init = np.concatenate((bond_coeffs[0], bond_coeffs[1], vol_init))
-    elif settlement_type == FutSettleType.SOFR:
-        cond_init = np.concatenate((np.zeros_like(bond_coeffs[0]),
-                                    np.zeros_like(bond_coeffs[1]), vol_init))
-    else:
+    assert t0 <= t_start
+    if expansion_order == ExpansionOrder.FIRST:
+        if settlement_type == FutSettleType.SOFR:
+            raise NotImplementedError
+    elif expansion_order != ExpansionOrder.ZERO:
+        raise NotImplementedError
+    if settlement_type not in (FutSettleType.EURODOLLAR, FutSettleType.SOFR):
         raise NotImplementedError
 
-    assert t0 <= t_start
+    is_sofr = settlement_type == FutSettleType.SOFR
     tau_S = t_start - t0
     tau_E = tau_S + Delta
-    t_eval = (np.maximum(t_start - t0, 1e-4)
-              if settlement_type == FutSettleType.EURODOLLAR
-              else np.maximum(t_start + Delta - t0, 1e-4))
-    if t_grid is not None:
-        idx_ttm = np.where(t_grid == t_eval)[0][0]
-        t_grid = t_grid[:idx_ttm + 1]
+    tau_eval = max(tau_S, 1e-4) if not is_sofr else max(tau_E, 1e-4)
 
-    sol_fut = solve_ivp(fun=conv_adj_rhs_MF, y0=cond_init,
-                        args=(t_start, params, Delta, settlement_type, expansion_order),
-                        t_span=(0.0, t_eval), dense_output=dense_output,
-                        t_eval=t_grid, max_step=0.001)
-    sol = sol_fut.y[:, -1]
-    sz_X = params.basis.nb_factors
-    sz_Y = params.basis.nb_aux_factors
-    if expansion_order == ExpansionOrder.FIRST:
-        b1, b2, h1, h2, h0 = sol[:sz_X], sol[sz_X:sz_X + sz_Y], sol[-3], sol[-2], sol[-1]
-    else:
-        b1, b2, h1, h0 = sol[:sz_X], sol[sz_X:sz_X + sz_Y], sol[-2], sol[-1]
-        h2 = 0.0
-    b1 = b1 - (params.basis.bond_coeffs(tau_E)[0] - params.basis.bond_coeffs(tau_S)[0])
-    b2 = b2 - (params.basis.bond_coeffs(tau_E)[1] - params.basis.bond_coeffs(tau_S)[1])
+    taus, h_traj = solve_conv_adj(
+        params, t_start=t_start, Delta=Delta, tau_end=tau_eval,
+        settlement_is_sofr=is_sofr, expansion_order=expansion_order)
+    h_traj = np.asarray(h_traj)
 
     if dense_output:
         assert t_grid is not None
-        sol = sol_fut.sol(t_start - t_grid)
-        b1 = sol.T[:, :sz_X]
-        b2 = sol.T[:, sz_X:sz_X + sz_Y]
-        h1 = sol.T[:, -2]
-        h0 = sol.T[:, -1]
-        if expansion_order == ExpansionOrder.FIRST:
-            h2 = sol.T[:, -3]
-        else:
-            h2 = np.zeros_like(t_grid)
+        tau_req = t_start - np.asarray(t_grid, dtype=float)
+        b1, b2 = conv_adj_linear_block(params.basis.meanrev, tau_req, Delta,
+                                       is_sofr)
+        h1 = np.interp(tau_req, taus, h_traj[:, 0])
+        h2 = (np.interp(tau_req, taus, h_traj[:, 1])
+              if expansion_order == ExpansionOrder.FIRST
+              else np.zeros_like(tau_req))
+        h0 = np.interp(tau_req, taus, h_traj[:, 2])
+        return np.asarray(b1), np.asarray(b2), h1, h2, h0
+
+    b1e, b2e = conv_adj_linear_block(params.basis.meanrev, tau_eval, Delta,
+                                     is_sofr)
+    # the reference reports the linear block net of the closed-form
+    # bond-coefficient increment over the accrual period
+    b1 = np.asarray(b1e) - (params.basis.bond_coeffs(tau_E)[0]
+                            - params.basis.bond_coeffs(tau_S)[0])
+    b2 = np.asarray(b2e) - (params.basis.bond_coeffs(tau_E)[1]
+                            - params.basis.bond_coeffs(tau_S)[1])
+    h1, h2, h0 = h_traj[-1, 0], h_traj[-1, 1], h_traj[-1, 2]
+    if expansion_order != ExpansionOrder.FIRST:
+        h2 = 0.0
     return b1, b2, h1, h2, h0
 
 
@@ -351,6 +286,71 @@ def logsv_chain_de_pricer(params: MultiFactRateLogSvParams,
         model_prices_tenors.append(model_prices_ttms)
         model_ivs_tenors.append(model_ivs_ttms)
     return model_prices_tenors, model_ivs_tenors
+
+
+def make_swaption_slice_fn(params: MultiFactRateLogSvParams,
+                           t_grid: np.ndarray,
+                           ttm: float,
+                           tenor: float,
+                           forward: float,
+                           strikes: np.ndarray,
+                           expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                           x0: Optional[np.ndarray] = None,
+                           y0: Optional[np.ndarray] = None,
+                           h: float = 0.125,
+                           x_max: float = 2.75):
+    """jitted, end-to-end differentiable swaption slice pricer.
+
+    Returns ``price(sigma0, beta_xs, volvol_xs) -> (n_strikes,)`` jnp prices,
+    with gradient support w.r.t. all three arguments — the reference's
+    DE pricer (double_exp_pricer.py:20-72) refines adaptively on host and is
+    not differentiable; here the tanh-sinh panel is fixed
+    (``tanh_sinh_nodes``), the QA structural panels (mean states, swap
+    gradient, annuity log-derivative, factor vols C) are frozen at the
+    current parameters, and everything downstream — coefficient assembly,
+    Riccati scan, inversion integral — is traced jax.  Gradient-based rate
+    calibration plugs ``jax.grad`` of a loss over this directly.
+    """
+    from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import (
+        tanh_sinh_nodes,
+    )
+    t_grid_cut, _, idx_t, swap_gr, loga_der, C_panel = \
+        params.qa_structural_panels(expiry=float(ttm), tenor=tenor,
+                                    t_grid=t_grid, x0=x0, y0=y0)
+    p_nodes, w_nodes = tanh_sinh_nodes(h=h, x_max=x_max)
+    theta, kappa1, kappa2 = params.theta, params.kappa1, params.kappa2
+    CT_loga = jnp.asarray(np.einsum('tde,td->te', C_panel, loga_der))
+    a_interp = jnp.asarray(np.einsum('td,tde->te', swap_gr, C_panel))
+    moneyness = jnp.asarray(np.asarray(strikes, dtype=float) - forward)
+    idx_t = jnp.asarray(idx_t)
+    p_nodes_j = jnp.asarray(p_nodes)
+    w_nodes_j = jnp.asarray(w_nodes)
+
+    @jax.jit
+    def price(sigma0, beta_xs, volvol_xs):
+        beta_interp = jnp.asarray(beta_xs)[idx_t]          # (T, d)
+        volvol_interp = jnp.asarray(volvol_xs)[idx_t]      # (T,)
+        beta2 = jnp.einsum('td,td->t', beta_interp, CT_loga)
+        kappa0_s = beta2 * theta * theta
+        kappa1_s = kappa1 - kappa2 * theta + 2.0 * (kappa2 - beta2) * theta
+        kappa2_s = kappa2 - beta2
+        phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
+        _, log_mgf = compute_logsv_a_mgf_grid(
+            ttm=float(ttm), phi_grid=phi, sigma0=sigma0, q=theta,
+            times=t_grid_cut, a0=a_interp, a1=jnp.zeros_like(kappa0_s),
+            kappa0=kappa0_s, kappa1=kappa1_s, kappa2=kappa2_s,
+            beta=beta_interp, volvol=volvol_interp,
+            b=jnp.zeros_like(kappa0_s), underlying_type=UnderlyingType.SWAP,
+            expansion_order=expansion_order)
+        p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)   # 1/(pi phi^2)
+        z = Cplx(moneyness[None, :] * phi.re[:, None] + log_mgf.re[:, None],
+                 moneyness[None, :] * phi.im[:, None] + log_mgf.im[:, None])
+        e = jnp.exp(z.re)
+        integrand = e * (p_payoff.re[:, None] * jnp.cos(z.im)
+                         - p_payoff.im[:, None] * jnp.sin(z.im))
+        return w_nodes_j @ integrand
+
+    return price
 
 
 # ----------------------------------------------------------------------------

@@ -41,10 +41,47 @@ def _uniform_from_bits(bits) -> Array:
     return jnp.maximum(f - 1.0, 1.1754944e-38)  # keep log(u) finite
 
 
-def _box_muller(shape) -> Tuple[Array, Array]:
-    """two independent standard normal panels from on-chip PRNG bits."""
-    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+def _hash_u32(x: Array) -> Array:
+    """murmur3 finalizer: full-avalanche uint32 mix (counter-based PRNG for
+    the interpret path — the Mosaic interpreter stubs the hardware PRNG)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def _counter_bits(shape, seed: Array, salt: Array, stream: int) -> Array:
+    """stateless counter-based uint32 panel: hash(path-index ^ hash(seed,
+    step, stream)).  Statistically adequate for MC (distinct full-avalanche
+    inputs per draw); used only when ``interpret`` is set."""
+    row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    idx = row * jnp.uint32(shape[1]) + lane
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    salt = jnp.asarray(salt).astype(jnp.uint32)
+    key = _hash_u32(seed * jnp.uint32(0x9E3779B9)
+                    + salt * jnp.uint32(0x7FEB352D)
+                    + jnp.uint32(stream) * jnp.uint32(0x846CA68B))
+    return _hash_u32(idx ^ key)
+
+
+def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
+                salt: Array = None) -> Tuple[Array, Array]:
+    """two independent standard normal panels.
+
+    Hardware path: on-chip PRNG bits (`pltpu.prng_random_bits`, seeded once
+    per program).  Interpret path (CI on CPU): the interpreter stubs the
+    hardware PRNG to zeros, so a counter-based hash over (seed, step-salt,
+    path-index) supplies the bits instead — same kernel structure, real
+    randomness.
+    """
+    if interpret:
+        u1 = _uniform_from_bits(_counter_bits(shape, seed, salt, 0))
+        u2 = _uniform_from_bits(_counter_bits(shape, seed, salt, 1))
+    else:
+        u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     t = TWO_PI * u2
     return r * jnp.cos(t), r * jnp.sin(t)
@@ -52,13 +89,15 @@ def _box_muller(shape) -> Tuple[Array, Array]:
 
 def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
                   x_ref, sig_ref, qvar_ref, *, nb_steps: int, dt: float,
-                  alpha: float):
+                  alpha: float, interpret: bool = False):
     """full-horizon LogSV Euler loop for one (BLOCK_ROWS, LANES) path block.
 
     params (SMEM): [theta, kappa1, kappa2, beta, volvol, vol_backbone_eta, adj].
     State stays in registers/VMEM; only terminal values are stored.
     """
-    pltpu.prng_seed(seed_ref[0] + jnp.int32(pl.program_id(0)))
+    seed = seed_ref[0] + jnp.int32(pl.program_id(0))
+    if not interpret:
+        pltpu.prng_seed(seed)
     theta = params_ref[0]
     kappa1 = params_ref[1]
     kappa2 = params_ref[2]
@@ -72,9 +111,10 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
     dtf = np.float32(dt)
     alpha_f = np.float32(alpha)
 
-    def body(_, carry):
+    def body(salt, carry):
         x, lns, sigma, qvar = carry
-        z0, z1 = _box_muller(x.shape)
+        z0, z1 = _box_muller(x.shape, interpret=interpret, seed=seed,
+                             salt=salt)
         w0 = z0 * sdt
         w1 = z1 * sdt
         sig2dt = eta2 * sigma * sigma * dtf
@@ -88,32 +128,38 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
         return x, lns, sigma_new, qvar
 
     def body2(i, carry):
-        # manual 2-step unroll (Mosaic supports only unroll=1 or full)
-        return body(i, body(i, carry))
+        # manual 2-step unroll (Mosaic supports only unroll=1 or full);
+        # salts 2i / 2i+1 keep the interpret-path counter PRNG advancing
+        return body(2 * i + 1, body(2 * i, carry))
 
     lns0 = lns0_ref[:]
     carry = (x0_ref[:], lns0, jnp.exp(lns0), qv0_ref[:])
     x, lns, sigma, qvar = jax.lax.fori_loop(0, nb_steps // 2, body2, carry)
     if nb_steps % 2:
-        x, lns, sigma, qvar = body(0, (x, lns, sigma, qvar))
+        x, lns, sigma, qvar = body(nb_steps - 1, (x, lns, sigma, qvar))
     x_ref[:] = x
     sig_ref[:] = sigma
     qvar_ref[:] = qvar
 
 
-@functools.partial(jax.jit, static_argnames=("nb_steps", "dt", "alpha", "nb_path"))
-def _run_logsv_kernel(seed, params, x0, lns0, qv0, nb_steps, dt, alpha, nb_path):
+@functools.partial(jax.jit,
+                   static_argnames=("nb_steps", "dt", "alpha", "nb_path",
+                                    "interpret"))
+def _run_logsv_kernel(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
+                      nb_path, interpret=False):
     # Mosaic cannot lower i64; trace the kernel in 32-bit mode (the global
     # config enables x64 for the pricing layer)
     with jax.enable_x64(False):
         return _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps,
-                                    dt, alpha, nb_path)
+                                    dt, alpha, nb_path, interpret)
 
 
-def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha, nb_path):
+def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
+                         nb_path, interpret=False):
     rows = nb_path // LANES
     grid = pl.cdiv(rows, BLOCK_ROWS)
-    kernel = functools.partial(_logsv_kernel, nb_steps=nb_steps, dt=dt, alpha=alpha)
+    kernel = functools.partial(_logsv_kernel, nb_steps=nb_steps, dt=dt,
+                               alpha=alpha, interpret=interpret)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -131,6 +177,9 @@ def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha, nb_pa
             flops=30 * nb_steps * nb_path,
             bytes_accessed=6 * nb_path * 4,
             transcendentals=7 * nb_steps * nb_path),
+        # TPU interpret mode: emulates the Mosaic primitives (on-chip PRNG,
+        # SMEM) on CPU so the kernels run in CI without a TPU
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params, x0, lns0, qv0)
 
 
@@ -146,12 +195,15 @@ def simulate_logsv_terminal_pallas(seed: int,
                                    volvol: float,
                                    vol_backbone_eta: float = 1.0,
                                    is_spot_measure: bool = True,
-                                   nb_steps_per_year: int = 360
+                                   nb_steps_per_year: int = 360,
+                                   interpret: bool = False
                                    ) -> Tuple[Array, Array, Array]:
     """terminal (x, sigma, qvar) by the on-chip-PRNG Pallas kernel (float32).
 
     Same discretization as models.logsv.pricer.simulate_logsv_terminal; state
     arrays are (nb_path,) with nb_path a multiple of 128 (pad if needed).
+    ``interpret=True`` runs the kernel under the Pallas TPU interpreter
+    (CPU-executable, used by CI).
     """
     nb_path = x0.shape[0]
     assert nb_path % LANES == 0, f"nb_path must be a multiple of {LANES}"
@@ -167,16 +219,20 @@ def simulate_logsv_terminal_pallas(seed: int,
     x, sig, qvar = _run_logsv_kernel(
         jnp.asarray([seed], dtype=jnp.int32), params,
         to_block(x0), to_block(jnp.log(jnp.asarray(sigma0))), to_block(qvar0),
-        nb_steps=nb_steps, dt=float(dt), alpha=alpha, nb_path=nb_path)
+        nb_steps=nb_steps, dt=float(dt), alpha=alpha, nb_path=nb_path,
+        interpret=interpret)
     return x.reshape(-1), sig.reshape(-1), qvar.reshape(-1)
 
 
 def _heston_kernel(seed_ref, params_ref, x0_ref, v0_ref, qv0_ref,
-                   x_ref, var_ref, qvar_ref, *, nb_steps: int, dt: float):
+                   x_ref, var_ref, qvar_ref, *, nb_steps: int, dt: float,
+                   interpret: bool = False):
     """full-truncation Heston Euler loop for one path block.
 
     params (SMEM): [theta, kappa, rho, volvol]."""
-    pltpu.prng_seed(seed_ref[0] + jnp.int32(pl.program_id(0)))
+    seed = seed_ref[0] + jnp.int32(pl.program_id(0))
+    if not interpret:
+        pltpu.prng_seed(seed)
     theta = params_ref[0]
     kappa = params_ref[1]
     rho = params_ref[2]
@@ -185,9 +241,9 @@ def _heston_kernel(seed_ref, params_ref, x0_ref, v0_ref, qv0_ref,
     sdt = np.float32(np.sqrt(dt))
     dtf = np.float32(dt)
 
-    def body(_, carry):
+    def body(i, carry):
         x, var, qvar = carry
-        z0, z1 = _box_muller(x.shape)
+        z0, z1 = _box_muller(x.shape, interpret=interpret, seed=seed, salt=i)
         w0 = z0 * sdt
         w1 = z1 * sdt
         sigma = jnp.sqrt(var)
@@ -206,17 +262,21 @@ def _heston_kernel(seed_ref, params_ref, x0_ref, v0_ref, qv0_ref,
     qvar_ref[:] = qvar
 
 
-@functools.partial(jax.jit, static_argnames=("nb_steps", "dt", "nb_path"))
-def _run_heston_kernel(seed, params, x0, v0, qv0, nb_steps, dt, nb_path):
+@functools.partial(jax.jit,
+                   static_argnames=("nb_steps", "dt", "nb_path", "interpret"))
+def _run_heston_kernel(seed, params, x0, v0, qv0, nb_steps, dt, nb_path,
+                       interpret=False):
     with jax.enable_x64(False):
         return _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt,
-                                     nb_path)
+                                     nb_path, interpret)
 
 
-def _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt, nb_path):
+def _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt, nb_path,
+                          interpret=False):
     rows = nb_path // LANES
     grid = pl.cdiv(rows, BLOCK_ROWS)
-    kernel = functools.partial(_heston_kernel, nb_steps=nb_steps, dt=dt)
+    kernel = functools.partial(_heston_kernel, nb_steps=nb_steps, dt=dt,
+                               interpret=interpret)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -234,6 +294,7 @@ def _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt, nb_path):
             flops=25 * nb_steps * nb_path,
             bytes_accessed=6 * nb_path * 4,
             transcendentals=5 * nb_steps * nb_path),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params, x0, v0, qv0)
 
 
@@ -246,7 +307,8 @@ def simulate_heston_terminal_pallas(seed: int,
                                     kappa: float,
                                     rho: float,
                                     volvol: float,
-                                    nb_steps_per_year: int = 360
+                                    nb_steps_per_year: int = 360,
+                                    interpret: bool = False
                                     ) -> Tuple[Array, Array, Array]:
     """terminal (x, var, qvar) under Heston by the Pallas kernel (float32)."""
     nb_path = x0.shape[0]
@@ -258,5 +320,5 @@ def simulate_heston_terminal_pallas(seed: int,
     x, var, qvar = _run_heston_kernel(
         jnp.asarray([seed], dtype=jnp.int32), params,
         to_block(x0), to_block(var0), to_block(qvar0),
-        nb_steps=nb_steps, dt=float(dt), nb_path=nb_path)
+        nb_steps=nb_steps, dt=float(dt), nb_path=nb_path, interpret=interpret)
     return x.reshape(-1), var.reshape(-1), qvar.reshape(-1)

@@ -1,9 +1,12 @@
 """
 Pallas MC kernels: moment agreement with the lax.scan reference kernels.
 
-These kernels are TPU-only (on-chip PRNG, Mosaic); the suite runs on CPU, so
-they are exercised here only when a TPU is actually present — bench.py and
-the TPU verification flow cover them on hardware.
+The kernels use Mosaic-only primitives (on-chip PRNG, SMEM scalars); on CPU
+they run under the Pallas TPU *interpreter* (``interpret=True``), so both the
+LogSV and Heston kernels are exercised in every CI run.  The TPU-gated
+variants below re-run the real Mosaic lowering when hardware is present.
+
+Reference MC contracts: logsv_pricer.py:843-940, heston_pricer.py:312-359.
 """
 import jax
 import jax.numpy as jnp
@@ -11,42 +14,70 @@ import numpy as np
 import pytest
 
 requires_tpu = pytest.mark.skipif(
-    jax.devices()[0].platform == "cpu", reason="Pallas TPU kernels need a TPU")
+    jax.devices()[0].platform == "cpu", reason="Mosaic lowering needs a TPU")
+
+NB_PATH = 1 << 15
 
 
-@requires_tpu
-def test_logsv_pallas_moments_match_scan():
+def _logsv_moments(interpret: bool, nb_path: int = NB_PATH, ttm: float = 0.5):
     from stochvolmodels_tpu.models.logsv.pricer import (
         LOGSV_BTC_PARAMS as P,
         simulate_logsv_terminal,
     )
     from stochvolmodels_tpu.ops.pallas_mc import simulate_logsv_terminal_pallas
 
-    nb_path = 1 << 17
-    args = dict(ttm=0.5, theta=P.theta, kappa1=P.kappa1, kappa2=P.kappa2,
+    args = dict(ttm=ttm, theta=P.theta, kappa1=P.kappa1, kappa2=P.kappa2,
                 beta=P.beta, volvol=P.volvol)
     xp, sp, qp = simulate_logsv_terminal_pallas(
         seed=7, x0=jnp.zeros(nb_path), sigma0=jnp.full(nb_path, P.sigma0),
-        qvar0=jnp.zeros(nb_path), **args)
+        qvar0=jnp.zeros(nb_path), interpret=interpret, **args)
     xs, ss, qs = simulate_logsv_terminal(
         key=jax.random.key(7), x0=jnp.zeros(nb_path),
         sigma0=jnp.full(nb_path, P.sigma0), qvar0=jnp.zeros(nb_path), **args)
-    assert abs(float(jnp.mean(xp)) - float(jnp.mean(xs))) < 0.01
-    assert abs(float(jnp.std(xp)) - float(jnp.std(xs))) < 0.01
-    assert abs(float(jnp.mean(sp)) - float(jnp.mean(ss))) < 0.01
-    assert abs(float(jnp.mean(qp)) - float(jnp.mean(qs))) < 0.01
-    assert abs(float(jnp.mean(jnp.exp(xp))) - 1.0) < 0.02
+    return (xp, sp, qp), (xs, ss, qs)
+
+
+def _check_logsv(pallas_out, scan_out, tol):
+    (xp, sp, qp), (xs, ss, qs) = pallas_out, scan_out
+    assert np.all(np.isfinite(np.asarray(xp)))
+    assert abs(float(jnp.mean(xp)) - float(jnp.mean(xs))) < tol
+    assert abs(float(jnp.std(xp)) - float(jnp.std(xs))) < tol
+    assert abs(float(jnp.mean(sp)) - float(jnp.mean(ss))) < tol
+    assert abs(float(jnp.mean(qp)) - float(jnp.mean(qs))) < tol
+    # martingale check under the spot measure
+    assert abs(float(jnp.mean(jnp.exp(xp))) - 1.0) < 4.0 * tol
+
+
+def _heston_moments(interpret: bool, nb_path: int = NB_PATH):
+    from stochvolmodels_tpu.ops.pallas_mc import simulate_heston_terminal_pallas
+
+    return simulate_heston_terminal_pallas(
+        seed=3, x0=jnp.zeros(nb_path), var0=jnp.full(nb_path, 0.04),
+        qvar0=jnp.zeros(nb_path), ttm=1.0, theta=0.04, kappa=4.0,
+        rho=-0.5, volvol=0.4, interpret=interpret)
+
+
+def _check_heston(x, var, qvar, tol):
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert abs(float(jnp.mean(var)) - 0.04) < tol
+    assert abs(float(jnp.mean(jnp.exp(x))) - 1.0) < 4.0 * tol
+    assert abs(float(jnp.mean(qvar)) - 0.04) < tol
+
+
+def test_logsv_pallas_interpret_moments_match_scan():
+    _check_logsv(*_logsv_moments(interpret=True), tol=0.02)
+
+
+def test_heston_pallas_interpret_moments():
+    _check_heston(*_heston_moments(interpret=True), tol=0.005)
+
+
+@requires_tpu
+def test_logsv_pallas_moments_match_scan():
+    _check_logsv(*_logsv_moments(interpret=False, nb_path=1 << 17), tol=0.01)
 
 
 @requires_tpu
 def test_heston_pallas_moments():
-    from stochvolmodels_tpu.ops.pallas_mc import simulate_heston_terminal_pallas
-
-    nb_path = 1 << 17
-    x, var, qvar = simulate_heston_terminal_pallas(
-        seed=3, x0=jnp.zeros(nb_path), var0=jnp.full(nb_path, 0.04),
-        qvar0=jnp.zeros(nb_path), ttm=1.0, theta=0.04, kappa=4.0,
-        rho=-0.5, volvol=0.4)
-    assert abs(float(jnp.mean(var)) - 0.04) < 0.003
-    assert abs(float(jnp.mean(jnp.exp(x))) - 1.0) < 0.01
-    assert abs(float(jnp.mean(qvar)) - 0.04) < 0.003
+    _check_heston(*_heston_moments(interpret=False, nb_path=1 << 17),
+                  tol=0.003)

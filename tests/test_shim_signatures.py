@@ -48,6 +48,18 @@ def _exported_functions():
     return out
 
 
+def test_submodules_are_attributes():
+    """reference parity: `import stochvolmodels` binds data/pricers/utils as
+    package attributes (the reference imports its submodules at __init__,
+    which binds them); a bare top-level import must be enough."""
+    for top in ("data", "pricers", "utils"):
+        assert hasattr(shim, top), f"stochvolmodels.{top} not an attribute"
+    assert hasattr(shim.data, "option_chain")
+    assert hasattr(shim.utils, "funcs")
+    assert hasattr(shim.pricers, "factor_hjm")
+    assert hasattr(shim.pricers.factor_hjm, "rate_logsv_pricer")
+
+
 @pytest.mark.parametrize("name,ref_sig,our_sig",
                          _exported_functions(),
                          ids=lambda v: v if isinstance(v, str) else "")
