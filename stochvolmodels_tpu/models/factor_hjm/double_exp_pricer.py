@@ -14,6 +14,26 @@ from typing import Callable, Tuple, Union
 import numpy as np
 
 
+def tanh_sinh_nodes(h: float = 0.125, x_max: float = 2.75
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """fixed tanh-sinh node/weight panel for integrals over p in (0, inf).
+
+    int_0^inf f(p) dp ~= sum_k w_k f(p_k) with p_k = exp(pi/2 sinh(k h)),
+    w_k = h pi/2 cosh(k h) p_k, |k h| <= x_max.  The static panel replaces
+    the adaptive refinement loop of ``de_pricer`` on the differentiable
+    pricing path: one fixed shape -> one compiled program, jit- and
+    grad-safe.  Defaults cover p in [4.5e-6, 2.2e5], enough for swaption
+    inversion integrands at expiries >= ~0.25y (the double-exponential decay
+    makes the truncation error negligible next to the expansion error).
+    """
+    k_max = int(np.floor(x_max / h + 1e-9))
+    x = h * np.arange(-k_max, k_max + 1)
+    half_pi = 0.5 * np.pi
+    p = np.exp(half_pi * np.sinh(x))
+    w = h * half_pi * np.cosh(x) * p
+    return p, w
+
+
 def _call_padded(ff: Callable, x_k: np.ndarray) -> np.ndarray:
     """evaluate ff on a power-of-two-padded node batch.
 

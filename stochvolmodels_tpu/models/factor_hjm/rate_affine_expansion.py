@@ -43,22 +43,30 @@ def _scalar_series(times: np.ndarray,
                    volvol: np.ndarray,
                    b: np.ndarray,
                    underlying_type: UnderlyingType
-                   ) -> np.ndarray:
+                   ) -> Array:
     """reduce the vector coefficient series to the seven scalar series
-    [kappa0, kappa1, kappa2, vartheta2, a_prod_beta, a_prod_a, b]."""
-    a0 = np.atleast_2d(np.asarray(a0, dtype=float).T).T  # (T, d)
-    beta = np.atleast_2d(np.asarray(beta, dtype=float).T).T
-    vartheta2 = np.einsum('td,td->t', beta, beta) + np.asarray(volvol) ** 2
-    a_prod_beta = np.einsum('td,td->t', a0, beta)
-    a_prod_a = np.einsum('td,td->t', a0, a0)
+    [kappa0, kappa1, kappa2, vartheta2, a_prod_beta, a_prod_a, b].
+
+    jnp throughout so traced (differentiable) coefficient inputs flow into
+    the ODE solve — gradient-based rate calibration needs d(price)/d(beta,
+    volvol, ...) through this reduction.
+    """
+    a0 = jnp.atleast_2d(jnp.asarray(a0).T).T  # (T, d)
+    beta = jnp.atleast_2d(jnp.asarray(beta).T).T
+    volvol = jnp.asarray(volvol)
+    vartheta2 = jnp.einsum('td,td->t', beta, beta) + volvol ** 2
+    a_prod_beta = jnp.einsum('td,td->t', a0, beta)
+    a_prod_a = jnp.einsum('td,td->t', a0, a0)
     if underlying_type == UnderlyingType.FUTURES:
-        a_prod_beta = a_prod_beta + np.asarray(a1) * np.asarray(volvol)
-        a_prod_a = a_prod_a + np.asarray(a1) ** 2
-    return np.stack([np.asarray(kappa0, dtype=float),
-                     np.asarray(kappa1, dtype=float),
-                     np.asarray(kappa2, dtype=float),
-                     vartheta2, a_prod_beta, a_prod_a,
-                     np.asarray(b, dtype=float)], axis=0)  # (7, T)
+        a_prod_beta = a_prod_beta + jnp.asarray(a1) * volvol
+        a_prod_a = a_prod_a + jnp.asarray(a1) ** 2
+    T = a0.shape[0]
+    return jnp.stack([jnp.broadcast_to(jnp.asarray(kappa0, dtype=float), (T,)),
+                      jnp.broadcast_to(jnp.asarray(kappa1, dtype=float), (T,)),
+                      jnp.broadcast_to(jnp.asarray(kappa2, dtype=float), (T,)),
+                      vartheta2, a_prod_beta, a_prod_a,
+                      jnp.broadcast_to(jnp.asarray(b, dtype=float), (T,))],
+                     axis=0)  # (7, T)
 
 
 def _rates_ode_terms(q: float, coeffs: Array, phi: Cplx, n: int
@@ -166,13 +174,24 @@ def solve_a_ode_grid(phi_grid: Cplx,
     # stage times in tau; coefficients evaluated at t = ttm - tau
     tau0 = np.arange(nb_steps) * dt
     stage_taus = np.stack([tau0, tau0 + 0.5 * dt, tau0 + dt], axis=1)  # (S, 3)
-    t_eval = float(ttm) - stage_taus
-    coeffs = np.stack([np.interp(t_eval, np.asarray(times, dtype=float), series[i])
-                       for i in range(7)], axis=0)               # (7, S, 3)
-    coeffs = jnp.asarray(np.moveaxis(coeffs, 1, 0))              # (S, 7, 3)
+    t_eval = jnp.asarray(float(ttm) - stage_taus)
+    times_f = jnp.asarray(np.asarray(times, dtype=float))
+    coeffs = jax.vmap(
+        lambda s: jnp.interp(t_eval.ravel(), times_f, s))(series)
+    coeffs = jnp.moveaxis(coeffs.reshape(7, nb_steps, 3), 0, 1)  # (S, 7, 3)
+
+    # Sticky divergence-freeze (same policy as models/logsv/affine.py): the
+    # RK4 is only stable while |A| stays moderate; at extreme |phi| (the far
+    # tail of a fixed tanh-sinh panel) the mode rate a.a|phi|^2 exceeds 1/dt
+    # and A blows up.  Clamping keeps every primal finite (so reverse-mode
+    # stays NaN-free), and a diverged node is frozen at re=-BIG => its
+    # integrand contribution is exactly 0 — the quadrature truncates there,
+    # which is what the reference's adaptive loop does by stopping early.
+    CLAMP = 1.0e3
+    DEAD_RE = -1.0e4
 
     def rk4_step(carry, c):
-        a_re, a_im = carry
+        a_re, a_im, dead = carry
         A = Cplx(a_re, a_im)
         M0, L0_, H0 = _rates_ode_terms(q, c[:, 0], phi_grid, n)
         Mh, Lh, Hh = _rates_ode_terms(q, c[:, 1], phi_grid, n)
@@ -182,9 +201,22 @@ def solve_a_ode_grid(phi_grid: Cplx,
         k3 = _ode_rhs(A + k2 * (0.5 * dt), Mh, Lh, Hh)
         k4 = _ode_rhs(A + k3 * dt, M1, L1_, H1)
         A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
-        return (A1.re, A1.im), None
+        re = jnp.clip(A1.re, -CLAMP, CLAMP)
+        im = jnp.clip(A1.im, -CLAMP, CLAMP)
+        dead = dead | jnp.any((jnp.abs(A1.re) >= CLAMP)
+                              | (jnp.abs(A1.im) >= CLAMP)
+                              | ~jnp.isfinite(A1.re)
+                              | ~jnp.isfinite(A1.im), axis=-1)
+        re = jnp.where(dead[:, None],
+                       jnp.concatenate([jnp.full_like(re[:, :1], DEAD_RE),
+                                        jnp.zeros_like(re[:, 1:])], axis=1),
+                       re)
+        im = jnp.where(dead[:, None], jnp.zeros_like(im), im)
+        return (re, im, dead), None
 
-    (a_re, a_im), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im), coeffs)
+    dead0 = jnp.zeros(n_grid, dtype=bool)
+    (a_re, a_im, _), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im, dead0),
+                                      coeffs)
     return Cplx(a_re, a_im)
 
 

@@ -282,17 +282,24 @@ class MultiFactRateLogSvParams(ModelParams):
         sol = solve_ivp(fun=rhs, t_span=(0, expiry), t_eval=t_grid, y0=init)
         return sol.y[:sz_X, :].T, sol.y[sz_X:sz_X + sz_Y, :].T
 
-    def transform_QA_params(self, expiry: float, tenor: float,
-                            t_grid: np.ndarray,
-                            x0: Optional[np.ndarray] = None,
-                            y0: Optional[np.ndarray] = None):
-        """annuity-measure coefficient time series for the MGF ODE."""
+    def qa_structural_panels(self, expiry: float, tenor: float,
+                             t_grid: np.ndarray,
+                             x0: Optional[np.ndarray] = None,
+                             y0: Optional[np.ndarray] = None):
+        """frozen structural panels of the annuity-measure transform.
+
+        Everything here depends on the basis, the factor-vol matrices C and
+        the mean states — NOT on the calibratable (sigma0, beta, volvol)
+        up to the standard frozen-coefficient approximation — so it can be
+        precomputed on host once and reused across gradient iterations.
+
+        Returns (t_grid_cut, ts_sw, idx_t, swap_gr (T,d), loga_der (T,d),
+        C_panel (T,d,d)).
+        """
         if x0 is None:
             x0 = np.zeros(self.basis.get_nb_factors())
         if y0 is None:
             y0 = np.zeros(self.basis.get_nb_aux_factors())
-        self.q = self.theta
-        q = self.q
         ts_sw = get_default_swap_term_structure(expiry=expiry, tenor=tenor)
         if expiry not in t_grid:
             raise ValueError("expiry must be in grid")
@@ -309,17 +316,24 @@ class MultiFactRateLogSvParams(ModelParams):
             ann0 = np.asarray(self.basis.annuity(t, ts_sw, mx, my, m=0, ccy=self.ccy)).ravel()[0]
             ann1 = np.asarray(self.basis.annuity(t, ts_sw, mx, my, m=1, ccy=self.ccy)).ravel()
             loga_der[idx, :] = ann1 / ann0
+        idx_t = np.array([bracket(self.ts[1:], t, throw_if_not_found=True)
+                          for t in t_grid])
+        return t_grid, ts_sw, idx_t, swap_gr, loga_der, self.C[idx_t]
 
-        a_interp = np.full((t_grid.size, d), np.nan)
-        beta_interp = np.full((t_grid.size, d), np.nan)
-        volvol_interp = np.full_like(t_grid, np.nan)
-        beta2_interp = np.full_like(t_grid, np.nan)
-        for idx, t in enumerate(t_grid):
-            idx_t = bracket(self.ts[1:], t, throw_if_not_found=True)
-            beta_interp[idx, :] = self.beta.xs[idx_t]
-            volvol_interp[idx] = self.volvol.xs[idx_t]
-            a_interp[idx, :] = swap_gr[idx, :] @ self.C[idx_t]
-            beta2_interp[idx] = beta_interp[idx, :] @ (self.C[idx_t].T @ loga_der[idx, :])
+    def transform_QA_params(self, expiry: float, tenor: float,
+                            t_grid: np.ndarray,
+                            x0: Optional[np.ndarray] = None,
+                            y0: Optional[np.ndarray] = None):
+        """annuity-measure coefficient time series for the MGF ODE."""
+        self.q = self.theta
+        t_grid, ts_sw, idx_t, swap_gr, loga_der, C_panel = \
+            self.qa_structural_panels(expiry=expiry, tenor=tenor,
+                                      t_grid=t_grid, x0=x0, y0=y0)
+        beta_interp = self.beta.xs[idx_t]
+        volvol_interp = self.volvol.xs[idx_t]
+        a_interp = np.einsum('td,tde->te', swap_gr, C_panel)
+        beta2_interp = np.einsum('td,td->t', beta_interp,
+                                 np.einsum('tde,td->te', C_panel, loga_der))
 
         term0 = beta2_interp * self.theta * self.theta
         term1 = (self.kappa1 - self.kappa2 * self.theta
