@@ -11,9 +11,11 @@ correlation structure.
 Design deltas: the reference's @njit(parallel=True) prange loops over paths
 (its only explicitly parallel kernels, expm.py:321-441) become a single
 ``lax.scan`` over time with (n, nb_path) factor panels — the path axis
-vectorizes on the VPU and shards over the mesh; the closed-form 1x1/2x2/3x3
-expm fast path of expm.py is unnecessary because the RK4 drift solve
-(reference's production ``drift_ode_solve2``) handles all N uniformly.
+vectorizes on the VPU and shards over the mesh.  Both reference drift
+schemes are available: the RK4 half-step (``drift_ode_solve2``, default)
+and the exact-linear step (``drift_ode_solve3`` → :func:`drift_ode_expm`,
+batched scaling-squaring Taylor replacing the vendored closed-form
+1x1/2x2/3x3 expm of expm.py).
 """
 from __future__ import annotations
 
@@ -54,6 +56,49 @@ def drift_ode_rk4(nodes: Array, v0: Array, theta, kappa1, kappa2,
     return z0 + (h / 6.0) * (s1 + 2.0 * s2 + 2.0 * s3 + s4)
 
 
+def drift_ode_expm(nodes: Array, v0: Array, theta, kappa1, kappa2,
+                   z0: Array, weights: Array, h,
+                   n_squarings: int = 6, taylor_terms: int = 8) -> Array:
+    """exact-linear drift step (reference ``drift_ode_solve3``,
+    split_simulation.py:167-229, backed there by the closed-form n<=3 expm
+    of expm.py:132-451).
+
+    The mean-reversion speed lambda = kappa1 + kappa2 (w.z0) is frozen at
+    the step start, making the drift ODE linear:
+    dz = A z + b,  A = -(lambda w^T + diag(x)),  b = lambda theta + x v0,
+    advanced exactly by  z_h = e^{Ah} z0 + h phi1(Ah) b.
+
+    TPU-native: e^{Ah} and phi1(Ah) = (e^{Ah}-I)(Ah)^{-1} come from one
+    batched scaling-and-squaring Taylor over (nb_path, n, n) real panels —
+    phi1 by its series + the doubling rule phi1(2A) = (e^A+I)/2 phi1(A), so
+    no per-path matrix inverse (the reference inverts A per path) and no
+    vendored closed forms.
+    """
+    n = nodes.shape[0]
+    zw = jnp.sum(weights * z0, axis=0)              # (P,)
+    lam = kappa1 + kappa2 * zw                      # (P,)
+    x_p, w_p, v0_p, z0_p = nodes.T, weights.T, v0.T, z0.T      # (P, n)
+    eye = jnp.eye(n, dtype=z0.dtype)
+    A = (-(lam[:, None, None] * w_p[:, None, :] * jnp.ones_like(x_p)[:, :, None])
+         - jnp.einsum('ij,pj->pij', eye, x_p))
+    scale = h / (2.0 ** n_squarings)
+    Ah = A * scale
+    T = jnp.broadcast_to(eye, A.shape)
+    E = T
+    P1 = T
+    for k in range(1, taylor_terms + 1):
+        T = jnp.einsum('pij,pjk->pik', T, Ah / k)
+        E = E + T
+        P1 = P1 + T / (k + 1.0)
+    for _ in range(n_squarings):
+        P1 = jnp.einsum('pij,pjk->pik', 0.5 * (E + eye[None]), P1)
+        E = jnp.einsum('pij,pjk->pik', E, E)
+    b_p = lam[:, None] * theta + x_p * v0_p          # (P, n)
+    z_h = (jnp.einsum('pij,pj->pi', E, z0_p)
+           + h * jnp.einsum('pij,pj->pi', P1, b_p))
+    return z_h.T
+
+
 def diffus_sde_exact(y0: Array, weights: Array, volvol, h, z_rand: Array) -> Array:
     """exact log-normal diffusion step on the weighted sum, with the increment
     distributed equally across factors (split_simulation.py:233-250)."""
@@ -68,13 +113,16 @@ def diffus_sde_exact(y0: Array, weights: Array, volvol, h, z_rand: Array) -> Arr
 
 def strang_step(nodes: Array, weights: Array, v0: Array,
                 theta, kappa1, kappa2, rho, volvol,
-                log_s: Array, v: Array, y: Array, h, z0: Array, z1: Array
+                log_s: Array, v: Array, y: Array, h, z0: Array, z1: Array,
+                drift_scheme: str = "rk4"
                 ) -> Tuple[Array, Array, Array]:
     """one full step: D(h/2) o S(h) o D(h/2) + log-spot reconstruction
-    (split_simulation.py:254-329)."""
-    d_inn = drift_ode_rk4(nodes, v0, theta, kappa1, kappa2, v, weights, 0.5 * h)
+    (split_simulation.py:254-329).  ``drift_scheme``: 'rk4' (the reference's
+    production drift_ode_solve2) or 'expm' (exact-linear drift_ode_solve3)."""
+    drift = drift_ode_expm if drift_scheme == "expm" else drift_ode_rk4
+    d_inn = drift(nodes, v0, theta, kappa1, kappa2, v, weights, 0.5 * h)
     s_inn = diffus_sde_exact(d_inn, weights, volvol, h, z0)
-    vol_h = drift_ode_rk4(nodes, v0, theta, kappa1, kappa2, s_inn, weights, 0.5 * h)
+    vol_h = drift(nodes, v0, theta, kappa1, kappa2, s_inn, weights, 0.5 * h)
 
     w_vol_h = jnp.sum(weights * vol_h, axis=0)
     bad = jnp.isnan(w_vol_h) | (w_vol_h <= 0.0)
@@ -103,10 +151,11 @@ def strang_step(nodes: Array, weights: Array, v0: Array,
     return vol_h, y_h, log_spot_h
 
 
-@partial(jax.jit, static_argnames=("nb_steps", "nb_path", "n_nodes", "dtype"))
+@partial(jax.jit, static_argnames=("nb_steps", "nb_path", "n_nodes", "dtype",
+                                   "drift_scheme"))
 def _log_spot_scan(nodes, weights, sigma0, theta, kappa1, kappa2, rho, volvol,
                    dt, key, *, nb_steps: int, nb_path: int, n_nodes: int,
-                   dtype) -> Tuple[Array, Array, Array]:
+                   dtype, drift_scheme: str = "rk4") -> Tuple[Array, Array, Array]:
     """jitted Strang-splitting scan; params are traced, so calibration-style
     repricing over perturbed parameter sets reuses one compiled program."""
     nodes_p = jnp.broadcast_to(jnp.asarray(nodes, dtype=dtype)[:, None],
@@ -122,7 +171,7 @@ def _log_spot_scan(nodes, weights, sigma0, theta, kappa1, kappa2, rho, volvol,
         z = jax.random.normal(k, (2, nb_path), dtype=dtype)
         vol_h, y_h, log_spot_h = strang_step(
             nodes_p, weights_p, v0, theta, kappa1, kappa2, rho, volvol,
-            log_s, v, y, dt, z[0], z[1])
+            log_s, v, y, dt, z[0], z[1], drift_scheme=drift_scheme)
         return (vol_h, y_h, log_spot_h), None
 
     init = (v0, jnp.zeros(nb_path, dtype=dtype), jnp.zeros(nb_path, dtype=dtype))
@@ -142,7 +191,8 @@ def log_spot_full_combined(nodes: np.ndarray,
                            nb_path: int,
                            key,
                            nb_steps_per_year: int = 360,
-                           dtype=jnp.float64
+                           dtype=jnp.float64,
+                           drift_scheme: str = "rk4"
                            ) -> Tuple[Array, Array, Array]:
     """simulate (log-spot, factor vols, integrated variance) to the horizon
     (split_simulation.py:333-353 wrapped with on-the-fly threefry normals)."""
@@ -154,7 +204,7 @@ def log_spot_full_combined(nodes: np.ndarray,
                           jnp.asarray(weights, dtype=dtype), *params,
                           jnp.asarray(dt, dtype=dtype), key,
                           nb_steps=nb_steps, nb_path=nb_path, n_nodes=n,
-                          dtype=dtype)
+                          dtype=dtype, drift_scheme=drift_scheme)
 
 
 def log_spot_full_combined_fixed(nodes: np.ndarray,

@@ -105,6 +105,74 @@ class TestRoughMc:
                 np.testing.assert_allclose(p, z[f"prices_{i}"], rtol=1e-7)
 
 
+class TestExpmDrift:
+    """exact-linear drift step (reference drift_ode_solve3) vs RK4 and vs a
+    tight scipy integration of the frozen-lambda linear ODE."""
+
+    def _setup(self):
+        import jax.numpy as jnp
+        nodes_np, weights_np = european_rule(0.1, 3, 1.0)
+        P = 4
+        rng = np.random.default_rng(3)
+        nodes = jnp.asarray(np.tile(nodes_np[:, None], (1, P)))
+        weights = jnp.asarray(np.tile(weights_np[:, None], (1, P)))
+        v0 = jnp.asarray(np.full((3, P), 0.8 / weights_np.sum()))
+        z0 = jnp.asarray(np.asarray(v0) * (1.0 + 0.2 * rng.standard_normal((3, P))))
+        return nodes, weights, v0, z0, nodes_np, weights_np
+
+    def test_expm_matches_frozen_linear_ode(self):
+        from stochvolmodels_tpu.models.rough.simulation import drift_ode_expm
+        from scipy.linalg import expm as scipy_expm
+        nodes, weights, v0, z0, nodes_np, weights_np = self._setup()
+        theta, kappa1, kappa2, h = 1.0, 3.0, 3.0, 1.0 / 720.0
+        out = np.asarray(drift_ode_expm(nodes, v0, theta, kappa1, kappa2,
+                                        z0, weights, h))
+        for p in range(z0.shape[1]):
+            z0p = np.asarray(z0)[:, p]
+            lam = kappa1 + kappa2 * float(weights_np @ z0p)
+            A = -(np.outer(np.full(3, lam), weights_np) + np.diag(nodes_np))
+            b = lam * theta + nodes_np * np.asarray(v0)[:, p]
+            E = scipy_expm(A * h)
+            expect = E @ z0p + np.linalg.solve(A, (E - np.eye(3)) @ b)
+            np.testing.assert_allclose(out[:, p], expect, rtol=1e-10)
+
+    def test_expm_close_to_rk4(self):
+        from stochvolmodels_tpu.models.rough.simulation import (
+            drift_ode_expm,
+            drift_ode_rk4,
+        )
+        nodes, weights, v0, z0, *_ = self._setup()
+        theta, kappa1, kappa2, h = 1.0, 3.0, 3.0, 0.5 / 360.0
+        a = np.asarray(drift_ode_expm(nodes, v0, theta, kappa1, kappa2, z0,
+                                      weights, h))
+        b = np.asarray(drift_ode_rk4(nodes, v0, theta, kappa1, kappa2, z0,
+                                     weights, h))
+        # the expm step freezes lambda over the step (O(h^2) linearization
+        # error vs RK4's O(h^5) local error on the nonlinear ODE): at
+        # h ~ 1.4e-3 the schemes agree at the O(h^2) ~ 2e-5 level
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_expm_scheme_prices_match_rk4(self, chain):
+        from stochvolmodels_tpu.models.rough.simulation import (
+            log_spot_full_combined,
+        )
+        from stochvolmodels_tpu.ops.random import key_from_seed
+        nodes, weights = european_rule(0.1, 3, 0.5)
+        kw = dict(nodes=nodes, weights=weights, sigma0=0.8, theta=1.0,
+                  kappa1=3.0, kappa2=3.0, rho=-0.3, volvol=1.5, ttm=0.25,
+                  nb_path=20000, key=key_from_seed(11))
+        log_s_rk4, _, _ = log_spot_full_combined(drift_scheme="rk4", **kw)
+        log_s_exp, _, _ = log_spot_full_combined(drift_scheme="expm", **kw)
+        # same randoms, same splitting: the per-step O(h^2) scheme gap
+        # accumulates pathwise but must stay far below the MC noise scale,
+        # and the distributions must agree
+        d = np.asarray(log_s_rk4) - np.asarray(log_s_exp)
+        assert float(np.max(np.abs(d))) < 0.05
+        assert abs(float(np.mean(d))) < 2e-3
+        assert abs(float(np.std(np.asarray(log_s_rk4)))
+                   - float(np.std(np.asarray(log_s_exp)))) < 2e-3
+
+
 class TestQuadratureRules:
     """alternative kernel discretizations (RoughKernel.py research rules):
     each achieves a finite L2 error and the production european_rule beats
