@@ -67,7 +67,8 @@ def _counter_bits(shape, seed: Array, salt: Array, stream: int) -> Array:
 
 
 def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
-                salt: Array = None) -> Tuple[Array, Array]:
+                salt: Array = None, fast_sincos: bool = True
+                ) -> Tuple[Array, Array]:
     """two independent standard normal panels.
 
     Hardware path: on-chip PRNG bits (`pltpu.prng_random_bits`, seeded once
@@ -75,21 +76,36 @@ def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
     hardware PRNG to zeros, so a counter-based hash over (seed, step-salt,
     path-index) supplies the bits instead — same kernel structure, real
     randomness.
+
+    ``fast_sincos``: replace the second trig with a square root — for
+    t ~ U(0, pi) and an independent sign bit s, (cos t, s*sqrt(1-cos^2 t))
+    is exactly uniform on the circle, and sqrt beats sin on the VPU's
+    special-function unit.  Distribution-exact, not an approximation.
     """
     if interpret:
-        u1 = _uniform_from_bits(_counter_bits(shape, seed, salt, 0))
-        u2 = _uniform_from_bits(_counter_bits(shape, seed, salt, 1))
+        b1 = _counter_bits(shape, seed, salt, 0)
+        b2 = _counter_bits(shape, seed, salt, 1)
     else:
-        u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
-        u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform_from_bits(b1)
+    u2 = _uniform_from_bits(b2)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
+    if fast_sincos:
+        c = jnp.cos(np.float32(0.5 * TWO_PI) * u2)
+        # spare low bit of b2 (the mantissa trick uses bits 9..31) -> ±1
+        sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0),
+                         jnp.float32(-1.0))
+        s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+        return r * c, r * s
     t = TWO_PI * u2
     return r * jnp.cos(t), r * jnp.sin(t)
 
 
 def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
                   x_ref, sig_ref, qvar_ref, *, nb_steps: int, dt: float,
-                  alpha: float, interpret: bool = False):
+                  alpha: float, interpret: bool = False,
+                  fast_sincos: bool = True):
     """full-horizon LogSV Euler loop for one (BLOCK_ROWS, LANES) path block.
 
     params (SMEM): [theta, kappa1, kappa2, beta, volvol, vol_backbone_eta, adj].
@@ -114,7 +130,7 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
     def body(salt, carry):
         x, lns, sigma, qvar = carry
         z0, z1 = _box_muller(x.shape, interpret=interpret, seed=seed,
-                             salt=salt)
+                             salt=salt, fast_sincos=fast_sincos)
         w0 = z0 * sdt
         w1 = z1 * sdt
         sig2dt = eta2 * sigma * sigma * dtf
@@ -144,22 +160,23 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nb_steps", "dt", "alpha", "nb_path",
-                                    "interpret"))
+                                    "interpret", "fast_sincos"))
 def _run_logsv_kernel(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
-                      nb_path, interpret=False):
+                      nb_path, interpret=False, fast_sincos=True):
     # Mosaic cannot lower i64; trace the kernel in 32-bit mode (the global
     # config enables x64 for the pricing layer)
     with jax.enable_x64(False):
         return _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps,
-                                    dt, alpha, nb_path, interpret)
+                                    dt, alpha, nb_path, interpret, fast_sincos)
 
 
 def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
-                         nb_path, interpret=False):
+                         nb_path, interpret=False, fast_sincos=True):
     rows = nb_path // LANES
     grid = pl.cdiv(rows, BLOCK_ROWS)
     kernel = functools.partial(_logsv_kernel, nb_steps=nb_steps, dt=dt,
-                               alpha=alpha, interpret=interpret)
+                               alpha=alpha, interpret=interpret,
+                               fast_sincos=fast_sincos)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -196,7 +213,8 @@ def simulate_logsv_terminal_pallas(seed: int,
                                    vol_backbone_eta: float = 1.0,
                                    is_spot_measure: bool = True,
                                    nb_steps_per_year: int = 360,
-                                   interpret: bool = False
+                                   interpret: bool = False,
+                                   fast_sincos: bool = True
                                    ) -> Tuple[Array, Array, Array]:
     """terminal (x, sigma, qvar) by the on-chip-PRNG Pallas kernel (float32).
 
@@ -220,7 +238,7 @@ def simulate_logsv_terminal_pallas(seed: int,
         jnp.asarray([seed], dtype=jnp.int32), params,
         to_block(x0), to_block(jnp.log(jnp.asarray(sigma0))), to_block(qvar0),
         nb_steps=nb_steps, dt=float(dt), alpha=alpha, nb_path=nb_path,
-        interpret=interpret)
+        interpret=interpret, fast_sincos=fast_sincos)
     return x.reshape(-1), sig.reshape(-1), qvar.reshape(-1)
 
 

@@ -73,6 +73,95 @@ class TestOdeSolver:
         ours = np.asarray(a1.re)[0] + 1j * np.asarray(a1.im)[0]
         np.testing.assert_allclose(ours, ref, atol=5e-8)
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("theta_seed", [100.0, 600.0])
+    @pytest.mark.parametrize("p_im", [2.0, 15.0])
+    def test_stiff_matrix_vs_scipy_bdf(self, theta_seed, p_im):
+        # SIGMA-density-style seed A1(0) = -Theta with |Theta| up to 600 at
+        # long ttm: the initial transient is stiff; is_stiff_solver=True must
+        # track scipy BDF (the reference's switch, affine_expansion.py:294)
+        theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,
+                                               PARAMS.kappa2, PARAMS.beta,
+                                               PARAMS.volvol)
+        phi = -0.5 + 1j * p_im
+        ttm = 2.0
+        a0 = np.zeros(5, dtype=complex)
+        a0[1] = -theta_seed
+        M, L, H = _ode_terms_np(theta, kappa1, kappa2, beta, volvol, phi, 0.0)
+
+        def rhs(t, A):
+            quad = np.array([A @ M[k] @ A for k in range(5)])
+            return quad + L @ A + H
+
+        ref = solve_ivp(rhs, (0.0, ttm), a0, method="BDF",
+                        rtol=1e-10, atol=1e-12).y[:, -1]
+        sol = afe.solve_ode_for_a(
+            ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+            volvol=volvol, phi=phi, psi=0.0, a_t0=a0,
+            expansion_order=afe.ExpansionOrder.SECOND, is_stiff_solver=True)
+        np.testing.assert_allclose(sol.y[:, -1], ref, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("p_im", [0.0, 2.0, 15.0])
+    def test_semi_analytic_scheme_matches_scipy(self, p_im):
+        # the exponential-Euler fixed-point path (reference's is_analytic
+        # selector, affine_expansion.py:306-384) against a tight scipy solve
+        theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,
+                                               PARAMS.kappa2, PARAMS.beta,
+                                               PARAMS.volvol)
+        phi = -0.5 + 1j * p_im
+        ttm = 0.43
+        M, L, H = _ode_terms_np(theta, kappa1, kappa2, beta, volvol, phi, 0.0)
+
+        def rhs(t, A):
+            quad = np.array([A @ M[k] @ A for k in range(5)])
+            return quad + L @ A + H
+
+        ref = solve_ivp(rhs, (0.0, ttm), np.zeros(5, dtype=complex),
+                        rtol=1e-12, atol=1e-14).y[:, -1]
+        ours = afe.solve_analytic_ode_for_a(
+            ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+            volvol=volvol, phi=phi, psi=0.0, is_spot_measure=True,
+            expansion_order=afe.ExpansionOrder.SECOND)
+        # |phi|-scaled steps + midpoint fixed point: O(dt^2) scheme error,
+        # ~1e-4 at p_im=15 (the cheap path's accuracy trade-off; the
+        # reference's version is strictly coarser)
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_is_analytic_pricing_path_consistent(self):
+        # chain MGF through the semi-analytic scheme vs the RK4 default
+        phi = Cplx(jnp.full(32, -0.5), jnp.linspace(0.0, 40.0, 32))
+        psi = Cplx(jnp.zeros(32), jnp.zeros(32))
+        th = Cplx(jnp.zeros(32), jnp.zeros(32))
+        kw = dict(ttm=0.25, phi_grid=phi, psi_grid=psi, theta_grid=th,
+                  sigma0=PARAMS.sigma0, theta=PARAMS.theta,
+                  kappa1=PARAMS.kappa1, kappa2=PARAMS.kappa2,
+                  beta=PARAMS.beta, volvol=PARAMS.volvol,
+                  expansion_order=afe.ExpansionOrder.SECOND)
+        _, mgf_rk4 = afe.compute_logsv_a_mgf_grid(is_analytic=False, **kw)
+        _, mgf_ana = afe.compute_logsv_a_mgf_grid(is_analytic=True, **kw)
+        np.testing.assert_allclose(np.asarray(mgf_ana.re),
+                                   np.asarray(mgf_rk4.re), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mgf_ana.im),
+                                   np.asarray(mgf_rk4.im), atol=2e-4)
+
+    def test_dense_output_trajectory(self):
+        # dense_output returns the full trajectory; its endpoint must match
+        # the direct terminal solve and .sol must interpolate .y
+        theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,
+                                               PARAMS.kappa2, PARAMS.beta,
+                                               PARAMS.volvol)
+        kw = dict(ttm=0.5, theta=theta, kappa1=kappa1, kappa2=kappa2,
+                  beta=beta, volvol=volvol, phi=-0.5 + 3.0j, psi=0.0,
+                  expansion_order=afe.ExpansionOrder.SECOND)
+        dense = afe.solve_ode_for_a(dense_output=True, **kw)
+        terminal = afe.solve_ode_for_a(**kw)
+        assert dense.y.shape[0] == 5 and dense.y.shape[1] == dense.t.size
+        assert dense.t[0] == 0.0 and dense.t[-1] == 0.5
+        np.testing.assert_allclose(dense.y[:, -1], terminal.y[:, -1],
+                                   atol=1e-7)
+        np.testing.assert_allclose(dense.sol(dense.t[3]).ravel(),
+                                   dense.y[:, 3], atol=1e-12)
+
     def test_chained_equals_direct(self):
         # solving 0 -> t1 -> t2 with chained state == solving 0 -> t2 directly
         theta, kappa1, kappa2, beta, volvol = (PARAMS.theta, PARAMS.kappa1,

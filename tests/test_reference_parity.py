@@ -86,6 +86,21 @@ class TestBachelierParity:
             model_prices=np.asarray(o), discfactor=1.0))
         np.testing.assert_allclose(o_iv, r_iv, atol=1e-10)
 
+    def test_strike_from_delta_round_trip(self):
+        from _ref_stochvolmodels.pricers.analytic import bachelier as ref_bach
+        ttm, forward, vol = 0.5, 0.05, 0.012
+        for delta in (0.25, 0.75, -0.25):
+            r_k = ref_bach.compute_normal_delta_to_strike(
+                ttm=ttm, forward=forward, delta=delta, vol=vol)
+            o_k = float(np.asarray(ours.compute_normal_delta_to_strike(
+                ttm=ttm, forward=forward, delta=delta, vol=vol)))
+            np.testing.assert_allclose(o_k, r_k, atol=1e-12)
+            # round trip: delta at the recovered strike returns the input
+            d_back = float(np.asarray(ours.compute_normal_delta(
+                ttm=ttm, forward=forward, strike=o_k, vol=vol,
+                optiontype='C' if delta > 0 else 'P')))
+            np.testing.assert_allclose(d_back, delta, atol=1e-10)
+
 
 class TestMgfEngineParity:
     def test_grids_and_weights(self):
@@ -209,6 +224,62 @@ class TestLogSvAnalyticParity:
                                    rtol=2e-5, atol=2e-7)
 
 
+class TestLogSvInverseMeasureParity:
+    @pytest.mark.slow
+    def test_inverse_measure_chain_prices(self):
+        """inverse-measure (is_spot_measure=False) chain prices vs the
+        reference's per-point scipy path (logsv_pricer.py:635-696)."""
+        from _ref_stochvolmodels.pricers import logsv_pricer as ref_lp
+        params_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                   kappa2=4.0, beta=0.2, volvol=1.7)
+        ttm, forward = 0.25, 1.0
+        r_prices = ref_lp.logsv_chain_pricer(
+            params=params_r, ttms=np.array([ttm]), forwards=np.array([forward]),
+            discfactors=np.array([1.0]), strikes_ttms=(STRIKES,),
+            optiontypes_ttms=(TYPES,), is_spot_measure=False)[0]
+        params_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                    kappa2=4.0, beta=0.2, volvol=1.7)
+        o_prices = ours.LogSVPricer().price_chain(
+            option_chain=ours.OptionChain(
+                ttms=np.array([ttm]), forwards=np.array([forward]),
+                discfactors=np.array([1.0]), strikes_ttms=[STRIKES],
+                optiontypes_ttms=[TYPES]),
+            params=params_o, is_spot_measure=False)[0]
+        np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices),
+                                   rtol=2e-5, atol=2e-7)
+
+
+class TestQvarChainParity:
+    @pytest.mark.slow
+    def test_qvar_chain_through_pricer(self):
+        """QVAR option chain through the full LogSV chain pricer (transform
+        grid + ODE + QVAR slice inversion), not just the synthetic-MGF
+        slice (reference logsv_pricer.py:575-633 Q_VAR branch)."""
+        from _ref_stochvolmodels.pricers import logsv_pricer as ref_lp
+        from _ref_stochvolmodels.utils.config import VariableType as RefVT
+        params_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                   kappa2=4.0, beta=0.2, volvol=1.7)
+        ttm = 0.25
+        qvar_strikes = np.array([0.5, 0.7, 0.9])
+        qvar_types = np.repeat('C', 3)
+        forward = 0.7
+        r_prices = ref_lp.logsv_chain_pricer(
+            params=params_r, ttms=np.array([ttm]), forwards=np.array([forward]),
+            discfactors=np.array([1.0]), strikes_ttms=(qvar_strikes,),
+            optiontypes_ttms=(qvar_types,),
+            variable_type=RefVT.Q_VAR)[0]
+        from stochvolmodels_tpu.models.logsv.pricer import logsv_chain_pricer
+        params_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                    kappa2=4.0, beta=0.2, volvol=1.7)
+        o_prices = logsv_chain_pricer(
+            params=params_o, ttms=np.array([ttm]), forwards=np.array([forward]),
+            discfactors=np.array([1.0]), strikes_ttms=[qvar_strikes],
+            optiontypes_ttms=[qvar_types],
+            variable_type=ours.VariableType.Q_VAR)[0]
+        np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices),
+                                   rtol=2e-4, atol=1e-6)
+
+
 class TestGmmParity:
     def test_vanilla_prices(self):
         from _ref_stochvolmodels.pricers import gmm_pricer as ref_gmm
@@ -280,6 +351,23 @@ class TestLogSvPdfParity:
         r = ref_lp.logsv_pdfs(params=params_r, ttm=0.5, space_grid=x)
         o = np.asarray(ours.logsv_pdfs(params=params_o, ttm=0.5, space_grid=x))
         np.testing.assert_allclose(o, r, rtol=1e-4, atol=1e-8)
+
+    @pytest.mark.slow
+    def test_sigma_pdf(self):
+        """vol density (VariableType.SIGMA: A1(0) = -Theta stiff seed) vs the
+        reference's adaptive scipy path (logsv_pricer.py:635-696)."""
+        from _ref_stochvolmodels.pricers import logsv_pricer as ref_lp
+        from _ref_stochvolmodels.utils.config import VariableType as RefVT
+        params_r = ref.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                   kappa2=4.0, beta=0.2, volvol=1.7)
+        params_o = ours.LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0,
+                                    kappa2=4.0, beta=0.2, volvol=1.7)
+        x = np.linspace(0.1, 2.5, 61)
+        r = ref_lp.logsv_pdfs(params=params_r, ttm=0.5, space_grid=x,
+                              variable_type=RefVT.SIGMA, is_stiff_solver=True)
+        o = np.asarray(ours.logsv_pdfs(params=params_o, ttm=0.5, space_grid=x,
+                                       variable_type=ours.VariableType.SIGMA))
+        np.testing.assert_allclose(o, r, rtol=2e-4, atol=2e-6)
 
 
 class TestFactorHjmParity:
