@@ -106,6 +106,7 @@ class TestMeasureTransforms:
 
 
 class TestSwaptionPricing:
+    @pytest.mark.slow
     def test_deterministic_vol_oracle(self):
         # beta = 0, volvol ~ 0, sigma0 = theta: the SV driver is frozen at 1,
         # the swap rate is Gaussian, and the DE pricer must return the flat
@@ -218,6 +219,7 @@ class TestFuturesConvexity:
         assert np.all(np.isfinite(b1)) and np.all(np.isfinite(b2))
         assert np.isfinite(h1) and np.isfinite(h0)
 
+    @pytest.mark.slow
     def test_futures_option_pricing(self):
         params = make_params(beta_scalar=0.1, volvol=0.3)
         expiry = 1.0

@@ -144,6 +144,7 @@ class TestOdeSolver:
         np.testing.assert_allclose(np.asarray(mgf_ana.im),
                                    np.asarray(mgf_rk4.im), atol=2e-4)
 
+    @pytest.mark.slow
     def test_dense_output_trajectory(self):
         # dense_output returns the full trajectory; its endpoint must match
         # the direct terminal solve and .sol must interpolate .y
@@ -305,6 +306,7 @@ class TestQvarAndPdfs:
                          variable_type=VariableType.SIGMA)
         assert 0.9 < np.sum(pdf) < 1.1
 
+    @pytest.mark.slow
     def test_stiff_pdfs_all_variables(self):
         """high-volvol paper params (vartheta2 ~ 5.7) make the SIGMA/Q_VAR
         transform ODEs stiff: the SIGMA seed A^(1)(0) = -Theta (|Theta| to
@@ -327,6 +329,7 @@ class TestQvarAndPdfs:
 
 
 class TestCalibration:
+    @pytest.mark.slow
     def test_gradient_flows(self, chain):
         pricer = LogSVPricer()
         grid = chain.to_grid()

@@ -157,15 +157,18 @@ class TestExpmDrift:
             log_spot_full_combined,
         )
         from stochvolmodels_tpu.ops.random import key_from_seed
-        nodes, weights = european_rule(0.1, 3, 0.5)
+        # a step-resolved configuration (max node 27/yr at 720 steps/yr):
+        # at H=0.1 / T=0.5 the top node is 303/yr and BOTH schemes carry
+        # ~10% discretization error at standard steps — there the schemes
+        # differ from each other as much as from the truth, so comparing
+        # them is meaningless; here both are converged and must agree
+        nodes, weights = european_rule(0.3, 2, 1.0)
         kw = dict(nodes=nodes, weights=weights, sigma0=0.8, theta=1.0,
-                  kappa1=3.0, kappa2=3.0, rho=-0.3, volvol=1.5, ttm=0.25,
-                  nb_path=20000, key=key_from_seed(11))
+                  kappa1=3.0, kappa2=3.0, rho=-0.3, volvol=1.0, ttm=0.25,
+                  nb_path=20000, key=key_from_seed(11),
+                  nb_steps_per_year=720)
         log_s_rk4, _, _ = log_spot_full_combined(drift_scheme="rk4", **kw)
         log_s_exp, _, _ = log_spot_full_combined(drift_scheme="expm", **kw)
-        # same randoms, same splitting: the per-step O(h^2) scheme gap
-        # accumulates pathwise but must stay far below the MC noise scale,
-        # and the distributions must agree
         d = np.asarray(log_s_rk4) - np.asarray(log_s_exp)
         assert float(np.max(np.abs(d))) < 0.05
         assert abs(float(np.mean(d))) < 2e-3
