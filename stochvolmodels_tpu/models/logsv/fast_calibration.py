@@ -58,7 +58,7 @@ def calibrate_logsv_on_device(option_chain: OptionChain,
                               constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
                               nb_iters: int = 200,
                               learning_rate: float = 0.08,
-                              year_steps: int = 180,
+                              year_steps: int = 360,
                               use_float32: Optional[bool] = None,
                               is_vega_weighted: bool = True,
                               params_min: Optional[LogSvParams] = None,
@@ -221,7 +221,7 @@ def calibrate_logsv_lm_on_device(option_chain: OptionChain,
                                  params0: LogSvParams,
                                  constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
                                  nb_iters: int = 16,
-                                 year_steps: int = 180,
+                                 year_steps: int = 360,
                                  use_float32: Optional[bool] = None,
                                  is_vega_weighted: bool = True,
                                  params_min: Optional[LogSvParams] = None,

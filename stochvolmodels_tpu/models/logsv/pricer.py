@@ -508,10 +508,14 @@ class LogSVPricer(ModelPricer):
                     precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
         """``precision='exact'`` (default) runs the ODE grid in float64 at 720
-        steps/yr for 1e-8 reference parity; ``'fast'`` runs float32 at 180
+        steps/yr for 1e-8 reference parity; ``'fast'`` runs float32 at 360
         steps/yr (the on-device-LM configuration: ~1e-4 relative price
         accuracy, well inside market bid-ask, and several times faster on a
-        v5e chip, which has no native f64)."""
+        v5e chip, which has no native f64).  360 — not 180 — because the f32
+        RK4 sits right on its stability boundary at 180 steps/yr for
+        low-kappa params (observed: kappa1~2.2 at ttm 0.43 diverges in f32
+        at dt=1/180 while f64 at the same dt is fine; f32 at 1/360 is
+        stable with margin)."""
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))
@@ -520,7 +524,7 @@ class LogSVPricer(ModelPricer):
         import contextlib
         if precision == "fast":
             grid = _grid_to_f32(grid)
-            year_steps = 180
+            year_steps = 360
             cast = np.float32
             ctx = jax.enable_x64(False)  # f32 trace, as in the LM fast path
         elif precision == "exact":
@@ -537,6 +541,41 @@ class LogSVPricer(ModelPricer):
                 cast(vol_scaler), tuple(float(t) for t in option_chain.ttms),
                 variable_type, expansion_order, is_spot_measure, year_steps)
         return option_chain.unpad_panel(prices)
+
+    def compute_model_ivols_for_chain(self, option_chain: OptionChain,
+                                      params: LogSvParams,
+                                      precision: str = "exact",
+                                      **kwargs) -> List[np.ndarray]:
+        """model implied vols for the chain.
+
+        ``precision='fast'`` fuses pricing and BSM inversion into ONE f32
+        device program (single dispatch, single host fetch) — on a remote
+        TPU the generic price-then-invert path pays two extra host<->device
+        roundtrips plus an emulated-f64 bisection (v5e has no native f64),
+        ~15x slower end-to-end.  'exact' keeps the generic reference-parity
+        path (f64 prices, 200-iteration bisection)."""
+        if precision != "fast":
+            return super().compute_model_ivols_for_chain(
+                option_chain=option_chain, params=params,
+                precision=precision, **kwargs)
+        variable_type = kwargs.pop("variable_type", VariableType.LOG_RETURN)
+        expansion_order = kwargs.pop("expansion_order", ExpansionOrder.SECOND)
+        is_spot_measure = kwargs.pop("is_spot_measure", True)
+        vol_scaler = kwargs.pop("vol_scaler", None)
+        if vol_scaler is None:
+            vol_scaler = set_vol_scaler(sigma0=params.sigma0,
+                                        ttm=np.min(option_chain.ttms))
+        grid = _grid_to_f32(option_chain.to_grid())
+        etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
+        with jax.enable_x64(False):
+            vols = _logsv_chain_ivols_grid_jit(
+                grid, np.float32(params.sigma0), np.float32(params.theta),
+                np.float32(params.kappa1), np.float32(params.kappa2),
+                np.float32(params.beta), np.float32(params.volvol),
+                tuple(float(e) for e in etas), np.float32(vol_scaler),
+                tuple(float(t) for t in option_chain.ttms),
+                variable_type, expansion_order, is_spot_measure, 360)
+        return option_chain.unpad_panel(vols)
 
     @timer
     def model_mc_price_chain(self, option_chain: OptionChain, params: LogSvParams,
@@ -1002,6 +1041,34 @@ def _backbone_etas_jnp(sigma0, theta, kappa1, kappa2, beta, volvol,
     etas = jnp.where(etas > 0.0, etas, 1.0)
     etas = jnp.where(jnp.asarray(ttms) < 0.06, jnp.sqrt(etas), etas)
     return etas
+
+
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13))
+def _logsv_chain_ivols_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
+                                volvol, vol_backbone_etas, vol_scaler,
+                                ttms_static, variable_type, expansion_order,
+                                is_spot_measure, year_steps=360):
+    """fused chain reprice + BSM implied-vol inversion, one device program.
+
+    The inversion is the short bisect+Newton solver (the LM fast-path one,
+    ops/bsm.py infer_bsm_implied_vol_fast) — ~1e-6 vol accuracy, plenty for
+    the f32 fast mode, and 7x fewer sequential stages than the reference's
+    200-iteration bisection."""
+    prices = logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
+                                    kappa1=kappa1, kappa2=kappa2, beta=beta,
+                                    volvol=volvol,
+                                    vol_backbone_etas=np.asarray(vol_backbone_etas),
+                                    vol_scaler=vol_scaler,
+                                    ttms_static=ttms_static,
+                                    variable_type=variable_type,
+                                    expansion_order=expansion_order,
+                                    is_spot_measure=is_spot_measure,
+                                    year_steps=year_steps)
+    vols = bsm.infer_bsm_implied_vol_fast(
+        forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+        strike=grid.strikes, given_price=prices,
+        discfactor=grid.discfactors[:, None], optiontype=grid.optioncodes)
+    return grid.masked(vols)
 
 
 @partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13))

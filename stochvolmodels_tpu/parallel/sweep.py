@@ -50,7 +50,7 @@ def calibrate_logsv_lm_sweep(option_chains: Sequence[OptionChain],
                              params0: LogSvParams | Sequence[LogSvParams],
                              constraints_type: ConstraintsType = ConstraintsType.UNCONSTRAINT,
                              nb_iters: int = 16,
-                             year_steps: int = 180,
+                             year_steps: int = 360,
                              use_float32: Optional[bool] = None,
                              is_vega_weighted: bool = True,
                              params_min: Optional[LogSvParams] = None,

@@ -2,19 +2,26 @@
 Test configuration: force CPU backend with 8 virtual devices (multi-chip
 sharding tests run on a virtual mesh) and float64.  Must run before jax
 imports anywhere.
+
+Escape hatch: ``SVMTPU_TEST_TPU=1`` keeps the default (TPU) backend so the
+TPU-gated tests (Mosaic kernels, wall-clock perf assertions) actually run,
+e.g. ``SVMTPU_TEST_TPU=1 python -m pytest tests/test_tpu_perf.py -q``.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# single-threaded LLVM codegen: XLA:CPU's parallel codegen segfaults
-# (stack overflow in a codegen thread) partway through the suite once many
-# large modules (whole-chain value_and_grad programs) have been compiled
-if "xla_cpu_parallel_codegen_split_count" not in _flags:
-    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
-os.environ["XLA_FLAGS"] = _flags
+_USE_TPU = os.environ.get("SVMTPU_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    # single-threaded LLVM codegen: XLA:CPU's parallel codegen segfaults
+    # (stack overflow in a codegen thread) partway through the suite once many
+    # large modules (whole-chain value_and_grad programs) have been compiled
+    if "xla_cpu_parallel_codegen_split_count" not in _flags:
+        _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+    os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -22,7 +29,8 @@ jax.config.update("jax_enable_x64", True)
 # the image's sitecustomize force-registers the axon TPU backend via
 # jax.config (which wins over JAX_PLATFORMS env); tests run on 8 virtual
 # CPU devices, so force the platform back
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # no persistent compile cache under tests: jax 0.9's cache serialization
 # (zstandard path) segfaults reproducibly on some of the large CPU

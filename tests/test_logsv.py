@@ -441,3 +441,35 @@ class TestFastPrecision:
         with pytest.raises(NotImplementedError):
             LogSVPricer().price_chain(option_chain=chain, params=PARAMS,
                                       precision="bogus")
+
+    def test_fast_mode_stable_at_low_kappa(self, chain):
+        """regression: f32 RK4 at 180 steps/yr sat ON its stability boundary
+        — kappa1~2.2 at the longest BTC maturity diverged to ~1e12 prices
+        (silently: NaN ivols zeroed the LM residuals, so diverged params
+        looked perfect to the optimizer).  The fast path now runs 360
+        steps/yr; assert it agrees with exact f64 at the stress params."""
+        stress = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                             beta=0.15, volvol=1.85)
+        pricer = LogSVPricer()
+        exact = pricer.price_chain(option_chain=chain, params=stress)
+        fast = pricer.price_chain(option_chain=chain, params=stress,
+                                  precision="fast")
+        for f, e in zip(fast, exact):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_fast_fused_ivols_match_exact(self, chain):
+        """the fused f32 price+IV program agrees with the exact
+        price-then-invert path to ~1e-3 vol points, with no spurious NaNs."""
+        stress = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                             beta=0.15, volvol=1.85)
+        pricer = LogSVPricer()
+        exact = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                     params=stress)
+        fast = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                    params=stress,
+                                                    precision="fast")
+        for f, e in zip(fast, exact):
+            f, e = np.asarray(f), np.asarray(e)
+            assert np.isnan(f).sum() == np.isnan(e).sum()
+            np.testing.assert_allclose(f, e, rtol=5e-3, atol=2e-3)

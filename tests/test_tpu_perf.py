@@ -1,0 +1,133 @@
+"""
+TPU-gated wall-clock assertions for the headline perf claims.
+
+These tests back the numbers recorded in PARITY.md ("BTC chain calibration
+< 1 s warm", "warm analytic chain reprice in tens of ms", ">= 1e9 MC
+path-steps/sec") with executable checks.  The CI suite always runs on CPU
+(conftest), so they skip there; run them on hardware with
+
+    SVMTPU_TEST_TPU=1 PYTHONPATH="/root/.axon_site:/root/repo" \
+        python -m pytest tests/test_tpu_perf.py -q
+
+Timing fetches a scalar to host after each device call: through the axon
+tunnel `block_until_ready` does not reliably block, fetching does.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform == "cpu", reason="wall-clock targets are TPU-only")
+
+pytestmark = [requires_tpu, pytest.mark.slow]
+
+
+@pytest.fixture(scope="module")
+def btc_chain():
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    return get_btc_test_chain_data()
+
+
+def test_warm_lm_calibration_under_1s(btc_chain):
+    """BASELINE.md target: full BTC chain calibration < 1 s (warm).
+
+    Reference baseline: scipy SLSQP with FD gradients, ~10 s
+    (reference logsv_pricer.py calibrate_model_params_to_chain)."""
+    from stochvolmodels_tpu.models.logsv.fast_calibration import (
+        calibrate_logsv_lm_on_device)
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+
+    params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=2.21, kappa2=2.18,
+                          beta=0.15, volvol=1.85)
+    fit, cost = calibrate_logsv_lm_on_device(btc_chain, params0, nb_iters=12)
+    float(cost)  # force completion: compile + first run
+    t0 = time.perf_counter()
+    fit, cost = calibrate_logsv_lm_on_device(btc_chain, params0, nb_iters=12)
+    cost = float(cost)
+    warm = time.perf_counter() - t0
+    assert warm < 1.0, f"warm LM calibration took {warm:.2f}s (target < 1 s)"
+    assert np.isfinite(cost) and cost < 0.01, f"LM fit cost {cost}"
+
+
+def test_warm_analytic_chain_reprice_under_200ms(btc_chain):
+    """fast-precision analytic chain reprice should be tens of ms warm
+    (measured 36 ms; the 200 ms bound absorbs tunnel-latency variance).
+
+    This times ``price_chain`` — the repricing call inside calibration
+    loops."""
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+    pricer = LogSVPricer()
+    params = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                         beta=0.15, volvol=1.85)
+
+    def reprice():
+        prices = pricer.price_chain(option_chain=btc_chain, params=params,
+                                    precision="fast")
+        return float(np.asarray(prices[0])[0])
+
+    p00 = reprice()  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reprice()
+        best = min(best, time.perf_counter() - t0)
+    assert best < 0.2, f"warm fast reprice took {best * 1e3:.0f}ms (target < 200ms)"
+    assert np.isfinite(p00) and p00 > 0.0
+
+
+def test_warm_fast_chain_ivols_under_500ms(btc_chain):
+    """fused price + IV inversion, one device program (measured 61 ms warm;
+    bound at 500 ms for tunnel-latency spikes)."""
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+    pricer = LogSVPricer()
+    params = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                         beta=0.15, volvol=1.85)
+
+    def ivols():
+        vols = pricer.compute_model_ivols_for_chain(
+            option_chain=btc_chain, params=params, precision="fast")
+        return float(np.asarray(vols[0])[0])
+
+    v00 = ivols()  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ivols()
+        best = min(best, time.perf_counter() - t0)
+    assert best < 0.5, f"warm fast ivols took {best * 1e3:.0f}ms (target < 500 ms)"
+    assert 0.3 < v00 < 2.0
+
+
+def test_pallas_mc_throughput_above_1e9():
+    """BASELINE.md target: >= 1e9 MC path-steps/sec on one chip."""
+    from stochvolmodels_tpu.models.logsv.pricer import LOGSV_BTC_PARAMS as P
+    from stochvolmodels_tpu.ops.pallas_mc import simulate_logsv_terminal_pallas
+
+    nb_path = 1 << 20
+    steps_per_year = 360
+
+    def run(seed):
+        x, _, _ = simulate_logsv_terminal_pallas(
+            seed=seed, x0=jnp.zeros(nb_path, dtype=jnp.float32),
+            sigma0=jnp.full(nb_path, P.sigma0, dtype=jnp.float32),
+            qvar0=jnp.zeros(nb_path, dtype=jnp.float32), ttm=1.0,
+            theta=P.theta, kappa1=P.kappa1, kappa2=P.kappa2,
+            beta=P.beta, volvol=P.volvol,
+            nb_steps_per_year=steps_per_year)
+        return float(jnp.mean(x))
+
+    run(0)  # compile
+    best = float("inf")
+    for r in range(3):
+        t0 = time.perf_counter()
+        run(r + 1)
+        best = min(best, time.perf_counter() - t0)
+    rate = nb_path * (steps_per_year + 1) / best
+    assert rate > 1e9, f"MC throughput {rate:.2e} path-steps/s (target > 1e9)"
