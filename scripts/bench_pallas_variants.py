@@ -1,51 +1,196 @@
-"""A/B benchmark of Pallas LogSV MC kernel variants on the real TPU.
+"""Pallas LogSV MC kernel variant benchmark (run on the real TPU).
 
-Run with: PYTHONPATH="/root/.axon_site:/root/repo" python scripts/bench_pallas_variants.py
-Times each variant best-of-5 (the tunnel latency varies) and prints
-path-steps/sec plus terminal-moment sanity, so perf changes that break the
-distribution are caught immediately.
+Measures path-steps/sec for kernel variants to locate the bottleneck:
+
+  full-fast    current production kernel (fast_sincos Box-Muller)
+  full-sincos  classic Box-Muller (cos+sin)
+  no-normals   Box-Muller replaced by a 2-uniform sum (NOT a valid normal;
+               isolates the transcendental cost of normal generation)
+  no-exp       sigma update without exp (wrong dynamics; isolates exp cost)
+  alu-floor    all transcendentals removed (pure ALU/loop floor)
+
+Usage: PYTHONPATH="/root/.axon_site:/root/repo" python scripts/bench_pallas_variants.py
 """
+import functools
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-import stochvolmodels_tpu  # noqa: F401  (x64 config)
-from stochvolmodels_tpu.models.logsv.pricer import LOGSV_BTC_PARAMS as P
-from stochvolmodels_tpu.ops.pallas_mc import simulate_logsv_terminal_pallas
+import stochvolmodels_tpu  # noqa: F401
 
-NB_PATH = 1 << 20
-TTM = 1.0
-STEPS_PER_YEAR = 360
-NB_STEPS = int(TTM * STEPS_PER_YEAR) + 1
-
-
-def run(seed: int, **kw) -> float:
-    x, sig, qv = simulate_logsv_terminal_pallas(
-        seed=seed, x0=jnp.zeros(NB_PATH, dtype=jnp.float32),
-        sigma0=jnp.full(NB_PATH, P.sigma0, dtype=jnp.float32),
-        qvar0=jnp.zeros(NB_PATH, dtype=jnp.float32), ttm=TTM,
-        theta=P.theta, kappa1=P.kappa1, kappa2=P.kappa2,
-        beta=P.beta, volvol=P.volvol, nb_steps_per_year=STEPS_PER_YEAR, **kw)
-    # fetching scalars forces completion through the tunnel
-    return (float(jnp.mean(jnp.exp(x))), float(jnp.std(x)),
-            float(jnp.mean(sig)), float(jnp.mean(qv)))
+LANES = 128
+BLOCK_ROWS = 256
+TWO_PI = 6.2831853071795864
 
 
-def bench(name: str, **kw) -> None:
-    moments = run(0, **kw)   # compile + sanity
-    best = float("inf")
-    for r in range(5):
-        t0 = time.perf_counter()
-        run(r + 1, **kw)
-        best = min(best, time.perf_counter() - t0)
-    rate = NB_PATH * NB_STEPS / best
-    print(f"{name:28s} {rate:.3e} path-steps/s  "
-          f"E[e^x]={moments[0]:.4f} std(x)={moments[1]:.4f} "
-          f"E[sig]={moments[2]:.4f} E[qv]={moments[3]:.4f}")
+def _uniform(bits):
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return jnp.maximum(f - 1.0, 1.1754944e-38)
+
+
+# near-minimax coefficients for ln(1+f)/f on f in [0,1): Chebyshev-node
+# least-squares fit, |abs err of ln| < ~2e-6 — far below MC resolution
+_x = 0.5 - 0.5 * np.cos((2 * np.arange(1, 201) - 1) * np.pi / 400)
+_LOG_C = np.polyfit(_x, np.log1p(_x) / _x, 6).astype(np.float32)
+
+
+def _poly_log(u):
+    """ln(u) for u in (0,1): exponent extraction + ln(1+f) poly (no SFU)."""
+    bits = pltpu.bitcast(u, jnp.int32)
+    e = (bits >> 23) - 127                      # unbiased exponent, int32
+    f = pltpu.bitcast((bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000),
+                      jnp.float32) - 1.0        # mantissa fraction in [0,1)
+    p = jnp.full_like(f, _LOG_C[0])
+    for c in _LOG_C[1:]:
+        p = p * f + c
+    return e.astype(jnp.float32) * np.float32(0.6931471805599453) + f * p
+
+
+def _poly_cospi(u):
+    """cos(pi*u) for u in [0,1) via sin minimax: cos(pi u) = -sin(pi(u-1/2))."""
+    x = (2.0 * u - 1.0) * np.float32(np.pi / 2.0)   # [-pi/2, pi/2)
+    x2 = x * x
+    s = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (np.float32(0.008332824)
+             + x2 * (np.float32(-0.00019810997) + x2 * np.float32(2.7525562e-06)))))
+    return -s
+
+
+def _poly_exp_small(x):
+    """exp(x) for |x| <~ 1: degree-6 Taylor-ish, rel err ~1e-5 at |x|=1."""
+    return 1.0 + x * (1.0 + x * (0.5 + x * (np.float32(0.16666667) + x * (
+        np.float32(0.041666666) + x * (np.float32(0.008333452)
+        + x * np.float32(0.0013908))))))
+
+
+def _normals(shape, variant):
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    u1 = _uniform(b1)
+    u2 = _uniform(b2)
+    if variant == "no-normals":
+        s = np.float32(np.sqrt(6.0))  # var(u1+u2-1)=1/6; NOT normal
+        return s * (u1 + u2 - 1.0), s * (u2 - u1)
+    if variant in ("poly-bm", "poly-all"):
+        r = jnp.sqrt(-2.0 * _poly_log(u1))
+        c = _poly_cospi(u2)
+        sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0),
+                         jnp.float32(-1.0))
+        s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+        return r * c, r * s
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    if variant == "full-sincos":
+        t = TWO_PI * u2
+        return r * jnp.cos(t), r * jnp.sin(t)
+    c = jnp.cos(np.float32(0.5 * TWO_PI) * u2)
+    sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0), jnp.float32(-1.0))
+    s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    return r * c, r * s
+
+
+def _kernel(seed_ref, x0_ref, x_ref, *, nb_steps, dt, variant, unroll=2):
+    pltpu.prng_seed(seed_ref[0] + jnp.int32(pl.program_id(0)))
+    theta, kappa1, kappa2, beta, volvol = (np.float32(1.04), np.float32(3.18),
+                                           np.float32(3.06), np.float32(0.15),
+                                           np.float32(1.85))
+    vartheta2 = beta * beta + volvol * volvol
+    sdt = np.float32(np.sqrt(dt))
+    dtf = np.float32(dt)
+
+    def body(i, carry):
+        x, lns, sigma, qvar = carry
+        if variant == "alu-floor":
+            b1 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+            z0 = _uniform(b1) - 0.5
+            z1 = _uniform(b2) - 0.5
+        elif variant == "one-prng":
+            b = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+            hi = pltpu.bitcast(b >> 16, jnp.int32)          # 0..65535
+            lo = pltpu.bitcast(b & jnp.uint32(0xFFFF), jnp.int32)
+            u1 = (hi.astype(jnp.float32) + 0.5) * np.float32(2.0 ** -16)
+            u2 = (lo.astype(jnp.float32) + 0.5) * np.float32(2.0 ** -16)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            c = jnp.cos(np.float32(0.5 * TWO_PI) * u2)
+            sign = jnp.where((b & jnp.uint32(0x10000)) == 0, jnp.float32(1.0),
+                             jnp.float32(-1.0))
+            z0 = r * c
+            z1 = sign * r * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+        elif variant == "no-prng":
+            z0 = x * np.float32(1e-6) + 0.01
+            z1 = z0 * np.float32(0.5)
+        else:
+            z0, z1 = _normals(x.shape, variant)
+        w0 = z0 * sdt
+        w1 = z1 * sdt
+        sig2dt = sigma * sigma * dtf
+        x = x - 0.5 * sig2dt + sigma * w0
+        dln = ((kappa1 * theta * pl.reciprocal(sigma, approx=True) - kappa1)
+               + kappa2 * (theta - sigma) - 0.5 * vartheta2) * dtf \
+            + beta * w0 + volvol * w1
+        lns = lns + dln
+        if variant in ("no-exp", "alu-floor", "no-prng"):
+            sigma_new = jnp.abs(1.0 + lns)  # wrong dynamics; ALU only
+        elif variant in ("poly-exp", "poly-all"):
+            sigma_new = sigma * _poly_exp_small(dln)
+        else:
+            sigma_new = jnp.exp(lns)
+        qvar = qvar + 0.5 * (sig2dt + sigma_new * sigma_new * dtf)
+        return x, lns, sigma_new, qvar
+
+    def bodyn(i, carry):
+        for k in range(unroll):
+            carry = body(unroll * i + k, carry)
+        return carry
+
+    x0 = x0_ref[:]
+    carry = (x0, jnp.zeros_like(x0), jnp.full_like(x0, 0.84), jnp.zeros_like(x0))
+    x, lns, sigma, qvar = jax.lax.fori_loop(0, nb_steps // unroll, bodyn, carry)
+    x_ref[:] = x + sigma + qvar
+
+
+@functools.partial(jax.jit, static_argnames=("nb_steps", "variant", "nb_path",
+                                             "block_rows", "unroll"))
+def _run(seed, nb_steps, variant, nb_path, block_rows=BLOCK_ROWS, unroll=2):
+    with jax.enable_x64(False):
+        rows = nb_path // LANES
+        spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel, nb_steps=nb_steps, dt=1.0 / 360.0,
+                              variant=variant, unroll=unroll),
+            grid=(pl.cdiv(rows, block_rows),),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=10 * 1024 * 1024),
+        )(seed, jnp.zeros((rows, LANES), jnp.float32))
+
+
+def main():
+    nb_path = 1 << 20
+    nb_steps = 360
+    cfgs = [("poly-bm", 8, 2), ("poly-bm", 16, 2), ("poly-bm", 32, 2),
+            ("poly-bm", 64, 2), ("alu-floor", 16, 2), ("poly-bm", 256, 2)]
+    for variant, block_rows, unroll in cfgs:
+        def run(seed):
+            out = _run(jnp.asarray([seed], dtype=jnp.int32), nb_steps,
+                       variant, nb_path, block_rows=block_rows, unroll=unroll)
+            return float(jnp.sum(out))
+        run(0)
+        best = float("inf")
+        for r in range(7):
+            t0 = time.perf_counter()
+            run(r + 1)
+            best = min(best, time.perf_counter() - t0)
+        rate = nb_path * nb_steps / best
+        print(f"{variant:12s} rows={block_rows:3d} unroll={unroll}  "
+              f"{rate:.3e} path-steps/s   best {best*1e3:.1f} ms")
 
 
 if __name__ == "__main__":
-    assert jax.devices()[0].platform != "cpu", "needs the TPU"
-    bench("box-muller classic", fast_sincos=False)
-    bench("box-muller fast-sincos", fast_sincos=True)
+    main()

@@ -66,8 +66,41 @@ def _counter_bits(shape, seed: Array, salt: Array, stream: int) -> Array:
     return _hash_u32(idx ^ key)
 
 
+# near-minimax coefficients for ln(1+f)/f on f in [0,1): least squares on
+# Chebyshev nodes; |abs err of ln| < 2e-6 (validated in test_pallas_mc)
+_LOG_NODES = 0.5 - 0.5 * np.cos((2 * np.arange(1, 201) - 1) * np.pi / 400)
+_LOG_C = np.polyfit(_LOG_NODES, np.log1p(_LOG_NODES) / _LOG_NODES,
+                    6).astype(np.float32)
+
+
+def _poly_log(u: Array) -> Array:
+    """ln(u) for f32 u in (0,1): exponent extraction + degree-6 poly for
+    ln(1+mantissa).  Runs on the plain vector ALUs — measured ~20% faster
+    end-to-end than the special-function-unit ln inside the MC step loop
+    (see scripts/bench_pallas_variants.py).  Max abs err ~2e-6."""
+    bits = pltpu.bitcast(u, jnp.int32)
+    e = (bits >> 23) - 127
+    f = pltpu.bitcast((bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000),
+                      jnp.float32) - 1.0
+    p = jnp.full_like(f, _LOG_C[0])
+    for c in _LOG_C[1:]:
+        p = p * f + c
+    return e.astype(jnp.float32) * np.float32(0.6931471805599453) + f * p
+
+
+def _poly_cospi(u: Array) -> Array:
+    """cos(pi*u) for u in [0,1) via the odd sin minimax on [-pi/2, pi/2):
+    cos(pi u) = -sin(pi(u - 1/2)).  Max abs err ~6e-6."""
+    x = (2.0 * u - 1.0) * np.float32(np.pi / 2.0)
+    x2 = x * x
+    s = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (
+        np.float32(0.008332824) + x2 * (np.float32(-0.00019810997)
+                                        + x2 * np.float32(2.7525562e-06)))))
+    return -s
+
+
 def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
-                salt: Array = None, fast_sincos: bool = True
+                salt: Array = None, poly_bm: bool = True
                 ) -> Tuple[Array, Array]:
     """two independent standard normal panels.
 
@@ -77,10 +110,13 @@ def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
     path-index) supplies the bits instead — same kernel structure, real
     randomness.
 
-    ``fast_sincos``: replace the second trig with a square root — for
-    t ~ U(0, pi) and an independent sign bit s, (cos t, s*sqrt(1-cos^2 t))
-    is exactly uniform on the circle, and sqrt beats sin on the VPU's
-    special-function unit.  Distribution-exact, not an approximation.
+    ``poly_bm`` (default): Box-Muller with polynomial ln and cos(pi x), plus
+    the sign-bit trick for the second coordinate — (cos t, ±sqrt(1-cos²t))
+    with an independent sign is exactly uniform on the circle.  The step
+    loop is bottlenecked on the VPU special-function unit; moving ln/cos to
+    plain FMA polynomials is ~20% faster end-to-end and accurate to ~6e-6
+    in the draw (scripts/bench_pallas_variants.py has the variant table).
+    ``poly_bm=False`` is the classic SFU ln/cos/sin Box-Muller.
     """
     if interpret:
         b1 = _counter_bits(shape, seed, salt, 0)
@@ -90,14 +126,15 @@ def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
         b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     u1 = _uniform_from_bits(b1)
     u2 = _uniform_from_bits(b2)
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    if fast_sincos:
-        c = jnp.cos(np.float32(0.5 * TWO_PI) * u2)
+    if poly_bm:
+        r = jnp.sqrt(jnp.maximum(-2.0 * _poly_log(u1), 0.0))
+        c = _poly_cospi(u2)
         # spare low bit of b2 (the mantissa trick uses bits 9..31) -> ±1
         sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0),
                          jnp.float32(-1.0))
         s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
         return r * c, r * s
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
     t = TWO_PI * u2
     return r * jnp.cos(t), r * jnp.sin(t)
 
@@ -105,7 +142,7 @@ def _box_muller(shape, *, interpret: bool = False, seed: Array = None,
 def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
                   x_ref, sig_ref, qvar_ref, *, nb_steps: int, dt: float,
                   alpha: float, interpret: bool = False,
-                  fast_sincos: bool = True):
+                  poly_bm: bool = True):
     """full-horizon LogSV Euler loop for one (BLOCK_ROWS, LANES) path block.
 
     params (SMEM): [theta, kappa1, kappa2, beta, volvol, vol_backbone_eta, adj].
@@ -130,7 +167,7 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
     def body(salt, carry):
         x, lns, sigma, qvar = carry
         z0, z1 = _box_muller(x.shape, interpret=interpret, seed=seed,
-                             salt=salt, fast_sincos=fast_sincos)
+                             salt=salt, poly_bm=poly_bm)
         w0 = z0 * sdt
         w1 = z1 * sdt
         sig2dt = eta2 * sigma * sigma * dtf
@@ -160,23 +197,23 @@ def _logsv_kernel(seed_ref, params_ref, x0_ref, lns0_ref, qv0_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("nb_steps", "dt", "alpha", "nb_path",
-                                    "interpret", "fast_sincos"))
+                                    "interpret", "poly_bm"))
 def _run_logsv_kernel(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
-                      nb_path, interpret=False, fast_sincos=True):
+                      nb_path, interpret=False, poly_bm=True):
     # Mosaic cannot lower i64; trace the kernel in 32-bit mode (the global
     # config enables x64 for the pricing layer)
     with jax.enable_x64(False):
         return _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps,
-                                    dt, alpha, nb_path, interpret, fast_sincos)
+                                    dt, alpha, nb_path, interpret, poly_bm)
 
 
 def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
-                         nb_path, interpret=False, fast_sincos=True):
+                         nb_path, interpret=False, poly_bm=True):
     rows = nb_path // LANES
     grid = pl.cdiv(rows, BLOCK_ROWS)
     kernel = functools.partial(_logsv_kernel, nb_steps=nb_steps, dt=dt,
                                alpha=alpha, interpret=interpret,
-                               fast_sincos=fast_sincos)
+                               poly_bm=poly_bm)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -193,7 +230,7 @@ def _run_logsv_kernel_32(seed, params, x0, lns0, qv0, nb_steps, dt, alpha,
         cost_estimate=pl.CostEstimate(
             flops=30 * nb_steps * nb_path,
             bytes_accessed=6 * nb_path * 4,
-            transcendentals=7 * nb_steps * nb_path),
+            transcendentals=4 * nb_steps * nb_path),
         # TPU interpret mode: emulates the Mosaic primitives (on-chip PRNG,
         # SMEM) on CPU so the kernels run in CI without a TPU
         interpret=pltpu.InterpretParams() if interpret else False,
@@ -214,7 +251,7 @@ def simulate_logsv_terminal_pallas(seed: int,
                                    is_spot_measure: bool = True,
                                    nb_steps_per_year: int = 360,
                                    interpret: bool = False,
-                                   fast_sincos: bool = True
+                                   poly_bm: bool = True
                                    ) -> Tuple[Array, Array, Array]:
     """terminal (x, sigma, qvar) by the on-chip-PRNG Pallas kernel (float32).
 
@@ -238,7 +275,7 @@ def simulate_logsv_terminal_pallas(seed: int,
         jnp.asarray([seed], dtype=jnp.int32), params,
         to_block(x0), to_block(jnp.log(jnp.asarray(sigma0))), to_block(qvar0),
         nb_steps=nb_steps, dt=float(dt), alpha=alpha, nb_path=nb_path,
-        interpret=interpret, fast_sincos=fast_sincos)
+        interpret=interpret, poly_bm=poly_bm)
     return x.reshape(-1), sig.reshape(-1), qvar.reshape(-1)
 
 
@@ -311,7 +348,7 @@ def _run_heston_kernel_32(seed, params, x0, v0, qv0, nb_steps, dt, nb_path,
         cost_estimate=pl.CostEstimate(
             flops=25 * nb_steps * nb_path,
             bytes_accessed=6 * nb_path * 4,
-            transcendentals=5 * nb_steps * nb_path),
+            transcendentals=3 * nb_steps * nb_path),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, params, x0, v0, qv0)
 

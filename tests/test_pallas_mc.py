@@ -81,3 +81,28 @@ def test_logsv_pallas_moments_match_scan():
 def test_heston_pallas_moments():
     _check_heston(*_heston_moments(interpret=False, nb_path=1 << 17),
                   tol=0.003)
+
+
+def test_poly_log_and_cospi_accuracy():
+    """the ALU-polynomial ln and cos(pi x) used by the poly Box-Muller match
+    the libm values to the documented bounds (pallas_mc._poly_log/_poly_cospi
+    claim 2e-6 / 6e-6 max abs err)."""
+    from stochvolmodels_tpu.ops.pallas_mc import _LOG_C
+
+    u = np.linspace(0.0, 1.0, 1_000_001)[1:-1].astype(np.float32)
+    bits = u.view(np.int32)
+    e = (bits >> 23) - 127
+    f = ((bits & 0x007FFFFF) | 0x3F800000).view(np.float32) - 1.0
+    p = np.full_like(f, _LOG_C[0])
+    for c in _LOG_C[1:]:
+        p = p * f + c
+    lnu = e.astype(np.float32) * np.float32(0.6931471805599453) + f * p
+    assert np.max(np.abs(lnu - np.log(u.astype(np.float64)))) < 2.5e-6
+
+    v = np.linspace(0.0, 1.0, 1_000_001)[:-1].astype(np.float32)
+    x = (2.0 * v - 1.0) * np.float32(np.pi / 2.0)
+    x2 = x * x
+    s = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (
+        np.float32(0.008332824) + x2 * (np.float32(-0.00019810997)
+                                        + x2 * np.float32(2.7525562e-06)))))
+    assert np.max(np.abs(-s - np.cos(np.pi * v.astype(np.float64)))) < 1e-5
