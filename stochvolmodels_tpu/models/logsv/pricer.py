@@ -249,12 +249,48 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
                           nb_steps_per_year: int = 360,
                           variable_type: VariableType = VariableType.LOG_RETURN,
                           seed=None,
-                          dtype=jnp.float64
+                          dtype=jnp.float64,
+                          engine: str = "scan"
                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with the terminal state carried across maturities
-    (logsv_pricer.py:699-760)."""
+    (logsv_pricer.py:699-760).
+
+    ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
+    kernel (float32, ~9.5e9 path-steps/s on a v5e chip vs ~1e9 for the f64
+    scan) — use for large-path pricing where f32 MC noise dominates f32
+    rounding; 'scan' (default) keeps the reference-parity f64 path."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
+    if engine == "pallas":
+        from stochvolmodels_tpu.ops.pallas_mc import (
+            LANES, simulate_logsv_terminal_pallas)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
+        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+        x = jnp.zeros(nb_pad, dtype=jnp.float32)
+        sigma = jnp.full(nb_pad, v0, dtype=jnp.float32)
+        qvar = jnp.zeros(nb_pad, dtype=jnp.float32)
+        ttm0 = 0.0
+        option_prices_ttm, option_std_ttm = [], []
+        for i, ttm in enumerate(ttms):
+            x, sigma, qvar = simulate_logsv_terminal_pallas(
+                seed=base_seed + 7919 * i, x0=x, sigma0=sigma, qvar0=qvar,
+                ttm=float(ttm - ttm0), theta=theta, kappa1=kappa1,
+                kappa2=kappa2, beta=beta, volvol=volvol,
+                vol_backbone_eta=float(vol_backbone_etas[i]),
+                is_spot_measure=is_spot_measure,
+                nb_steps_per_year=nb_steps_per_year,
+                interpret=on_cpu)
+            ttm0 = float(ttm)
+            prices, stds = compute_mc_vars_payoff(
+                x0=x[:nb_path], sigma0=sigma[:nb_path], qvar0=qvar[:nb_path],
+                ttm=ttm, forward=forwards[i],
+                strikes_ttm=jnp.asarray(strikes_ttms[i]),
+                optiontypes_ttm=optiontypes_ttms[i],
+                discfactor=discfactors[i], variable_type=variable_type)
+            option_prices_ttm.append(np.asarray(prices))
+            option_std_ttm.append(np.asarray(stds))
+        return option_prices_ttm, option_std_ttm
     key = key_from_seed(seed)
     x = jnp.zeros(nb_path, dtype=dtype)
     sigma = jnp.full(nb_path, v0, dtype=dtype)
@@ -598,7 +634,9 @@ class LogSVPricer(ModelPricer):
                 kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
                 weights=params.weights, nodes=params.nodes, nb_path=nb_path,
                 nb_steps_per_year=nb_steps or 360,
-                variable_type=variable_type, seed=seed if seed is not None else kwargs.get('seed'))
+                variable_type=variable_type,
+                seed=seed if seed is not None else kwargs.get('seed'),
+                engine=kwargs.get('engine', 'scan'))
         vol_backbone_etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
         return logsv_mc_chain_pricer(
             v0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
@@ -609,7 +647,8 @@ class LogSVPricer(ModelPricer):
             optiontypes_ttms=option_chain.optiontypes_ttms,
             is_spot_measure=is_spot_measure, variable_type=variable_type,
             nb_path=nb_path, seed=seed,
-            nb_steps_per_year=nb_steps or int(360 * np.max(option_chain.ttms)) + 1)
+            nb_steps_per_year=nb_steps or int(360 * np.max(option_chain.ttms)) + 1,
+            engine=kwargs.get('engine', 'scan'))
 
     def set_vol_scaler(self, option_chain: OptionChain) -> float:
         """grid scaler from the first ATM vol, frozen across calibration

@@ -274,27 +274,49 @@ def rough_logsv_mc_chain_pricer(ttms: np.ndarray,
                                 nb_steps_per_year: int = 360,
                                 variable_type: VariableType = VariableType.LOG_RETURN,
                                 seed=None,
-                                dtype=jnp.float64
+                                dtype=jnp.float64,
+                                engine: str = "scan"
                                 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """rough chain MC (logsv_pricer.py:1056-1119): the (beta, volvol) pair is
     reparametrized to (vartheta, rho = beta/vartheta); every slice restarts
     from t = 0 and shares the SAME Brownian stream (the reference truncates
     one pre-drawn normal block per slice — here the shared threefry key plays
-    that role, so short slices see a prefix of the long slice's increments)."""
+    that role, so short slices see a prefix of the long slice's increments).
+
+    ``engine='pallas'`` runs each slice through the on-chip-PRNG Strang
+    kernel (float32, ~4.5e9 path-steps/s on a v5e chip); restarting every
+    slice with the same seed preserves the shared-stream contract.  'scan'
+    (default) keeps the reference-parity f64 path."""
     vartheta = float(np.sqrt(beta ** 2 + volvol ** 2))
     rho = float(beta / vartheta)
     key = key_from_seed(seed)
+    if engine == "pallas":
+        from stochvolmodels_tpu.ops.pallas_mc import (
+            LANES, simulate_rough_terminal_pallas)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
+        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
     option_prices_ttm, option_std_ttm = [], []
     for ttm, forward, discfactor, strikes, types in zip(ttms, forwards,
                                                         discfactors,
                                                         strikes_ttms,
                                                         optiontypes_ttms):
-        log_s, v, y = log_spot_full_combined(
-            nodes=nodes, weights=weights, sigma0=sigma0, theta=theta,
-            kappa1=kappa1, kappa2=kappa2, rho=rho, volvol=vartheta,
-            ttm=float(ttm), nb_path=nb_path, key=key,
-            nb_steps_per_year=nb_steps_per_year, dtype=dtype)
-        sigma_terminal = jnp.sum(jnp.asarray(weights, dtype=dtype)[:, None] * v, axis=0)
+        if engine == "pallas":
+            log_s, sigma_terminal, y = simulate_rough_terminal_pallas(
+                seed=base_seed, nb_path=nb_pad, ttm=float(ttm),
+                sigma0=sigma0, theta=theta, kappa1=kappa1, kappa2=kappa2,
+                rho=rho, volvol=vartheta, nodes=nodes, weights=weights,
+                nb_steps_per_year=nb_steps_per_year, interpret=on_cpu)
+            log_s, sigma_terminal, y = (log_s[:nb_path],
+                                        sigma_terminal[:nb_path], y[:nb_path])
+        else:
+            log_s, v, y = log_spot_full_combined(
+                nodes=nodes, weights=weights, sigma0=sigma0, theta=theta,
+                kappa1=kappa1, kappa2=kappa2, rho=rho, volvol=vartheta,
+                ttm=float(ttm), nb_path=nb_path, key=key,
+                nb_steps_per_year=nb_steps_per_year, dtype=dtype)
+            sigma_terminal = jnp.sum(
+                jnp.asarray(weights, dtype=dtype)[:, None] * v, axis=0)
         prices, stds = compute_mc_vars_payoff(
             x0=log_s, sigma0=sigma_terminal, qvar0=y, ttm=ttm,
             forward=forward, strikes_ttm=jnp.asarray(strikes),

@@ -377,3 +377,199 @@ def simulate_heston_terminal_pallas(seed: int,
         to_block(x0), to_block(var0), to_block(qvar0),
         nb_steps=nb_steps, dt=float(dt), nb_path=nb_path, interpret=interpret)
     return x.reshape(-1), var.reshape(-1), qvar.reshape(-1)
+
+
+# ----------------------------------------------------------------------------
+# rough LogSV (Markovian lift, Strang splitting)
+# ----------------------------------------------------------------------------
+
+def _rough_kernel(seed_ref, params_ref, x_ref, vw_ref, y_ref, *,
+                  nb_steps: int, dt: float, n_nodes: int,
+                  interpret: bool = False):
+    """full-horizon Strang-splitting loop for the rough LogSV Markovian lift
+    (models/rough/simulation.py strang_step, reference
+    split_simulation.py:254-329), one (BLOCK_ROWS, LANES) path block.
+
+    params (SMEM): [theta, kappa1, kappa2, rho, volvol, v0_factor,
+    nodes[0..n-1], weights[0..n-1]].  The n_nodes factor panels are unrolled
+    at trace time (n <= 5 in practice), so the whole lifted state lives in
+    VMEM and only terminal (log-spot, weighted vol, integrated var) is
+    written back.  Every slice of a chain restarts from t=0 with the same
+    seed, so short maturities see a prefix of the long maturity's draws —
+    the reference's shared-block contract."""
+    seed = seed_ref[0] + jnp.int32(pl.program_id(0))
+    if not interpret:
+        pltpu.prng_seed(seed)
+    theta = params_ref[0]
+    kappa1 = params_ref[1]
+    kappa2 = params_ref[2]
+    rho = params_ref[3]
+    volvol = params_ref[4]
+    v0f = params_ref[5]
+    nodes = [params_ref[6 + i] for i in range(n_nodes)]
+    weights = [params_ref[6 + n_nodes + i] for i in range(n_nodes)]
+    w_sum = weights[0]
+    for w in weights[1:]:
+        w_sum = w_sum + w
+    hf = np.float32(dt)
+    h2 = np.float32(0.5 * dt)
+    sqh = np.float32(np.sqrt(dt))
+    rho_comp = jnp.sqrt(jnp.maximum(1.0 - rho * rho, 0.0))
+    volvol_s = volvol * w_sum
+    w_inv = 1.0 / w_sum
+    wlam_sum = weights[0] * nodes[0]
+    for w, x in zip(weights[1:], nodes[1:]):
+        wlam_sum = wlam_sum + w * x
+
+    def wdot(vs):
+        acc = weights[0] * vs[0]
+        for w, v in zip(weights[1:], vs[1:]):
+            acc = acc + w * v
+        return acc
+
+    def drift_rhs(vs):
+        zw = wdot(vs)
+        g = (kappa1 + kappa2 * zw) * (theta - zw)
+        return [-x * (v - v0f) + g for x, v in zip(nodes, vs)]
+
+    def drift_rk4(vs, h):
+        s1 = drift_rhs(vs)
+        s2 = drift_rhs([v + 0.5 * h * s for v, s in zip(vs, s1)])
+        s3 = drift_rhs([v + 0.5 * h * s for v, s in zip(vs, s2)])
+        s4 = drift_rhs([v + h * s for v, s in zip(vs, s3)])
+        return [v + (h / 6.0) * (a + 2.0 * b + 2.0 * c + d)
+                for v, a, b, c, d in zip(vs, s1, s2, s3, s4)]
+
+    def body(salt, carry):
+        log_s, y = carry[0], carry[1]
+        vs = list(carry[2:])
+        z0, z1 = _box_muller(log_s.shape, interpret=interpret, seed=seed,
+                             salt=salt)
+        d_inn = drift_rk4(vs, h2)
+        # exact log-normal diffusion on the weighted sum, increment spread
+        # equally across factors (simulation.py diffus_sde_exact)
+        yw = wdot(d_inn)
+        Yh = yw * jnp.exp(-0.5 * volvol_s * volvol_s * hf
+                          + volvol_s * (z0 * sqh))
+        Q = (Yh - yw) * w_inv
+        s_inn = [v + Q for v in d_inn]
+        vol_h = drift_rk4(s_inn, h2)
+
+        w_vol_h = wdot(vol_h)
+        bad = jnp.isnan(w_vol_h) | (w_vol_h <= 0.0)
+        vol_h = [jnp.where(bad, np.float32(1e-6), v) for v in vol_h]
+
+        vw = wdot(vs)
+        volw_h = wdot(vol_h)
+        sq_vw = vw * vw
+        sq_vhw = volw_h * volw_h
+
+        def wlam_dot(vs_):
+            acc = weights[0] * nodes[0] * vs_[0]
+            for w, x, v in zip(weights[1:], nodes[1:], vs_[1:]):
+                acc = acc + w * x * v
+            return acc
+
+        w_lam_vol = wlam_dot(vs)
+        w_lam_vol_h = wlam_dot(vol_h)
+        w_lam_v0 = wlam_sum * v0f   # v0 is the same scalar for every factor
+
+        term1 = (1.0 / volvol) * (
+            ((volw_h - vw) / hf + 0.5 * w_lam_vol + 0.5 * w_lam_vol_h
+             - w_lam_v0) * w_inv
+            - kappa1 * theta + (kappa1 - kappa2 * theta) * (0.5 * vw + 0.5 * volw_h)
+            + kappa2 * (0.5 * sq_vw + 0.5 * sq_vhw)) * hf
+        term2 = 0.5 * hf * sq_vw + 0.5 * hf * sq_vhw
+        log_s = log_s - 0.5 * term2 + rho * term1 \
+            + rho_comp * jnp.sqrt(jnp.maximum(term2, 0.0)) * z1
+        y = y + 0.5 * hf * (sq_vw + sq_vhw)
+        return tuple([log_s, y] + vol_h)
+
+    def body2(i, carry):
+        return body(2 * i + 1, body(2 * i, carry))
+
+    shape_like = x_ref[:]
+    zero = jnp.zeros_like(shape_like)
+    carry = tuple([zero, zero] + [jnp.full_like(zero, 1.0) * v0f
+                                  for _ in range(n_nodes)])
+    carry = jax.lax.fori_loop(0, nb_steps // 2, body2, carry)
+    if nb_steps % 2:
+        carry = body(nb_steps - 1, carry)
+    x_ref[:] = carry[0]
+    y_ref[:] = carry[1]
+    vw_acc = weights[0] * carry[2]
+    for i in range(1, n_nodes):
+        vw_acc = vw_acc + weights[i] * carry[2 + i]
+    vw_ref[:] = vw_acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb_steps", "dt", "n_nodes", "nb_path",
+                                    "interpret"))
+def _run_rough_kernel(seed, params, nb_steps, dt, n_nodes, nb_path,
+                      interpret=False):
+    with jax.enable_x64(False):
+        return _run_rough_kernel_32(seed, params, nb_steps, dt, n_nodes,
+                                    nb_path, interpret)
+
+
+def _run_rough_kernel_32(seed, params, nb_steps, dt, n_nodes, nb_path,
+                         interpret=False):
+    rows = nb_path // LANES
+    grid = pl.cdiv(rows, BLOCK_ROWS)
+    kernel = functools.partial(_rough_kernel, nb_steps=nb_steps, dt=dt,
+                               n_nodes=n_nodes, interpret=interpret)
+    shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(state_spec, state_spec, state_spec),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(90 + 30 * n_nodes) * nb_steps * nb_path,
+            bytes_accessed=3 * nb_path * 4,
+            transcendentals=5 * nb_steps * nb_path),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, params)
+
+
+def simulate_rough_terminal_pallas(seed: int,
+                                   nb_path: int,
+                                   ttm: float,
+                                   sigma0: float,
+                                   theta: float,
+                                   kappa1: float,
+                                   kappa2: float,
+                                   rho: float,
+                                   volvol: float,
+                                   nodes,
+                                   weights,
+                                   nb_steps_per_year: int = 360,
+                                   interpret: bool = False
+                                   ) -> Tuple[Array, Array, Array]:
+    """terminal (log-spot, weighted vol, integrated var) for the rough LogSV
+    lift by the on-chip-PRNG Pallas kernel (float32).
+
+    Drop-in MC engine for rough_logsv_mc_chain_pricer's per-slice
+    simulation: restarting every slice from t=0 with the same seed
+    reproduces the shared-stream truncation contract."""
+    assert nb_path % LANES == 0, f"nb_path must be a multiple of {LANES}"
+    nodes = np.asarray(nodes, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    n = len(nodes)
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    v0f = float(sigma0) / float(np.sum(weights))
+    params = jnp.asarray([theta, kappa1, kappa2, rho, volvol, v0f,
+                          *nodes.tolist(), *weights.tolist()],
+                         dtype=jnp.float32)
+    x, vw, y = _run_rough_kernel(
+        jnp.asarray([seed], dtype=jnp.int32), params,
+        nb_steps=nb_steps, dt=float(dt), n_nodes=n, nb_path=nb_path,
+        interpret=interpret)
+    return x.reshape(-1), vw.reshape(-1), y.reshape(-1)

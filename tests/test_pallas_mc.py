@@ -106,3 +106,84 @@ def test_poly_log_and_cospi_accuracy():
         np.float32(0.008332824) + x2 * (np.float32(-0.00019810997)
                                         + x2 * np.float32(2.7525562e-06)))))
     assert np.max(np.abs(-s - np.cos(np.pi * v.astype(np.float64)))) < 1e-5
+
+
+def _rough_moments(interpret: bool, nb_path: int = NB_PATH, ttm: float = 0.5):
+    from stochvolmodels_tpu.models.rough.kernel import european_rule
+    from stochvolmodels_tpu.models.rough.simulation import log_spot_full_combined
+    from stochvolmodels_tpu.ops.pallas_mc import simulate_rough_terminal_pallas
+
+    nodes, weights = european_rule(0.125, 3, ttm)
+    args = dict(sigma0=1.0, theta=1.0, kappa1=2.0, kappa2=2.0,
+                volvol=1.5, nodes=nodes, weights=weights)
+    xp, vwp, yp = simulate_rough_terminal_pallas(
+        seed=7, nb_path=nb_path, ttm=ttm, rho=0.1,
+        nb_steps_per_year=360, interpret=interpret, **args)
+    log_s, v, y = log_spot_full_combined(
+        ttm=ttm, nb_path=nb_path, key=jax.random.key(7), rho=0.1,
+        nb_steps_per_year=360, **args)
+    vw = jnp.sum(jnp.asarray(weights)[:, None] * v, axis=0)
+    return (xp, vwp, yp), (log_s, vw, y)
+
+
+def _check_rough(pallas_out, scan_out, tol):
+    (xp, vwp, yp), (xs, vws, ys) = pallas_out, scan_out
+    assert np.all(np.isfinite(np.asarray(xp)))
+    assert abs(float(jnp.mean(xp)) - float(jnp.mean(xs))) < tol
+    assert abs(float(jnp.std(xp)) - float(jnp.std(xs))) < 2.0 * tol
+    assert abs(float(jnp.mean(vwp)) - float(jnp.mean(vws))) < tol
+    assert abs(float(jnp.mean(yp)) - float(jnp.mean(ys))) < tol
+
+
+def test_rough_pallas_interpret_moments_match_scan():
+    _check_rough(*_rough_moments(interpret=True), tol=0.03)
+
+
+@requires_tpu
+def test_rough_pallas_moments_match_scan():
+    _check_rough(*_rough_moments(interpret=False, nb_path=1 << 17), tol=0.02)
+
+
+def test_logsv_chain_pricer_pallas_engine_matches_scan():
+    """engine='pallas' chain MC prices agree with the f64 scan engine within
+    MC noise (different RNG streams; 2^15 paths -> ~1% of forward)."""
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    from stochvolmodels_tpu.models.logsv.pricer import (
+        LOGSV_BTC_PARAMS,
+        LogSVPricer,
+    )
+
+    chain = get_btc_test_chain_data()
+    pricer = LogSVPricer()
+    kw = dict(option_chain=chain, params=LOGSV_BTC_PARAMS, nb_path=1 << 15,
+              nb_steps=120, seed=11)
+    p_scan, _ = pricer.model_mc_price_chain(**kw)
+    p_pallas, s_pallas = pricer.model_mc_price_chain(engine="pallas", **kw)
+    for ps, pp, sp in zip(p_scan, p_pallas, s_pallas):
+        # within 4 joint stderr, floored at 0.5% of forward for tiny prices
+        tol = 4.0 * np.sqrt(2.0) * np.asarray(sp) + 5e-3
+        assert np.all(np.abs(np.asarray(ps) - np.asarray(pp)) < tol)
+
+
+def test_rough_chain_pricer_pallas_engine_matches_scan():
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.rough.simulation import (
+        rough_logsv_mc_chain_pricer)
+
+    chain = get_btc_test_chain_data()
+    params = LogSvParams(sigma0=1.0, theta=1.0, kappa1=2.0, kappa2=2.0,
+                         beta=0.2, volvol=1.8, H=0.125)
+    params.approximate_kernel(T=float(np.max(chain.ttms)))
+    kw = dict(ttms=chain.ttms, forwards=chain.forwards,
+              discfactors=chain.discfactors, strikes_ttms=chain.strikes_ttms,
+              optiontypes_ttms=chain.optiontypes_ttms,
+              sigma0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
+              kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
+              weights=params.weights, nodes=params.nodes,
+              nb_path=1 << 14, nb_steps_per_year=120, seed=11)
+    p_scan, _ = rough_logsv_mc_chain_pricer(**kw)
+    p_pallas, s_pallas = rough_logsv_mc_chain_pricer(engine="pallas", **kw)
+    for ps, pp, sp in zip(p_scan, p_pallas, s_pallas):
+        tol = 4.0 * np.sqrt(2.0) * np.asarray(sp) + 5e-3
+        assert np.all(np.abs(np.asarray(ps) - np.asarray(pp)) < tol)
