@@ -208,11 +208,41 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
                            nb_path: int = 100000,
                            variable_type: VariableType = VariableType.LOG_RETURN,
                            seed=None,
-                           dtype=jnp.float64
+                           dtype=jnp.float64,
+                           engine: str = "scan"
                            ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with terminal state carried across maturities
-    (heston_pricer.py:265-309).  Returns ragged (prices, stderrs) lists."""
+    (heston_pricer.py:265-309).  Returns ragged (prices, stderrs) lists.
+
+    ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
+    kernel (float32); 'scan' (default) keeps the reference-parity f64 path."""
     key = key_from_seed(seed)
+    if engine == "pallas":
+        from stochvolmodels_tpu.ops.pallas_mc import (
+            LANES, simulate_heston_terminal_pallas)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
+        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+        x = jnp.zeros(nb_pad, dtype=jnp.float32)
+        var = jnp.full(nb_pad, v0, dtype=jnp.float32)
+        qvar = jnp.zeros(nb_pad, dtype=jnp.float32)
+        ttm0 = 0.0
+        option_prices_ttm, option_std_ttm = [], []
+        for i, ttm in enumerate(ttms):
+            x, var, qvar = simulate_heston_terminal_pallas(
+                seed=base_seed + 7919 * i, x0=x, var0=var, qvar0=qvar,
+                ttm=float(ttm - ttm0), theta=theta, kappa=kappa, rho=rho,
+                volvol=volvol, interpret=on_cpu)
+            ttm0 = float(ttm)
+            prices, stds = compute_mc_vars_payoff(
+                x0=x[:nb_path], sigma0=jnp.sqrt(var[:nb_path]),
+                qvar0=qvar[:nb_path], ttm=ttm, forward=forwards[i],
+                strikes_ttm=jnp.asarray(strikes_ttms[i]),
+                optiontypes_ttm=optiontypes_ttms[i],
+                discfactor=discfactors[i], variable_type=variable_type)
+            option_prices_ttm.append(np.asarray(prices))
+            option_std_ttm.append(np.asarray(stds))
+        return option_prices_ttm, option_std_ttm
     x = jnp.zeros(nb_path, dtype=dtype)
     var = jnp.full(nb_path, v0, dtype=dtype)
     qvar = jnp.zeros(nb_path, dtype=dtype)
@@ -266,7 +296,8 @@ class HestonPricer(ModelPricer):
                                       v0=params.v0, theta=params.theta,
                                       kappa=params.kappa, rho=params.rho,
                                       volvol=params.volvol, nb_path=nb_path,
-                                      variable_type=variable_type, seed=seed)
+                                      variable_type=variable_type, seed=seed,
+                                      engine=kwargs.get('engine', 'scan'))
 
     @timer
     def simulate_terminal_values(self, params: HestonParams, ttm: float = 1.0,
