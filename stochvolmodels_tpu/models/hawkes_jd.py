@@ -396,24 +396,44 @@ def hawkesjd_mc_chain_pricer(ttms: np.ndarray,
                              seed=None,
                              **kwargs
                              ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """chain MC with state carried across maturities (hawkes_jd_pricer.py:647-714)."""
+    """chain MC with state carried across maturities (hawkes_jd_pricer.py:647-714).
+
+    ``engine='pallas'`` (kwargs) runs each slice through the on-chip-PRNG
+    thinning kernel (float32); 'scan' (default) keeps the f64 path."""
+    engine = kwargs.get("engine", "scan")
     key = key_from_seed(seed)
-    x = jnp.zeros(nb_path)
-    lam_p = jnp.full(nb_path, lambda_p)
-    lam_m = jnp.full(nb_path, lambda_m)
+    sim_params = dict(mu=mu, sigma=sigma, shift_p=shift_p, mean_p=mean_p,
+                      shift_m=shift_m, mean_m=mean_m, theta_p=theta_p,
+                      kappa_p=kappa_p, beta1_p=beta1_p, beta2_p=beta2_p,
+                      theta_m=theta_m, kappa_m=kappa_m, beta1_m=beta1_m,
+                      beta2_m=beta2_m)
+    if engine == "pallas":
+        from stochvolmodels_tpu.ops.pallas_mc import (
+            LANES, simulate_hawkesjd_terminal_pallas)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        nb_real = nb_path
+        nb_path = ((nb_path + LANES - 1) // LANES) * LANES
+        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+    x = jnp.zeros(nb_path, dtype=jnp.float32 if engine == "pallas" else None)
+    lam_p = jnp.full(nb_path, lambda_p, dtype=x.dtype)
+    lam_m = jnp.full(nb_path, lambda_m, dtype=x.dtype)
     ttm0 = 0.0
     option_prices_ttm, option_std_ttm = [], []
     for i, ttm in enumerate(ttms):
-        slice_key = jax.random.fold_in(key, i)
-        x, lam_p, lam_m = simulate_hawkesjd_terminal(
-            key=slice_key, ttm=float(ttm - ttm0), x0=x, lambda_p0=lam_p,
-            lambda_m0=lam_m, mu=mu, sigma=sigma, shift_p=shift_p,
-            mean_p=mean_p, shift_m=shift_m, mean_m=mean_m, theta_p=theta_p,
-            kappa_p=kappa_p, beta1_p=beta1_p, beta2_p=beta2_p, theta_m=theta_m,
-            kappa_m=kappa_m, beta1_m=beta1_m, beta2_m=beta2_m)
+        if engine == "pallas":
+            x, lam_p, lam_m = simulate_hawkesjd_terminal_pallas(
+                seed=base_seed + 7919 * i, ttm=float(ttm - ttm0), x0=x,
+                lambda_p0=lam_p, lambda_m0=lam_m, interpret=on_cpu,
+                **sim_params)
+        else:
+            slice_key = jax.random.fold_in(key, i)
+            x, lam_p, lam_m = simulate_hawkesjd_terminal(
+                key=slice_key, ttm=float(ttm - ttm0), x0=x, lambda_p0=lam_p,
+                lambda_m0=lam_m, **sim_params)
         ttm0 = float(ttm)
+        xp = x[:nb_real] if engine == "pallas" else x
         prices, stds = compute_mc_vars_payoff(
-            x0=x, sigma0=x, qvar0=x, ttm=ttm, forward=forwards[i],
+            x0=xp, sigma0=xp, qvar0=xp, ttm=ttm, forward=forwards[i],
             strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
             variable_type=variable_type)
@@ -457,6 +477,7 @@ class HawkesJDPricer(ModelPricer):
                                         strikes_ttms=option_chain.strikes_ttms,
                                         optiontypes_ttms=option_chain.optiontypes_ttms,
                                         nb_path=nb_path, seed=seed,
+                                        engine=kwargs.get('engine', 'scan'),
                                         **params.to_dict())
 
     def compute_chain_prices_with_vols(self, option_chain: OptionChain,

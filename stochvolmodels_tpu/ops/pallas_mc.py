@@ -573,3 +573,156 @@ def simulate_rough_terminal_pallas(seed: int,
         nb_steps=nb_steps, dt=float(dt), n_nodes=n, nb_path=nb_path,
         interpret=interpret)
     return x.reshape(-1), vw.reshape(-1), y.reshape(-1)
+
+
+# ----------------------------------------------------------------------------
+# Hawkes jump-diffusion (intensity thinning)
+# ----------------------------------------------------------------------------
+
+def _random_u32(shape, *, interpret: bool, seed, salt, stream: int):
+    if interpret:
+        return _counter_bits(shape, seed, salt, stream)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+def _hawkes_kernel(seed_ref, params_ref, x0_ref, lp0_ref, lm0_ref,
+                   x_ref, lp_ref, lm_ref, *,
+                   nb_steps: int, dt: float, interpret: bool = False):
+    """Euler + intensity-thinning loop for the two-sided Hawkes JD model
+    (models/hawkes_jd.py simulate_hawkesjd_terminal, reference
+    hawkes_jd_pricer.py:718-779), one (BLOCK_ROWS, LANES) path block.
+
+    A jump fires when lambda > -ln(U)/dt; jump sizes are shifted
+    exponentials.  All draws come from the on-chip PRNG; the exponentials
+    use the same ALU-polynomial ln as the Box-Muller normals, so the whole
+    step is special-function-unit free except two sqrt.
+
+    params (SMEM): [mu, sigma, shift_p, mean_p, shift_m, mean_m,
+    theta_p, kappa_p, beta1_p, beta2_p, theta_m, kappa_m, beta1_m, beta2_m,
+    compensator_p_dt, compensator_m_dt] (compensators precomputed outside —
+    they need scalar exp, cheaper in the surrounding XLA program)."""
+    seed = seed_ref[0] + jnp.int32(pl.program_id(0))
+    if not interpret:
+        pltpu.prng_seed(seed)
+    (mu, sigma, shift_p, mean_p, shift_m, mean_m, theta_p, kappa_p,
+     beta1_p, beta2_p, theta_m, kappa_m, beta1_m, beta2_m,
+     comp_p_dt, comp_m_dt) = [params_ref[i] for i in range(16)]
+    sdt = np.float32(np.sqrt(dt))
+    dtf = np.float32(dt)
+    inv_dt = np.float32(1.0 / dt)
+    drift_dt = (mu - 0.5 * sigma * sigma) * dtf
+
+    def body(salt, carry):
+        x, lam_p, lam_m = carry
+        shape = x.shape
+        # one standard normal: radius x cos, the sin coordinate is unused
+        u1 = _uniform_from_bits(_random_u32(shape, interpret=interpret,
+                                            seed=seed, salt=salt, stream=0))
+        u2 = _uniform_from_bits(_random_u32(shape, interpret=interpret,
+                                            seed=seed, salt=salt, stream=1))
+        z = jnp.sqrt(jnp.maximum(-2.0 * _poly_log(u1), 0.0)) * _poly_cospi(u2)
+        e_up = -_poly_log(_uniform_from_bits(_random_u32(
+            shape, interpret=interpret, seed=seed, salt=salt, stream=2)))
+        e_um = -_poly_log(_uniform_from_bits(_random_u32(
+            shape, interpret=interpret, seed=seed, salt=salt, stream=3)))
+        e_jp = -_poly_log(_uniform_from_bits(_random_u32(
+            shape, interpret=interpret, seed=seed, salt=salt, stream=4)))
+        e_jm = -_poly_log(_uniform_from_bits(_random_u32(
+            shape, interpret=interpret, seed=seed, salt=salt, stream=5)))
+
+        j_p = shift_p + e_jp * mean_p
+        j_m = shift_m - e_jm * (-mean_m)
+        diffusion = drift_dt - comp_p_dt * lam_p - comp_m_dt * lam_m \
+            + sigma * (z * sdt)
+        jump_p = jnp.where(lam_p > e_up * inv_dt, j_p, 0.0)
+        jump_m = jnp.where(lam_m > e_um * inv_dt, j_m, 0.0)
+        x = x + diffusion + jump_p + jump_m
+        load_p = beta1_p * jump_p + beta2_p * jump_m
+        load_m = beta1_m * jump_p + beta2_m * jump_m
+        lam_p = lam_p + kappa_p * (theta_p - lam_p) * dtf + load_p
+        lam_m = lam_m + kappa_m * (theta_m - lam_m) * dtf + load_m
+        return x, lam_p, lam_m
+
+    def body2(i, carry):
+        return body(2 * i + 1, body(2 * i, carry))
+
+    carry = (x0_ref[:], lp0_ref[:], lm0_ref[:])
+    carry = jax.lax.fori_loop(0, nb_steps // 2, body2, carry)
+    if nb_steps % 2:
+        carry = body(nb_steps - 1, carry)
+    x_ref[:] = carry[0]
+    lp_ref[:] = carry[1]
+    lm_ref[:] = carry[2]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb_steps", "dt", "nb_path", "interpret"))
+def _run_hawkes_kernel(seed, params, x0, lp0, lm0, nb_steps, dt, nb_path,
+                       interpret=False):
+    with jax.enable_x64(False):
+        rows = nb_path // LANES
+        grid = pl.cdiv(rows, BLOCK_ROWS)
+        kernel = functools.partial(_hawkes_kernel, nb_steps=nb_steps, dt=dt,
+                                   interpret=interpret)
+        shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+        state_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM),
+                      state_spec, state_spec, state_spec],
+            out_specs=(state_spec, state_spec, state_spec),
+            out_shape=(shape, shape, shape),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=10 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=90 * nb_steps * nb_path,
+                bytes_accessed=6 * nb_path * 4,
+                transcendentals=2 * nb_steps * nb_path),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seed, params, x0, lp0, lm0)
+
+
+def simulate_hawkesjd_terminal_pallas(seed: int,
+                                      ttm: float,
+                                      x0: Array,
+                                      lambda_p0: Array,
+                                      lambda_m0: Array,
+                                      mu: float,
+                                      sigma: float,
+                                      shift_p: float,
+                                      mean_p: float,
+                                      shift_m: float,
+                                      mean_m: float,
+                                      theta_p: float,
+                                      kappa_p: float,
+                                      beta1_p: float,
+                                      beta2_p: float,
+                                      theta_m: float,
+                                      kappa_m: float,
+                                      beta1_m: float,
+                                      beta2_m: float,
+                                      nb_steps_per_year: int = 1800,
+                                      interpret: bool = False
+                                      ) -> Tuple[Array, Array, Array]:
+    """terminal (x, lambda_p, lambda_m) under the Hawkes JD model by the
+    on-chip-PRNG Pallas kernel (float32); same thinning scheme as
+    models/hawkes_jd.py simulate_hawkesjd_terminal."""
+    nb_path = x0.shape[0]
+    assert nb_path % LANES == 0, f"nb_path must be a multiple of {LANES}"
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    comp_p_dt = float(dt) * (np.exp(shift_p) / (1.0 - mean_p) - 1.0)
+    comp_m_dt = float(dt) * (np.exp(shift_m) / (1.0 - mean_m) - 1.0)
+    params = jnp.asarray([mu, sigma, shift_p, mean_p, shift_m, mean_m,
+                          theta_p, kappa_p, beta1_p, beta2_p,
+                          theta_m, kappa_m, beta1_m, beta2_m,
+                          comp_p_dt, comp_m_dt], dtype=jnp.float32)
+    rows = nb_path // LANES
+    to_block = lambda a: jnp.asarray(a, dtype=jnp.float32).reshape(rows, LANES)
+    x, lp, lm = _run_hawkes_kernel(
+        jnp.asarray([seed], dtype=jnp.int32), params,
+        to_block(x0), to_block(lambda_p0), to_block(lambda_m0),
+        nb_steps=nb_steps, dt=float(dt), nb_path=nb_path, interpret=interpret)
+    return x.reshape(-1), lp.reshape(-1), lm.reshape(-1)

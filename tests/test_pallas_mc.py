@@ -144,6 +144,7 @@ def test_rough_pallas_moments_match_scan():
     _check_rough(*_rough_moments(interpret=False, nb_path=1 << 17), tol=0.02)
 
 
+@pytest.mark.slow
 def test_logsv_chain_pricer_pallas_engine_matches_scan():
     """engine='pallas' chain MC prices agree with the f64 scan engine within
     MC noise (different RNG streams; 2^15 paths -> ~1% of forward)."""
@@ -165,6 +166,7 @@ def test_logsv_chain_pricer_pallas_engine_matches_scan():
         assert np.all(np.abs(np.asarray(ps) - np.asarray(pp)) < tol)
 
 
+@pytest.mark.slow
 def test_rough_chain_pricer_pallas_engine_matches_scan():
     from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
     from stochvolmodels_tpu.models.logsv.params import LogSvParams
@@ -189,6 +191,7 @@ def test_rough_chain_pricer_pallas_engine_matches_scan():
         assert np.all(np.abs(np.asarray(ps) - np.asarray(pp)) < tol)
 
 
+@pytest.mark.slow
 def test_heston_chain_pricer_pallas_engine_matches_scan():
     from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
     from stochvolmodels_tpu.models.heston import HestonParams, HestonPricer
@@ -207,3 +210,47 @@ def test_heston_chain_pricer_pallas_engine_matches_scan():
     for ps, pp, sp in zip(p_scan, p_pallas, s_pallas):
         tol = 4.0 * np.sqrt(2.0) * np.asarray(sp) + 5e-3
         assert np.all(np.abs(np.asarray(ps) - np.asarray(pp)) < tol)
+
+
+HAWKES_ARGS = dict(mu=0.0, sigma=0.5, shift_p=0.05, mean_p=0.1,
+                   shift_m=-0.05, mean_m=-0.1, theta_p=1.0, kappa_p=3.0,
+                   beta1_p=0.6, beta2_p=0.4, theta_m=1.0, kappa_m=3.0,
+                   beta1_m=0.4, beta2_m=0.6)
+
+
+def _hawkes_moments(interpret: bool, nb_path: int = NB_PATH, ttm: float = 0.5):
+    from stochvolmodels_tpu.models.hawkes_jd import simulate_hawkesjd_terminal
+    from stochvolmodels_tpu.ops.pallas_mc import (
+        simulate_hawkesjd_terminal_pallas)
+
+    lam0 = 1.0
+    xp, lpp, lmp = simulate_hawkesjd_terminal_pallas(
+        seed=5, ttm=ttm, x0=jnp.zeros(nb_path),
+        lambda_p0=jnp.full(nb_path, lam0), lambda_m0=jnp.full(nb_path, lam0),
+        nb_steps_per_year=720, interpret=interpret, **HAWKES_ARGS)
+    xs, lps, lms = simulate_hawkesjd_terminal(
+        key=jax.random.key(5), ttm=ttm, x0=jnp.zeros(nb_path),
+        lambda_p0=jnp.full(nb_path, lam0), lambda_m0=jnp.full(nb_path, lam0),
+        nb_steps_per_year=720, **HAWKES_ARGS)
+    return (xp, lpp, lmp), (xs, lps, lms)
+
+
+def _check_hawkes(pallas_out, scan_out, tol):
+    (xp, lpp, lmp), (xs, lps, lms) = pallas_out, scan_out
+    assert np.all(np.isfinite(np.asarray(xp)))
+    assert abs(float(jnp.mean(xp)) - float(jnp.mean(xs))) < tol
+    assert abs(float(jnp.std(xp)) - float(jnp.std(xs))) < 2.0 * tol
+    assert abs(float(jnp.mean(lpp)) - float(jnp.mean(lps))) < 3.0 * tol
+    assert abs(float(jnp.mean(lmp)) - float(jnp.mean(lms))) < 3.0 * tol
+    # the compensator makes exp(x) a martingale under the spot measure
+    assert abs(float(jnp.mean(jnp.exp(xp))) - 1.0) < 4.0 * tol
+
+
+def test_hawkes_pallas_interpret_moments_match_scan():
+    _check_hawkes(*_hawkes_moments(interpret=True), tol=0.03)
+
+
+@requires_tpu
+def test_hawkes_pallas_moments_match_scan():
+    _check_hawkes(*_hawkes_moments(interpret=False, nb_path=1 << 17),
+                  tol=0.02)

@@ -120,3 +120,32 @@ def test_lm_calibration_sweep_matches_single():
          single_fit.beta, single_fit.volvol], rtol=1e-6)
     # vol-scaled chains fit to scaled sigma0
     assert results[0][0].sigma0 < results[1][0].sigma0
+
+
+def test_sharded_pallas_mc_moments():
+    """the Pallas MC kernel under shard_map on the 8-device mesh: outputs
+    carry the path sharding and the moments match the single-device kernel
+    (distinct per-device streams, so agreement is statistical)."""
+    from stochvolmodels_tpu.models.logsv.pricer import LOGSV_BTC_PARAMS as PP
+    from stochvolmodels_tpu.ops.pallas_mc import simulate_logsv_terminal_pallas
+    from stochvolmodels_tpu.parallel.mesh import (
+        simulate_logsv_terminal_pallas_sharded)
+
+    mesh = make_path_mesh()
+    nb_path = 8 * 128 * 16
+    args = dict(ttm=0.5, sigma0=PP.sigma0, theta=PP.theta, kappa1=PP.kappa1,
+                kappa2=PP.kappa2, beta=PP.beta, volvol=PP.volvol,
+                nb_steps_per_year=120)
+    x, sig, qvar = simulate_logsv_terminal_pallas_sharded(
+        mesh, seed=3, nb_path=nb_path, **args)
+    assert x.shape == (nb_path,)
+    assert len(x.sharding.device_set) == mesh.devices.size
+    xs, ss, qs = simulate_logsv_terminal_pallas(
+        seed=3, x0=jnp.zeros(nb_path, jnp.float32),
+        sigma0=jnp.full(nb_path, PP.sigma0, jnp.float32),
+        qvar0=jnp.zeros(nb_path, jnp.float32), interpret=True,
+        **{k: v for k, v in args.items() if k != 'sigma0'})
+    assert np.all(np.isfinite(np.asarray(x)))
+    assert abs(float(jnp.mean(x)) - float(jnp.mean(xs))) < 0.03
+    assert abs(float(jnp.mean(sig)) - float(jnp.mean(ss))) < 0.03
+    assert abs(float(jnp.mean(qvar)) - float(jnp.mean(qs))) < 0.03
