@@ -274,14 +274,57 @@ class HestonPricer(ModelPricer):
     def price_chain(self, option_chain: OptionChain, params: HestonParams,
                     variable_type: VariableType = VariableType.LOG_RETURN,
                     vol_scaler: Optional[float] = None,
+                    precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
+        """``precision='fast'`` traces the closed-form MGF quadrature in
+        float32 (no ODE here, so no step-count trade-off — ~1e-4 relative
+        accuracy from the f32 quadrature alone); 'exact' (default) is the
+        f64 reference-parity path."""
         grid = option_chain.to_grid()
-        prices = _heston_chain_price_grid_jit(
-            grid, params.v0, params.theta, params.kappa, params.volvol,
-            params.rho,
-            jnp.minimum(0.3, jnp.sqrt(params.v0 * grid.ttms[0])) if vol_scaler is None else vol_scaler,
-            variable_type)
+        if vol_scaler is None:
+            vol_scaler = float(np.minimum(0.3, np.sqrt(params.v0 * float(grid.ttms[0]))))
+        if precision == "fast":
+            from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
+            grid = _grid_to_f32(grid)
+            with jax.enable_x64(False):
+                prices = _heston_chain_price_grid_jit(
+                    grid, np.float32(params.v0), np.float32(params.theta),
+                    np.float32(params.kappa), np.float32(params.volvol),
+                    np.float32(params.rho), np.float32(vol_scaler),
+                    variable_type)
+        elif precision == "exact":
+            prices = _heston_chain_price_grid_jit(
+                grid, params.v0, params.theta, params.kappa, params.volvol,
+                params.rho, vol_scaler, variable_type)
+        else:
+            raise NotImplementedError(f"precision={precision}")
         return option_chain.unpad_panel(prices)
+
+    def compute_model_ivols_for_chain(self, option_chain: OptionChain,
+                                      params: HestonParams,
+                                      precision: str = "exact",
+                                      **kwargs) -> List[np.ndarray]:
+        """``precision='fast'`` fuses the f32 chain reprice and the
+        bisect+Newton BSM inversion into ONE device program (single
+        dispatch + host fetch — the latency-optimal form on a remote
+        TPU); 'exact' keeps the generic price-then-invert path."""
+        if precision != "fast":
+            return super().compute_model_ivols_for_chain(
+                option_chain=option_chain, params=params,
+                precision=precision, **kwargs)
+        variable_type = kwargs.pop("variable_type", VariableType.LOG_RETURN)
+        vol_scaler = kwargs.pop("vol_scaler", None)
+        from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
+        grid = option_chain.to_grid()
+        if vol_scaler is None:
+            vol_scaler = float(np.minimum(0.3, np.sqrt(params.v0 * float(grid.ttms[0]))))
+        grid = _grid_to_f32(grid)
+        with jax.enable_x64(False):
+            vols = _heston_chain_ivols_grid_jit(
+                grid, np.float32(params.v0), np.float32(params.theta),
+                np.float32(params.kappa), np.float32(params.volvol),
+                np.float32(params.rho), np.float32(vol_scaler), variable_type)
+        return option_chain.unpad_panel(vols)
 
     def model_mc_price_chain(self, option_chain: OptionChain, params: HestonParams,
                              nb_path: int = 100000,
@@ -464,6 +507,22 @@ def _heston_chain_price_grid_jit(grid, v0, theta, kappa, volvol, rho,
     return heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
                                    volvol=volvol, rho=rho, vol_scaler=vol_scaler,
                                    variable_type=variable_type)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _heston_chain_ivols_grid_jit(grid, v0, theta, kappa, volvol, rho,
+                                 vol_scaler, variable_type):
+    """fused chain reprice + BSM implied-vol inversion, one device program
+    (the short bisect+Newton solver, ops/bsm.py infer_bsm_implied_vol_fast)."""
+    prices = heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
+                                     volvol=volvol, rho=rho,
+                                     vol_scaler=vol_scaler,
+                                     variable_type=variable_type)
+    vols = bsm.infer_bsm_implied_vol_fast(
+        forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+        strike=grid.strikes, given_price=prices,
+        discfactor=grid.discfactors[:, None], optiontype=grid.optioncodes)
+    return grid.masked(vols)
 
 
 def v0_implied(v0: float, volvol: float, ttm: float) -> float:

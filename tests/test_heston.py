@@ -168,3 +168,34 @@ class TestOnDeviceCalibration:
         with pytest.raises(ValueError):
             pricer.calibrate_model_params_to_chain(
                 option_chain=chain, params0=None, method='nope')
+
+
+class TestFastPrecision:
+    def test_fast_mode_matches_exact(self, chain):
+        """precision='fast' (f32 closed-form MGF quadrature) agrees with the
+        exact f64 pricer to ~1e-4 relative."""
+        pricer = HestonPricer()
+        exact = pricer.price_chain(option_chain=chain, params=PARAMS)
+        fast = pricer.price_chain(option_chain=chain, params=PARAMS,
+                                  precision="fast")
+        for f, e in zip(fast, exact):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                       rtol=5e-4, atol=1e-5)
+
+    def test_fast_fused_ivols_match_exact(self, chain):
+        pricer = HestonPricer()
+        exact = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                     params=PARAMS)
+        fast = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                    params=PARAMS,
+                                                    precision="fast")
+        for f, e in zip(fast, exact):
+            f, e = np.asarray(f), np.asarray(e)
+            assert np.isnan(f).sum() == np.isnan(e).sum()
+            np.testing.assert_allclose(f, e, rtol=5e-3, atol=2e-3)
+
+    def test_unknown_precision_raises(self, chain):
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            HestonPricer().price_chain(option_chain=chain, params=PARAMS,
+                                       precision="bogus")
