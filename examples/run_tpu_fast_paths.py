@@ -18,6 +18,11 @@ and each fast path is an opt-in kwarg:
 
 On CPU the Pallas engines run under the Mosaic interpreter (slow but
 exact-structure); this demo uses small path counts so it runs anywhere.
+NOTE: on a box where a remote TPU backend is primary, the first run
+compiles ~10 device programs (can take minutes through a tunnel; warm
+reruns are cached).  To force the CPU interpreter instead, run
+``jax.config.update("jax_platforms", "cpu")`` before importing this module
+(the pytest conftest does this for CI).
 """
 import numpy as np
 

@@ -21,42 +21,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 import stochvolmodels_tpu  # noqa: F401
+from stochvolmodels_tpu.ops.pallas_mc import (  # production helpers — the
+    _poly_cospi,  # ablation must measure the SAME polynomials the kernels use
+    _poly_log,
+    _uniform_from_bits as _uniform,
+)
 
 LANES = 128
 BLOCK_ROWS = 256
 TWO_PI = 6.2831853071795864
-
-
-def _uniform(bits):
-    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
-    return jnp.maximum(f - 1.0, 1.1754944e-38)
-
-
-# near-minimax coefficients for ln(1+f)/f on f in [0,1): Chebyshev-node
-# least-squares fit, |abs err of ln| < ~2e-6 — far below MC resolution
-_x = 0.5 - 0.5 * np.cos((2 * np.arange(1, 201) - 1) * np.pi / 400)
-_LOG_C = np.polyfit(_x, np.log1p(_x) / _x, 6).astype(np.float32)
-
-
-def _poly_log(u):
-    """ln(u) for u in (0,1): exponent extraction + ln(1+f) poly (no SFU)."""
-    bits = pltpu.bitcast(u, jnp.int32)
-    e = (bits >> 23) - 127                      # unbiased exponent, int32
-    f = pltpu.bitcast((bits & jnp.int32(0x007FFFFF)) | jnp.int32(0x3F800000),
-                      jnp.float32) - 1.0        # mantissa fraction in [0,1)
-    p = jnp.full_like(f, _LOG_C[0])
-    for c in _LOG_C[1:]:
-        p = p * f + c
-    return e.astype(jnp.float32) * np.float32(0.6931471805599453) + f * p
-
-
-def _poly_cospi(u):
-    """cos(pi*u) for u in [0,1) via sin minimax: cos(pi u) = -sin(pi(u-1/2))."""
-    x = (2.0 * u - 1.0) * np.float32(np.pi / 2.0)   # [-pi/2, pi/2)
-    x2 = x * x
-    s = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (np.float32(0.008332824)
-             + x2 * (np.float32(-0.00019810997) + x2 * np.float32(2.7525562e-06)))))
-    return -s
 
 
 def _poly_exp_small(x):
@@ -81,6 +54,20 @@ def _normals(shape, variant):
                          jnp.float32(-1.0))
         s = sign * jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
         return r * c, r * s
+    if variant == "poly-bm2":
+        # second coordinate by an even cos minimax instead of sqrt(1-c^2)
+        r = jnp.sqrt(-2.0 * _poly_log(u1))
+        x = (2.0 * u2 - 1.0) * np.float32(np.pi / 2.0)
+        x2 = x * x
+        sp = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (
+            np.float32(0.008332824) + x2 * (np.float32(-0.00019810997)
+                                            + x2 * np.float32(2.7525562e-06)))))
+        cp = 0.99999999 + x2 * (np.float32(-0.49999997) + x2 * (
+            np.float32(0.041666418) + x2 * (np.float32(-0.0013888397)
+                                            + x2 * np.float32(0.0000247609))))
+        sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0),
+                         jnp.float32(-1.0))
+        return r * (-sp), r * (sign * cp)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     if variant == "full-sincos":
         t = TWO_PI * u2
@@ -172,16 +159,21 @@ def _run(seed, nb_steps, variant, nb_path, block_rows=BLOCK_ROWS, unroll=2):
 
 
 def main():
+    assert jax.devices()[0].platform != "cpu", (
+        "variant ablation must run on the real TPU (the kernels here use "
+        "raw Mosaic lowering, no interpret fallback)")
     nb_path = 1 << 20
     nb_steps = 360
-    cfgs = [("poly-bm", 8, 2), ("poly-bm", 16, 2), ("poly-bm", 32, 2),
-            ("poly-bm", 64, 2), ("alu-floor", 16, 2), ("poly-bm", 256, 2)]
+    cfgs = [("poly-bm", 256, 2), ("poly-bm2", 256, 2), ("poly-bm", 256, 2),
+            ("poly-bm2", 256, 2), ("alu-floor", 256, 2)]
     for variant, block_rows, unroll in cfgs:
         def run(seed):
             out = _run(jnp.asarray([seed], dtype=jnp.int32), nb_steps,
                        variant, nb_path, block_rows=block_rows, unroll=unroll)
             return float(jnp.sum(out))
-        run(0)
+        sanity = run(0) / nb_path   # mean of x+sigma+qvar per path: a
+        # distribution-level check so a variant that is fast because it
+        # produces garbage cannot silently win the ablation
         best = float("inf")
         for r in range(7):
             t0 = time.perf_counter()
@@ -189,7 +181,8 @@ def main():
             best = min(best, time.perf_counter() - t0)
         rate = nb_path * nb_steps / best
         print(f"{variant:12s} rows={block_rows:3d} unroll={unroll}  "
-              f"{rate:.3e} path-steps/s   best {best*1e3:.1f} ms")
+              f"{rate:.3e} path-steps/s   best {best*1e3:.1f} ms   "
+              f"sanity mean(x+sig+qvar)={sanity:.4f}")
 
 
 if __name__ == "__main__":

@@ -401,6 +401,8 @@ def hawkesjd_mc_chain_pricer(ttms: np.ndarray,
     ``engine='pallas'`` (kwargs) runs each slice through the on-chip-PRNG
     thinning kernel (float32); 'scan' (default) keeps the f64 path."""
     engine = kwargs.get("engine", "scan")
+    if engine not in ("scan", "pallas"):
+        raise NotImplementedError(f"engine={engine}")
     key = key_from_seed(seed)
     sim_params = dict(mu=mu, sigma=sigma, shift_p=shift_p, mean_p=mean_p,
                       shift_m=shift_m, mean_m=mean_m, theta_p=theta_p,
@@ -409,11 +411,9 @@ def hawkesjd_mc_chain_pricer(ttms: np.ndarray,
                       beta2_m=beta2_m)
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
-            LANES, simulate_hawkesjd_terminal_pallas)
-        on_cpu = jax.devices()[0].platform == "cpu"
+            pallas_engine_setup, simulate_hawkesjd_terminal_pallas)
         nb_real = nb_path
-        nb_path = ((nb_path + LANES - 1) // LANES) * LANES
-        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+        nb_path, base_seed, on_cpu = pallas_engine_setup(seed, nb_path)
     x = jnp.zeros(nb_path, dtype=jnp.float32 if engine == "pallas" else None)
     lam_p = jnp.full(nb_path, lambda_p, dtype=x.dtype)
     lam_m = jnp.full(nb_path, lambda_m, dtype=x.dtype)

@@ -216,13 +216,13 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
 
     ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
     kernel (float32); 'scan' (default) keeps the reference-parity f64 path."""
+    if engine not in ("scan", "pallas"):
+        raise NotImplementedError(f"engine={engine}")
     key = key_from_seed(seed)
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
-            LANES, simulate_heston_terminal_pallas)
-        on_cpu = jax.devices()[0].platform == "cpu"
-        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
-        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+            pallas_engine_setup, simulate_heston_terminal_pallas)
+        nb_pad, base_seed, on_cpu = pallas_engine_setup(seed, nb_path)
         x = jnp.zeros(nb_pad, dtype=jnp.float32)
         var = jnp.full(nb_pad, v0, dtype=jnp.float32)
         qvar = jnp.zeros(nb_pad, dtype=jnp.float32)

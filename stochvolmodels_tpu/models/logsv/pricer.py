@@ -261,12 +261,12 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
     rounding; 'scan' (default) keeps the reference-parity f64 path."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
+    if engine not in ("scan", "pallas"):
+        raise NotImplementedError(f"engine={engine}")
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
-            LANES, simulate_logsv_terminal_pallas)
-        on_cpu = jax.devices()[0].platform == "cpu"
-        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
-        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+            pallas_engine_setup, simulate_logsv_terminal_pallas)
+        nb_pad, base_seed, on_cpu = pallas_engine_setup(seed, nb_path)
         x = jnp.zeros(nb_pad, dtype=jnp.float32)
         sigma = jnp.full(nb_pad, v0, dtype=jnp.float32)
         qvar = jnp.zeros(nb_pad, dtype=jnp.float32)

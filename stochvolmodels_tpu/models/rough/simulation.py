@@ -287,15 +287,15 @@ def rough_logsv_mc_chain_pricer(ttms: np.ndarray,
     kernel (float32, ~4.5e9 path-steps/s on a v5e chip); restarting every
     slice with the same seed preserves the shared-stream contract.  'scan'
     (default) keeps the reference-parity f64 path."""
+    if engine not in ("scan", "pallas"):
+        raise NotImplementedError(f"engine={engine}")
     vartheta = float(np.sqrt(beta ** 2 + volvol ** 2))
     rho = float(beta / vartheta)
     key = key_from_seed(seed)
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
-            LANES, simulate_rough_terminal_pallas)
-        on_cpu = jax.devices()[0].platform == "cpu"
-        nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
-        base_seed = int(seed) if isinstance(seed, (int, float)) else 24
+            pallas_engine_setup, simulate_rough_terminal_pallas)
+        nb_pad, base_seed, on_cpu = pallas_engine_setup(seed, nb_path)
     option_prices_ttm, option_std_ttm = [], []
     for ttm, forward, discfactor, strikes, types in zip(ttms, forwards,
                                                         discfactors,

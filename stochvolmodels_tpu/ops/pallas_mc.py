@@ -726,3 +726,26 @@ def simulate_hawkesjd_terminal_pallas(seed: int,
         to_block(x0), to_block(lambda_p0), to_block(lambda_m0),
         nb_steps=nb_steps, dt=float(dt), nb_path=nb_path, interpret=interpret)
     return x.reshape(-1), lp.reshape(-1), lm.reshape(-1)
+
+
+def pallas_engine_setup(seed, nb_path: int,
+                        default_seed: int = 24) -> Tuple[int, int, bool]:
+    """shared preamble for the engine='pallas' chain pricers.
+
+    Returns (padded path count, integer base seed, interpret?).  Seeds must
+    be Python/numpy integers (or None -> the reference default 24): threefry
+    keys parameterize the scan engine only, and silently coercing them
+    would make different keys produce identical streams."""
+    if seed is None:
+        base_seed = default_seed
+    elif isinstance(seed, (int, np.integer)):
+        base_seed = int(seed)
+    elif isinstance(seed, float) and float(seed).is_integer():
+        base_seed = int(seed)
+    else:
+        raise TypeError(
+            f"engine='pallas' needs an integer seed (got {type(seed).__name__}); "
+            "jax PRNG keys drive the scan engine only")
+    nb_pad = ((nb_path + LANES - 1) // LANES) * LANES
+    interpret = jax.devices()[0].platform == "cpu"
+    return nb_pad, base_seed, interpret

@@ -85,7 +85,9 @@ def simulate_logsv_terminal_pallas_sharded(mesh: Mesh,
     devices = list(mesh.devices.flat)
     n_dev = len(devices)
     if interpret is None:
-        interpret = jax.devices()[0].platform == "cpu"
+        # probe the MESH's devices, not the default backend: dryrun builds a
+        # CPU-device mesh even when the TPU backend is primary
+        interpret = devices[0].platform == "cpu"
     assert nb_path % (n_dev * LANES) == 0, \
         f"nb_path must be a multiple of mesh size * {LANES}"
     local = nb_path // n_dev

@@ -84,28 +84,34 @@ def test_heston_pallas_moments():
 
 
 def test_poly_log_and_cospi_accuracy():
-    """the ALU-polynomial ln and cos(pi x) used by the poly Box-Muller match
-    the libm values to the documented bounds (pallas_mc._poly_log/_poly_cospi
-    claim 2e-6 / 6e-6 max abs err)."""
-    from stochvolmodels_tpu.ops.pallas_mc import _LOG_C
+    """the PRODUCTION ALU-polynomial ln and cos(pi x) used by the poly
+    Box-Muller match libm to the documented bounds (2e-6 / 6e-6 max abs
+    err).  Runs pallas_mc._poly_log/_poly_cospi themselves inside an
+    interpret-mode kernel, so a coefficient change in the module cannot
+    pass this test stale."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    u = np.linspace(0.0, 1.0, 1_000_001)[1:-1].astype(np.float32)
-    bits = u.view(np.int32)
-    e = (bits >> 23) - 127
-    f = ((bits & 0x007FFFFF) | 0x3F800000).view(np.float32) - 1.0
-    p = np.full_like(f, _LOG_C[0])
-    for c in _LOG_C[1:]:
-        p = p * f + c
-    lnu = e.astype(np.float32) * np.float32(0.6931471805599453) + f * p
-    assert np.max(np.abs(lnu - np.log(u.astype(np.float64)))) < 2.5e-6
+    from stochvolmodels_tpu.ops import pallas_mc
 
-    v = np.linspace(0.0, 1.0, 1_000_001)[:-1].astype(np.float32)
-    x = (2.0 * v - 1.0) * np.float32(np.pi / 2.0)
-    x2 = x * x
-    s = x * (1.0 + x2 * (np.float32(-0.16666658) + x2 * (
-        np.float32(0.008332824) + x2 * (np.float32(-0.00019810997)
-                                        + x2 * np.float32(2.7525562e-06)))))
-    assert np.max(np.abs(-s - np.cos(np.pi * v.astype(np.float64)))) < 1e-5
+    def kernel(u_ref, ln_ref, cos_ref):
+        ln_ref[:] = pallas_mc._poly_log(u_ref[:])
+        cos_ref[:] = pallas_mc._poly_cospi(u_ref[:])
+
+    n = 512 * 128
+    u = np.linspace(0.0, 1.0, n + 2)[1:-1].astype(np.float32)
+    u2 = u.reshape(512, 128)
+    with jax.enable_x64(False):
+        ln, cs = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct(u2.shape, jnp.float32),
+                       jax.ShapeDtypeStruct(u2.shape, jnp.float32)),
+            interpret=pltpu.InterpretParams(),
+        )(jnp.asarray(u2))
+    ln = np.asarray(ln).ravel()
+    cs = np.asarray(cs).ravel()
+    assert np.max(np.abs(ln - np.log(u.astype(np.float64)))) < 2.5e-6
+    assert np.max(np.abs(cs - np.cos(np.pi * u.astype(np.float64)))) < 1e-5
 
 
 def _rough_moments(interpret: bool, nb_path: int = NB_PATH, ttm: float = 0.5):
