@@ -473,3 +473,30 @@ class TestFastPrecision:
             f, e = np.asarray(f), np.asarray(e)
             assert np.isnan(f).sum() == np.isnan(e).sum()
             np.testing.assert_allclose(f, e, rtol=5e-3, atol=2e-3)
+
+
+class TestLmStressStability:
+    @pytest.mark.slow
+    def test_lm_from_low_kappa_start_stays_stable(self, chain):
+        """regression for the f32@180 RK4 divergence: starting LM at the
+        kappa1~2.2 params that used to blow up the fast pricer (the NaN
+        residual masking then made diverged params look optimal), the
+        360-steps/yr fast path must converge to a sane fit."""
+        from stochvolmodels_tpu.models.logsv.fast_calibration import (
+            calibrate_logsv_lm_on_device)
+
+        params0 = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21,
+                              kappa2=2.18, beta=0.15, volvol=1.85)
+        fit, cost = calibrate_logsv_lm_on_device(chain, params0, nb_iters=8)
+        cost = float(cost)
+        assert np.isfinite(cost) and cost < 0.01, f"LM cost {cost}"
+        assert 0.3 < fit.sigma0 < 1.5 and 0.5 < fit.theta < 2.0
+        # the fitted surface must actually reprice close to market
+        pricer = LogSVPricer()
+        vols = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                    params=fit,
+                                                    precision="fast")
+        mids = chain.get_mid_vols()
+        errs = np.concatenate([np.abs(np.asarray(v) - np.asarray(m))
+                               for v, m in zip(vols, mids)])
+        assert np.nanmean(errs) < 0.03, f"mean IV err {np.nanmean(errs):.4f}"
