@@ -152,3 +152,96 @@ def pad_chains_to_sweep(option_chains: Sequence[OptionChain]):
         key = (tuple(float(t) for t in c.ttms), grid.mask.shape)
         buckets.setdefault(key, []).append((idx, c))
     return list(buckets.values())
+
+
+HESTON_LOWER = np.array([0.01, 0.01, 0.1, -0.99, 0.1])
+HESTON_UPPER = np.array([2.0, 2.0, 30.0, 0.99, 5.0])
+
+
+def calibrate_heston_lm_sweep(option_chains: Sequence[OptionChain],
+                              params0,
+                              nb_iters: int = 16,
+                              use_float32: Optional[bool] = None,
+                              is_vega_weighted: bool = True,
+                              mesh=None,
+                              ) -> List[Tuple["HestonParams", float]]:
+    """Heston counterpart of :func:`calibrate_logsv_lm_sweep`: every chain's
+    (v0, theta, kappa, rho, volvol) LM fit in ONE device dispatch, batch axis
+    sharded over the mesh.  ``params0`` is one HestonParams or a list."""
+    from stochvolmodels_tpu.models.heston import HestonParams, _heston_lm_run
+
+    chains = list(option_chains)
+    if not chains:
+        return []
+    ttms0 = tuple(float(t) for t in chains[0].ttms)
+    for c in chains[1:]:
+        if tuple(float(t) for t in c.ttms) != ttms0:
+            raise ValueError("all chains in a sweep must share ttms; "
+                             "use pad_chains_to_sweep to group by layout")
+    if use_float32 is None:
+        use_float32 = use_float32_default()
+    dtype = jnp.float32 if use_float32 else jnp.float64
+    if isinstance(params0, HestonParams):
+        params0 = [params0] * len(chains)
+    elif len(params0) != len(chains):
+        raise ValueError(f"params0 has {len(params0)} entries for "
+                         f"{len(chains)} chains")
+
+    grids, markets, sqrtws, p0s, vol_scalers = [], [], [], [], []
+    for chain, par0 in zip(chains, params0):
+        grid = chain.to_grid()
+        market_panel = _pad_panel(chain.get_mid_vols(), grid)
+        if is_vega_weighted:
+            vegas = [v / np.sum(v) for v in chain.get_chain_vegas()]
+            weights_panel = _pad_panel(vegas, grid)
+        else:
+            weights_panel = np.ones_like(market_panel)
+        mask = np.asarray(grid.mask)
+        sqrtws.append(np.sqrt(np.where(mask, weights_panel, 0.0)).astype(dtype))
+        markets.append(np.where(mask, market_panel, 0.0).astype(dtype))
+        grids.append(_grid_to_f32(grid) if use_float32 else grid)
+        p0s.append(par0.to_array())
+        vol_scalers.append(float(np.minimum(0.3, np.sqrt(par0.v0 * chain.ttms[0]))))
+
+    mesh = mesh if mesh is not None else make_path_mesh()
+    n_dev = mesh.devices.size
+    n = len(chains)
+    pad = (-n) % n_dev
+    for _ in range(pad):
+        grids.append(grids[-1])
+        markets.append(markets[-1])
+        sqrtws.append(sqrtws[-1])
+        p0s.append(p0s[-1])
+        vol_scalers.append(vol_scalers[-1])
+
+    batch_grid = _stack_grids(grids)
+    market_b = jnp.asarray(np.stack(markets))
+    sqrtw_b = jnp.asarray(np.stack(sqrtws))
+    p0_b = jnp.asarray(np.asarray(p0s), dtype=dtype)
+    vs_b = jnp.asarray(np.asarray(vol_scalers), dtype=dtype)
+    lower = jnp.asarray(HESTON_LOWER, dtype=dtype)
+    upper = jnp.asarray(HESTON_UPPER, dtype=dtype)
+
+    raw = _heston_lm_run.__wrapped__
+
+    def one(p0, grid, market, sqrtw, vol_scaler):
+        return raw(p0, grid, market, sqrtw, lower, upper, vol_scaler,
+                   nb_iters=nb_iters, use_float32=use_float32)
+
+    sharding = path_sharding(mesh)
+    batch_grid = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch_grid)
+    market_b, sqrtw_b, p0_b, vs_b = (jax.device_put(a, sharding)
+                                     for a in (market_b, sqrtw_b, p0_b, vs_b))
+    with jax.set_mesh(mesh):
+        best_b, cost_b = jax.jit(jax.vmap(one))(p0_b, batch_grid, market_b,
+                                                sqrtw_b, vs_b)
+        best_b = np.asarray(best_b, dtype=np.float64)
+        cost_b = np.asarray(cost_b, dtype=np.float64)
+
+    out = []
+    for i in range(n):
+        b = best_b[i]
+        out.append((HestonParams(v0=b[0], theta=b[1], kappa=b[2], rho=b[3],
+                                 volvol=b[4]), float(cost_b[i])))
+    return out

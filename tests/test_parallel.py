@@ -149,3 +149,37 @@ def test_sharded_pallas_mc_moments():
     assert abs(float(jnp.mean(x)) - float(jnp.mean(xs))) < 0.03
     assert abs(float(jnp.mean(sig)) - float(jnp.mean(ss))) < 0.03
     assert abs(float(jnp.mean(qvar)) - float(jnp.mean(qs))) < 0.03
+
+
+@requires_devices
+@pytest.mark.slow
+def test_heston_lm_sweep_matches_single():
+    """batched Heston LM sweep over the mesh equals the single-chain LM fit."""
+    import dataclasses
+
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    from stochvolmodels_tpu.models.heston import HestonParams, HestonPricer
+    from stochvolmodels_tpu.parallel.sweep import calibrate_heston_lm_sweep
+
+    base = get_btc_test_chain_data()
+    chains = [base,
+              dataclasses.replace(base,
+                                  bid_ivs=[1.05 * iv for iv in base.bid_ivs],
+                                  ask_ivs=[1.05 * iv for iv in base.ask_ivs])]
+    params0 = HestonParams(v0=0.8 ** 2, theta=1.3 ** 2, kappa=4.0,
+                           volvol=1.5, rho=0.1)
+    mesh = make_path_mesh()
+    results = calibrate_heston_lm_sweep(chains, params0, nb_iters=6,
+                                        mesh=mesh, use_float32=False)
+    assert len(results) == 2
+    single = HestonPricer().calibrate_model_params_to_chain(
+        option_chain=chains[0], params0=params0, method='lm', nb_iters=6,
+        use_float32=False)
+    fit, cost = results[0]
+    assert np.isfinite(cost)
+    np.testing.assert_allclose(
+        [fit.v0, fit.theta, fit.kappa, fit.rho, fit.volvol],
+        [single.v0, single.theta, single.kappa, single.rho, single.volvol],
+        rtol=1e-6)
+    # the 5%-scaled chain fits to a higher v0
+    assert results[1][0].v0 > results[0][0].v0
