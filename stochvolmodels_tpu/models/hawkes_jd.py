@@ -162,6 +162,13 @@ def solve_a_ode_grid(phi_grid: Cplx,
           'beta2_m')}
     p['compensator_p'] = model_params.compensator_p
     p['compensator_m'] = model_params.compensator_m
+    return _solve_a_ode_grid_p(phi_grid, psi_grid, a_t0, nb_steps, dt, p)
+
+
+def _solve_a_ode_grid_p(phi_grid: Cplx, psi_grid: Cplx, a_t0: Cplx,
+                        nb_steps: int, dt: float, p: Dict) -> Cplx:
+    """RK4 core over a params DICT — values may be traced jax scalars, so
+    the on-device LM can differentiate through the Riccati solve."""
 
     def rk4_step(carry, _):
         a_re, a_im = carry
@@ -521,7 +528,21 @@ class HawkesJDPricer(ModelPricer):
                                         **kwargs) -> HawkesJDParams:
         """8-param SLSQP with the stationarity constraint
         (hawkes_jd_pricer.py:232-304); finite-difference gradients (the
-        chained host-side ODE pricer is cheap enough at 500 grid points)."""
+        chained host-side ODE pricer is cheap enough at 500 grid points).
+
+        ``method='lm'`` (kwargs) instead runs the whole fit on device
+        (:func:`calibrate_hawkesjd_lm_on_device`)."""
+        method = kwargs.pop('method', 'slsqp')
+        if method == 'lm':
+            fit, _ = calibrate_hawkesjd_lm_on_device(
+                option_chain=option_chain, params0=params0,
+                is_vega_weighted=is_vega_weighted,
+                nb_iters=kwargs.pop('nb_iters', 16),
+                year_steps=kwargs.pop('year_steps', 720),
+                use_float32=kwargs.pop('use_float32', None))
+            return fit
+        if method != 'slsqp':
+            raise ValueError(f"method must be 'slsqp' or 'lm', got {method!r}")
         _, y = option_chain.get_chain_data_as_xy()
         market_vols = to_flat_np_array(y)
         if is_vega_weighted:
@@ -607,3 +628,153 @@ class HawkesJDPricer(ModelPricer):
         res = minimize(objective, p0, args=None, method='SLSQP', bounds=bounds,
                        options=options, tol=1e-16)
         return unpack_pars(pars=res.x)
+
+
+# ----------------------------------------------------------------------------
+# on-device Levenberg-Marquardt calibration (TPU fast path)
+# ----------------------------------------------------------------------------
+
+HAWKES_LM_LOWER = np.array([0.10, 0.01, -0.99, 0.01, 0.01, 1.0, 1.0, 1.0])
+HAWKES_LM_UPPER = np.array([2.0, 0.99, -0.01, 100.0, 100.0, 100.0, 100.0,
+                            100.0])
+
+
+def _hawkes_chain_vols_panel(pars, grid: ChainGrid, *, ttms_static,
+                             shift_p, shift_m, lambda_p, lambda_m,
+                             vol_scaler, year_steps):
+    """padded implied-vol panel from the traced 8-param vector
+    [sigma, mean_p, mean_m, theta_p, theta_m, kappa, beta_p, beta_m]
+    (the PARAMS8 reduction of the SLSQP path, hawkes_jd_pricer.py:232-304)."""
+    sigma, mean_p, mean_m, theta_p, theta_m, kappa, beta_p, beta_m = (
+        pars[0], pars[1], pars[2], pars[3], pars[4], pars[5], pars[6], pars[7])
+    p = dict(sigma=sigma, shift_p=shift_p, mean_p=mean_p, shift_m=shift_m,
+             mean_m=mean_m, kappa_p=kappa, theta_p=theta_p, beta1_p=beta_p,
+             beta2_p=-beta_p, kappa_m=kappa, theta_m=theta_m, beta1_m=beta_m,
+             beta2_m=-beta_m,
+             compensator_p=jnp.exp(shift_p) / (1.0 - mean_p) - 1.0,
+             compensator_m=jnp.exp(shift_m) / (1.0 - mean_m) - 1.0)
+    phi_grid, _, _ = mgf.get_transform_var_grid(
+        variable_type=VariableType.LOG_RETURN, max_phi=MAX_PHI,
+        vol_scaler=vol_scaler)
+    n_grid = phi_grid.shape[0]
+    psi_grid = Cplx(jnp.zeros(n_grid), jnp.zeros(n_grid))
+    a_t = Cplx(jnp.zeros((n_grid, 3)), jnp.zeros((n_grid, 3)))
+    ttm0 = 0.0
+    prices = []
+    for i, ttm in enumerate(ttms_static):
+        dttm = ttm - ttm0
+        nb_steps = max(int(np.ceil(year_steps * dttm)), 16)
+        a_t = _solve_a_ode_grid_p(phi_grid, psi_grid, a_t, nb_steps,
+                                  dttm / nb_steps, p)
+        log_mgf = Cplx(a_t.re[:, 0] + a_t.re[:, 1] * lambda_p
+                       + a_t.re[:, 2] * lambda_m,
+                       a_t.im[:, 0] + a_t.im[:, 1] * lambda_p
+                       + a_t.im[:, 2] * lambda_m)
+        prices.append(mgf.vanilla_prices_with_mgf_grid(
+            log_mgf_grid=log_mgf, phi_grid=phi_grid,
+            forwards=grid.forwards[i], strikes=grid.strikes[i],
+            optiontypes=grid.optioncodes[i], discfactors=grid.discfactors[i]))
+        ttm0 = ttm
+    price_panel = jnp.stack(prices, axis=0)
+    return bsm.infer_bsm_implied_vol_fast(
+        forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+        strike=grid.strikes, given_price=price_panel,
+        discfactor=grid.discfactors[:, None], optiontype=grid.optioncodes)
+
+
+@partial(jax.jit, static_argnames=("ttms_static", "year_steps", "nb_iters",
+                                   "use_float32"))
+def _hawkes_lm_run(p0, grid, market, sqrtw, lower, upper, consts, *,
+                   ttms_static, year_steps, nb_iters, use_float32):
+    """whole 8-param Hawkes LM fit in one dispatch (ops/lm.py).
+
+    consts = [shift_p, shift_m, lambda_p, lambda_m, vol_scaler]."""
+    from stochvolmodels_tpu.ops import lm
+
+    shift_p, shift_m, lambda_p, lambda_m, vol_scaler = (
+        consts[0], consts[1], consts[2], consts[3], consts[4])
+
+    def _run():
+        def residuals(pars):
+            vols = _hawkes_chain_vols_panel(
+                pars, grid, ttms_static=ttms_static, shift_p=shift_p,
+                shift_m=shift_m, lambda_p=lambda_p, lambda_m=lambda_m,
+                vol_scaler=vol_scaler, year_steps=year_steps)
+            nan_mask = jnp.isnan(vols)
+            clean = jnp.where(nan_mask, market, vols)
+            r = (sqrtw * (clean - market)).ravel()
+            # stationarity of the jump intensities (the SLSQP inequality
+            # jump1_cond + jump2_cond >= 0) as a one-sided penalty residual
+            exp_jp = shift_p + pars[1]
+            exp_jm = shift_m + pars[2]
+            j1 = pars[5] - pars[6] * exp_jp + pars[6] * exp_jm
+            j2 = pars[5] - pars[7] * exp_jp + pars[7] * exp_jm
+            penalty = jnp.maximum(-(j1 + j2), 0.0)
+            return jnp.concatenate([r, jnp.sqrt(10.0) * penalty[None]])
+
+        return lm.lm_minimize(residuals, p0, lower, upper, nb_iters=nb_iters)
+
+    if use_float32:
+        with jax.enable_x64(False):
+            return _run()
+    return _run()
+
+
+def calibrate_hawkesjd_lm_on_device(option_chain: OptionChain,
+                                    params0: HawkesJDParams,
+                                    nb_iters: int = 16,
+                                    year_steps: int = 720,
+                                    use_float32: Optional[bool] = None,
+                                    is_vega_weighted: bool = True,
+                                    ) -> Tuple[HawkesJDParams, float]:
+    """PARAMS8 Hawkes calibration by on-device Levenberg-Marquardt.
+
+    The whole fit — chained Riccati solves over the transform grid, Fourier
+    pricing, implied-vol inversion, Gauss-Newton updates — runs as ONE jit
+    dispatch, replacing the finite-difference SLSQP host loop (~100
+    iterations x 9 FD evaluations of the chain pricer).  Returns
+    (params, final weighted cost)."""
+    from stochvolmodels_tpu.models.logsv.pricer import (
+        _grid_to_f32,
+        _pad_panel,
+        use_float32_default,
+    )
+
+    if use_float32 is None:
+        use_float32 = use_float32_default()
+    dtype = jnp.float32 if use_float32 else jnp.float64
+    grid = option_chain.to_grid()
+    market_panel = _pad_panel(option_chain.get_mid_vols(), grid)
+    if is_vega_weighted:
+        vegas = [v / np.sum(v) for v in option_chain.get_chain_vegas()]
+        weights_panel = _pad_panel(vegas, grid)
+    else:
+        weights_panel = np.ones_like(market_panel)
+    mask = np.asarray(grid.mask)
+    sqrtw = jnp.asarray(np.sqrt(np.where(mask, weights_panel, 0.0)), dtype=dtype)
+    market = jnp.asarray(np.where(mask, market_panel, 0.0), dtype=dtype)
+    if use_float32:
+        grid = _grid_to_f32(grid)
+
+    p0 = np.array([params0.sigma, params0.mean_p, params0.mean_m,
+                   params0.theta_p, params0.theta_m,
+                   0.5 * (params0.kappa_p + params0.kappa_m),
+                   params0.beta1_p, params0.beta1_m])
+    vol_scaler = set_vol_scaler(sigma0=params0.sigma,
+                                ttm=np.min(option_chain.ttms))
+    consts = jnp.asarray([params0.shift_p, params0.shift_m, params0.lambda_p,
+                          params0.lambda_m, float(vol_scaler)], dtype=dtype)
+    best, cost = _hawkes_lm_run(
+        jnp.asarray(p0, dtype=dtype), grid, market, sqrtw,
+        jnp.asarray(HAWKES_LM_LOWER, dtype=dtype),
+        jnp.asarray(HAWKES_LM_UPPER, dtype=dtype), consts,
+        ttms_static=tuple(float(t) for t in option_chain.ttms),
+        year_steps=year_steps, nb_iters=nb_iters, use_float32=use_float32)
+    b = np.asarray(best, dtype=np.float64)
+    fit = HawkesJDParams(mu=0.0, sigma=b[0], shift_p=params0.shift_p,
+                         mean_p=b[1], shift_m=params0.shift_m, mean_m=b[2],
+                         lambda_p=params0.lambda_p, theta_p=b[3],
+                         kappa_p=b[5], beta1_p=b[6], beta2_p=-b[6],
+                         lambda_m=params0.lambda_m, theta_m=b[4],
+                         kappa_m=b[5], beta1_m=b[7], beta2_m=-b[7])
+    return fit, float(cost)

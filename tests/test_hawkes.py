@@ -131,3 +131,33 @@ class TestMonteCarlo:
                                                           nb_path=100000, seed=2)
         assert abs(np.mean(np.exp(x)) - 1.0) < 0.01
         assert np.all(lam_p >= 0)
+
+
+class TestOnDeviceLm:
+    @pytest.mark.slow
+    def test_lm_calibration_improves_fit(self, chain):
+        """the one-dispatch LM fit must beat the starting cost and keep the
+        jump intensities stationary (jump1_cond + jump2_cond >= 0)."""
+        from stochvolmodels_tpu.models.hawkes_jd import (
+            calibrate_hawkesjd_lm_on_device)
+
+        params0 = HawkesJDParams()
+        fit, cost = calibrate_hawkesjd_lm_on_device(
+            chain, params0, nb_iters=6, year_steps=360)
+        assert np.isfinite(cost)
+        # the start cost: weighted ivol SSE at params0
+        pricer = HawkesJDPricer()
+        vols0 = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                     params=params0)
+        mids = chain.get_mid_vols()
+        start = float(np.nansum([np.sum(np.square(np.asarray(v) - np.asarray(m)))
+                                 for v, m in zip(vols0, mids)]))
+        assert cost < start
+        assert fit.jump1_cond + fit.jump2_cond >= -1e-6
+        assert 0.1 <= fit.sigma <= 2.0
+        # fitted surface actually close to market
+        vols = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                    params=fit)
+        errs = np.concatenate([np.abs(np.asarray(v) - np.asarray(m))
+                               for v, m in zip(vols, mids)])
+        assert np.nanmean(errs) < 0.05, f"mean IV err {np.nanmean(errs):.4f}"
