@@ -135,15 +135,19 @@ class TestMonteCarlo:
 
 class TestOnDeviceLm:
     @pytest.mark.slow
-    def test_lm_calibration_improves_fit(self, chain):
+    @pytest.mark.parametrize("use_float32", [False, True])
+    def test_lm_calibration_improves_fit(self, chain, use_float32):
         """the one-dispatch LM fit must beat the starting cost and keep the
-        jump intensities stationary (jump1_cond + jump2_cond >= 0)."""
+        jump intensities stationary (jump1_cond + jump2_cond >= 0).  Run in
+        both precisions: f32 is the TPU default, and the LogSV episode
+        showed f32 ODE stability must be tested, not assumed."""
         from stochvolmodels_tpu.models.hawkes_jd import (
             calibrate_hawkesjd_lm_on_device)
 
         params0 = HawkesJDParams()
         fit, cost = calibrate_hawkesjd_lm_on_device(
-            chain, params0, nb_iters=6, year_steps=360)
+            chain, params0, nb_iters=6, year_steps=360,
+            use_float32=use_float32)
         assert np.isfinite(cost)
         # the start cost: weighted ivol SSE at params0
         pricer = HawkesJDPricer()
