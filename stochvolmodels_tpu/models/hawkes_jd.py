@@ -458,6 +458,17 @@ class HawkesJDPricer(ModelPricer):
 
     def price_chain(self, option_chain: OptionChain, params: HawkesJDParams,
                     is_spot_measure: bool = True, **kwargs) -> List[np.ndarray]:
+        """``precision='fast'`` (kwargs) runs the whole chain — Riccati
+        solves at 720 steps/yr, Fourier quadrature — as one f32 device
+        program; only for the standard measure (no risk-premia gamma)."""
+        precision = kwargs.pop('precision', 'exact')
+        if precision == 'fast' and params.risk_premia_gamma is None:
+            return _hawkes_fast_call(option_chain, params,
+                                     vol_scaler=kwargs.pop('vol_scaler', None),
+                                     year_steps=kwargs.pop('year_steps', 720),
+                                     fused=False)
+        if precision not in ('exact', 'fast'):
+            raise NotImplementedError(f"precision={precision}")
         if params.risk_premia_gamma is not None:
             return hawkesjd_chain_pricer_with_risk_premia(
                 model_params=params, ttms=option_chain.ttms,
@@ -472,6 +483,20 @@ class HawkesJDPricer(ModelPricer):
             strikes_ttms=option_chain.strikes_ttms,
             optiontypes_ttms=option_chain.optiontypes_ttms,
             is_spot_measure=is_spot_measure, **kwargs)
+
+    def compute_model_ivols_for_chain(self, option_chain: OptionChain,
+                                      params: HawkesJDParams,
+                                      precision: str = "exact",
+                                      **kwargs) -> List[np.ndarray]:
+        """``precision='fast'``: f32 chain reprice + bisect/Newton BSM
+        inversion fused into ONE device program (standard measure only)."""
+        if precision == "fast" and params.risk_premia_gamma is None:
+            return _hawkes_fast_call(option_chain, params,
+                                     vol_scaler=kwargs.pop('vol_scaler', None),
+                                     year_steps=kwargs.pop('year_steps', 720),
+                                     fused=True)
+        return super().compute_model_ivols_for_chain(
+            option_chain=option_chain, params=params, **kwargs)
 
     @timer
     def model_mc_price_chain(self, option_chain: OptionChain,
@@ -639,20 +664,24 @@ HAWKES_LM_UPPER = np.array([2.0, 0.99, -0.01, 100.0, 100.0, 100.0, 100.0,
                             100.0])
 
 
-def _hawkes_chain_vols_panel(pars, grid: ChainGrid, *, ttms_static,
-                             shift_p, shift_m, lambda_p, lambda_m,
-                             vol_scaler, year_steps):
-    """padded implied-vol panel from the traced 8-param vector
+def _pars8_to_dict(pars, shift_p, shift_m):
+    """params dict from the traced 8-param vector
     [sigma, mean_p, mean_m, theta_p, theta_m, kappa, beta_p, beta_m]
     (the PARAMS8 reduction of the SLSQP path, hawkes_jd_pricer.py:232-304)."""
     sigma, mean_p, mean_m, theta_p, theta_m, kappa, beta_p, beta_m = (
         pars[0], pars[1], pars[2], pars[3], pars[4], pars[5], pars[6], pars[7])
-    p = dict(sigma=sigma, shift_p=shift_p, mean_p=mean_p, shift_m=shift_m,
-             mean_m=mean_m, kappa_p=kappa, theta_p=theta_p, beta1_p=beta_p,
-             beta2_p=-beta_p, kappa_m=kappa, theta_m=theta_m, beta1_m=beta_m,
-             beta2_m=-beta_m,
-             compensator_p=jnp.exp(shift_p) / (1.0 - mean_p) - 1.0,
-             compensator_m=jnp.exp(shift_m) / (1.0 - mean_m) - 1.0)
+    return dict(sigma=sigma, shift_p=shift_p, mean_p=mean_p, shift_m=shift_m,
+                mean_m=mean_m, kappa_p=kappa, theta_p=theta_p, beta1_p=beta_p,
+                beta2_p=-beta_p, kappa_m=kappa, theta_m=theta_m,
+                beta1_m=beta_m, beta2_m=-beta_m,
+                compensator_p=jnp.exp(shift_p) / (1.0 - mean_p) - 1.0,
+                compensator_m=jnp.exp(shift_m) / (1.0 - mean_m) - 1.0)
+
+
+def _hawkes_chain_price_panel(p, grid: ChainGrid, *, ttms_static,
+                              lambda_p, lambda_m, vol_scaler, year_steps):
+    """padded price panel from a (possibly traced) params dict ``p`` — the
+    13 dynamics values + compensators, as consumed by _solve_a_ode_grid_p."""
     phi_grid, _, _ = mgf.get_transform_var_grid(
         variable_type=VariableType.LOG_RETURN, max_phi=MAX_PHI,
         vol_scaler=vol_scaler)
@@ -675,7 +704,12 @@ def _hawkes_chain_vols_panel(pars, grid: ChainGrid, *, ttms_static,
             forwards=grid.forwards[i], strikes=grid.strikes[i],
             optiontypes=grid.optioncodes[i], discfactors=grid.discfactors[i]))
         ttm0 = ttm
-    price_panel = jnp.stack(prices, axis=0)
+    return jnp.stack(prices, axis=0)
+
+
+def _hawkes_chain_vols_panel(p, grid: ChainGrid, **kw):
+    """fused price panel + BSM inversion (one traced program)."""
+    price_panel = _hawkes_chain_price_panel(p, grid, **kw)
     return bsm.infer_bsm_implied_vol_fast(
         forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
         strike=grid.strikes, given_price=price_panel,
@@ -697,8 +731,8 @@ def _hawkes_lm_run(p0, grid, market, sqrtw, lower, upper, consts, *,
     def _run():
         def residuals(pars):
             vols = _hawkes_chain_vols_panel(
-                pars, grid, ttms_static=ttms_static, shift_p=shift_p,
-                shift_m=shift_m, lambda_p=lambda_p, lambda_m=lambda_m,
+                _pars8_to_dict(pars, shift_p, shift_m), grid,
+                ttms_static=ttms_static, lambda_p=lambda_p, lambda_m=lambda_m,
                 vol_scaler=vol_scaler, year_steps=year_steps)
             nan_mask = jnp.isnan(vols)
             clean = jnp.where(nan_mask, market, vols)
@@ -778,3 +812,42 @@ def calibrate_hawkesjd_lm_on_device(option_chain: OptionChain,
                          lambda_m=params0.lambda_m, theta_m=b[4],
                          kappa_m=b[5], beta1_m=b[7], beta2_m=-b[7])
     return fit, float(cost)
+
+
+_PKEYS = ('sigma', 'shift_p', 'mean_p', 'shift_m', 'mean_m', 'kappa_p',
+          'theta_p', 'beta1_p', 'beta2_p', 'kappa_m', 'theta_m', 'beta1_m',
+          'beta2_m', 'compensator_p', 'compensator_m')
+
+
+@partial(jax.jit, static_argnames=("ttms_static", "year_steps", "fused"))
+def _hawkes_chain_fast_jit(pvec, grid, lambda_p, lambda_m, vol_scaler, *,
+                           ttms_static, year_steps, fused):
+    """f32-traceable chain panel: prices, or fused implied vols (one
+    device program).  ``pvec`` is the 15-vector of _PKEYS values."""
+    p = dict(zip(_PKEYS, [pvec[i] for i in range(len(_PKEYS))]))
+    kw = dict(ttms_static=ttms_static, lambda_p=lambda_p, lambda_m=lambda_m,
+              vol_scaler=vol_scaler, year_steps=year_steps)
+    if fused:
+        return grid.masked(_hawkes_chain_vols_panel(p, grid, **kw))
+    return _hawkes_chain_price_panel(p, grid, **kw)
+
+
+def _hawkes_fast_call(option_chain: OptionChain, params: HawkesJDParams,
+                      vol_scaler, year_steps: int, fused: bool):
+    from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
+
+    if vol_scaler is None:
+        vol_scaler = set_vol_scaler(sigma0=params.sigma,
+                                    ttm=np.min(option_chain.ttms))
+    d = params.to_dict()
+    d['compensator_p'] = params.compensator_p
+    d['compensator_m'] = params.compensator_m
+    pvec = np.asarray([d[k] for k in _PKEYS], dtype=np.float32)
+    grid = _grid_to_f32(option_chain.to_grid())
+    with jax.enable_x64(False):
+        panel = _hawkes_chain_fast_jit(
+            jnp.asarray(pvec), grid, np.float32(params.lambda_p),
+            np.float32(params.lambda_m), np.float32(vol_scaler),
+            ttms_static=tuple(float(t) for t in option_chain.ttms),
+            year_steps=year_steps, fused=fused)
+    return option_chain.unpad_panel(panel)

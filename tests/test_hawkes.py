@@ -165,3 +165,30 @@ class TestOnDeviceLm:
         errs = np.concatenate([np.abs(np.asarray(v) - np.asarray(m))
                                for v, m in zip(vols, mids)])
         assert np.nanmean(errs) < 0.05, f"mean IV err {np.nanmean(errs):.4f}"
+
+
+class TestFastPrecision:
+    def test_fast_mode_matches_exact(self, chain):
+        """f32 one-program chain reprice agrees with the f64 host-loop path
+        (720 vs 1440 steps/yr + f32: ~1e-3 relative on BTC-scale prices)."""
+        pricer = HawkesJDPricer()
+        params = HawkesJDParams()
+        exact = pricer.price_chain(option_chain=chain, params=params)
+        fast = pricer.price_chain(option_chain=chain, params=params,
+                                  precision="fast")
+        for f, e in zip(fast, exact):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                       rtol=2e-3, atol=1e-4)
+
+    def test_fast_fused_ivols_match_exact(self, chain):
+        pricer = HawkesJDPricer()
+        params = HawkesJDParams()
+        exact = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                     params=params)
+        fast = pricer.compute_model_ivols_for_chain(option_chain=chain,
+                                                    params=params,
+                                                    precision="fast")
+        for f, e in zip(fast, exact):
+            f, e = np.asarray(f), np.asarray(e)
+            assert np.isnan(f).sum() == np.isnan(e).sum()
+            np.testing.assert_allclose(f, e, rtol=1e-2, atol=5e-3)
