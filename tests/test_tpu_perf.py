@@ -131,3 +131,26 @@ def test_pallas_mc_throughput_above_1e9():
         best = min(best, time.perf_counter() - t0)
     rate = nb_path * (steps_per_year + 1) / best
     assert rate > 1e9, f"MC throughput {rate:.2e} path-steps/s (target > 1e9)"
+
+
+def test_warm_hawkes_lm_calibration_under_5s(btc_chain):
+    """the 8-param Hawkes LM (chained Riccati + pricing + IV inversion
+    differentiated end-to-end) should be a few hundred ms warm on chip;
+    bound at 5 s for tunnel variance.  The FD-SLSQP reference path costs
+    ~100 iterations x 9 chain reprices on host."""
+    from stochvolmodels_tpu.models.hawkes_jd import (
+        HawkesJDParams,
+        calibrate_hawkesjd_lm_on_device,
+    )
+
+    params0 = HawkesJDParams()
+    fit, cost = calibrate_hawkesjd_lm_on_device(btc_chain, params0,
+                                                nb_iters=8)
+    float(cost)  # compile + first run
+    t0 = time.perf_counter()
+    fit, cost = calibrate_hawkesjd_lm_on_device(btc_chain, params0,
+                                                nb_iters=8)
+    cost = float(cost)
+    warm = time.perf_counter() - t0
+    assert warm < 5.0, f"warm Hawkes LM took {warm:.2f}s"
+    assert np.isfinite(cost) and cost < 0.05
