@@ -25,3 +25,13 @@ def test_example_imports(name):
 @pytest.mark.parametrize("name", PAPERS)
 def test_paper_module_imports(name):
     importlib.import_module(name)
+
+
+@pytest.mark.slow
+def test_tpu_fast_paths_example_executes():
+    """run_tpu_fast_paths.main() drives every fast-path API end-to-end
+    (imports are no-op per the examples contract, so execution coverage
+    for the demo lives here)."""
+    import examples.run_tpu_fast_paths as demo
+
+    demo.main()
