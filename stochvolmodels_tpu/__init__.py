@@ -52,6 +52,7 @@ from stochvolmodels_tpu.ops.bachelier import (  # noqa: F401
     compute_normal_delta_to_strike,
     compute_normal_delta_from_lognormal_vol,
     infer_normal_implied_vol,
+    infer_normal_implied_vol_fast,
     infer_normal_ivols_from_model_slice_prices,
     infer_normal_ivols_from_slice_prices,
     infer_normal_ivols_from_chain_prices,

@@ -1,4 +1,8 @@
 from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import de_pricer  # noqa: F401
+from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (  # noqa: F401
+    calibrate_rate_logsv_lm_on_device,
+    calibrate_rate_logsv_term_structure,
+)
 from stochvolmodels_tpu.models.factor_hjm.factor_hjm_pricer import (  # noqa: F401
     calc_mc_vols,
     do_mc_simulation,

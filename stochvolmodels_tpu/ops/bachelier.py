@@ -226,3 +226,114 @@ def compute_normal_delta_from_lognormal_vol(ttm, forward, strike, given_price,
     return compute_normal_delta(ttm=ttm, forward=forward, strike=strike,
                                 vol=normal_vol, optiontype=optiontype,
                                 discfactor=discfactor)
+
+
+# ----------------------------------------------------------------------------
+# fast implied normal vol (bisect + Newton, implicit-function-theorem jvp)
+# ----------------------------------------------------------------------------
+
+def _fast_normal_iv_impl(given_price, forward, strike, ttm, discfactor,
+                         is_call_f, nb_bisect, nb_newton):
+    def price_at(vol):
+        sdev = vol * jnp.sqrt(ttm)
+        d = (forward - strike) / sdev
+        return discfactor * (is_call_f * (forward - strike) * ncdf(is_call_f * d)
+                             + sdev * npdf(d))
+
+    lo = jnp.full_like(given_price, NORMAL_IV_LOWER)
+    hi = jnp.full_like(given_price, NORMAL_IV_UPPER)
+    f_lo_raw = price_at(lo) - given_price
+    f_hi_raw = price_at(hi) - given_price
+    bracketed = f_lo_raw * f_hi_raw < 0.0
+    # unbracketable (or NaN) quotes are replaced by a guaranteed-solvable
+    # dummy BEFORE the solver so no NaN circulates; output stays NaN there
+    mid_vol = jnp.full_like(lo, 0.5 * (NORMAL_IV_LOWER + NORMAL_IV_UPPER))
+    given_price = jnp.where(bracketed, given_price, price_at(mid_vol))
+    f_lo = price_at(lo) - given_price
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        f_mid = price_at(mid) - given_price
+        go_up = f_mid * f_lo > 0.0
+        return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, nb_bisect, bisect, (lo, hi))
+    vol = 0.5 * (lo + hi)
+
+    def newton(_, vol):
+        sdev = vol * jnp.sqrt(ttm)
+        vega = discfactor * npdf((forward - strike) / sdev) * jnp.sqrt(ttm)
+        step = (price_at(vol) - given_price) / jnp.maximum(vega, 1e-16)
+        return jnp.clip(vol - step, NORMAL_IV_LOWER, NORMAL_IV_UPPER)
+
+    vol = jax.lax.fori_loop(0, nb_newton, newton, vol)
+    return jnp.where(bracketed, vol, jnp.nan)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+def _fast_normal_iv_core(given_price, forward, strike, ttm, discfactor,
+                         is_call_f, nb_bisect, nb_newton):
+    return _fast_normal_iv_impl(given_price, forward, strike, ttm, discfactor,
+                                is_call_f, nb_bisect, nb_newton)
+
+
+@_fast_normal_iv_core.defjvp
+def _fast_normal_iv_jvp(nb_bisect, nb_newton, primals, tangents):
+    # implicit-function tangent dvol = (dP - dP_dF dF - dP_dK dK - ...) / vega,
+    # linear in the tangents so it supports jacfwd AND transposes to reverse
+    # mode (same rationale as bsm._fast_iv_jvp: AD through the Newton polish
+    # compounds 1/vega and overflows f32 for deep-OTM quotes)
+    given_price, forward, strike, ttm, discfactor, is_call_f = primals
+    vol = _fast_normal_iv_impl(given_price, forward, strike, ttm, discfactor,
+                               is_call_f, nb_bisect, nb_newton)
+
+    def price_fn(f_, k_, t_, df_, v_):
+        sdev = v_ * jnp.sqrt(t_)
+        d = (f_ - k_) / sdev
+        return df_ * (is_call_f * (f_ - k_) * ncdf(is_call_f * d)
+                      + sdev * npdf(d))
+
+    safe_vol = jnp.where(jnp.isnan(vol), 0.01, vol)
+    grads = jax.grad(lambda f_, k_, t_, df_, v_:
+                     jnp.sum(price_fn(f_, k_, t_, df_, v_)),
+                     argnums=(0, 1, 2, 3, 4))(
+        jnp.broadcast_to(forward, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(strike, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(ttm, vol.shape).astype(vol.dtype),
+        jnp.broadcast_to(discfactor, vol.shape).astype(vol.dtype),
+        safe_vol)
+    dP_dF, dP_dK, dP_dT, dP_ddf, vega = grads
+    inv_vega = jnp.where(jnp.isnan(vol) | (jnp.abs(vega) < 1e-16), 0.0,
+                         1.0 / vega)
+    dp, df_t, dk, dt_, ddf, _ = tangents
+    dvol = inv_vega * (dp - dP_dF * df_t - dP_dK * dk - dP_dT * dt_
+                       - dP_ddf * ddf)
+    return vol, dvol
+
+
+def infer_normal_implied_vol_fast(forward, ttm, strike, given_price,
+                                  discfactor=1.0, optiontype='C',
+                                  nb_bisect: int = 20, nb_newton: int = 4):
+    """fast implied normal vol: short bisection bracket + Newton polish.
+
+    Counterpart of :func:`stochvolmodels_tpu.ops.bsm.infer_bsm_implied_vol_fast`
+    for the Bachelier model — intended inside latency-bound calibration
+    objectives (on-device LM needs forward-mode AD, which the exact
+    :func:`infer_normal_implied_vol`'s custom_vjp cannot provide).  NaN at
+    unbracketed quotes, same [0.001, 0.1] bracket as the reference bisection
+    (bachelier.py:195-235); gradients via the implicit function theorem.
+    """
+    given_price = jnp.asarray(given_price)
+    shape = jnp.broadcast_shapes(jnp.shape(given_price), jnp.shape(forward),
+                                 jnp.shape(strike), jnp.shape(ttm),
+                                 jnp.shape(_is_call(optiontype)))
+    dt = jnp.result_type(given_price, jnp.asarray(forward))
+    b = lambda x: jnp.broadcast_to(jnp.asarray(x, dtype=dt), shape)
+    is_call_f = jnp.where(jnp.broadcast_to(_is_call(optiontype), shape),
+                          1.0, -1.0).astype(dt)
+    return _fast_normal_iv_core(b(given_price), b(forward), b(strike), b(ttm),
+                                b(discfactor), is_call_f, nb_bisect, nb_newton)

@@ -69,3 +69,35 @@ def test_strikes_to_delta_monotone():
                                                 f0=0.03, ttm=0.5))
     assert np.all(np.diff(deltas) < 0)
     assert np.all((deltas > 0) & (deltas < 1))
+
+def test_fast_iv_matches_exact_and_supports_jacfwd():
+    """infer_normal_implied_vol_fast: parity with the exact bisection and
+    forward-mode AD (the on-device rate LM needs jacfwd; the exact path's
+    custom_vjp cannot provide it)."""
+    import jax.numpy as jnp
+    f, t = 0.03, 1.0
+    strikes = np.linspace(0.018, 0.045, 11)
+    vols = 0.007 + 0.006 * np.linspace(0, 1, 11) ** 2
+    types = np.where(strikes >= f, 'C', 'P')
+    prices = bachel.compute_normal_price(f, strikes, t, vols, optiontype=types)
+    fast = np.asarray(bachel.infer_normal_implied_vol_fast(
+        forward=f, ttm=t, strike=strikes, given_price=prices, optiontype=types))
+    np.testing.assert_allclose(fast, vols, atol=1e-9)
+    J = np.asarray(jax.jacfwd(lambda p: bachel.infer_normal_implied_vol_fast(
+        forward=f, ttm=t, strike=strikes, given_price=p,
+        optiontype=types))(jnp.asarray(prices)))
+    sdev = vols * np.sqrt(t)
+    inv_vega = 1.0 / (norm.pdf((f - strikes) / sdev) * np.sqrt(t))
+    np.testing.assert_allclose(np.diag(J), inv_vega, rtol=1e-6)
+    # reverse mode through the same custom_jvp (transposed rule)
+    g = np.asarray(jax.grad(lambda p: bachel.infer_normal_implied_vol_fast(
+        forward=f, ttm=t, strike=strikes, given_price=p,
+        optiontype=types).sum())(jnp.asarray(prices)))
+    np.testing.assert_allclose(g, inv_vega, rtol=1e-6)
+
+
+def test_fast_iv_nan_at_unbracketed():
+    out = np.asarray(bachel.infer_normal_implied_vol_fast(
+        forward=0.03, ttm=1.0, strike=np.array([0.03, 0.03]),
+        given_price=np.array([0.004, 1.0])))
+    assert np.isfinite(out[0]) and np.isnan(out[1])

@@ -289,3 +289,114 @@ class TestFuturesMC:
             settlement_type=FutSettleType.EURODOLLAR)
         de_vols = np.asarray(ivols[0][0]).ravel()
         np.testing.assert_allclose(mc_vols, de_vols, atol=2.5e-4)
+
+
+class TestOnDeviceRateCalibration:
+    """on-device LM bootstrap of the (beta, volvol) term structure — beyond
+    the reference, which ships only pre-fitted factor-HJM parameters
+    (papers calibration_fig_5_6_7.py:171-215)."""
+
+    @pytest.mark.slow
+    def test_lm_recovers_known_smile(self):
+        import jax.numpy as jnp
+        from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+            calibrate_rate_logsv_lm_on_device,
+        )
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_slice_fn,
+        )
+        from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
+
+        def mk(beta_vec, volvol):
+            ts = np.array([0.0, 1.0, 2.0, 5.0])
+            return MultiFactRateLogSvParams(
+                sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+                beta=TermStructure.create_multi_fact_from_vec(
+                    ts, np.asarray(beta_vec)),
+                volvol=TermStructure.create_from_scalar(ts, volvol),
+                A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+                basis=make_basis(), ccy="USD")
+
+        true = mk([0.3, -0.15, 0.05], 0.45)
+        expiry, tenors = 1.0, [1.0, 5.0]
+        t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+        strikes = np.array([-0.012, -0.006, 0.0, 0.006, 0.012])
+        market = []
+        for tenor in tenors:
+            fn = make_swaption_slice_fn(true, t_grid, ttm=expiry, tenor=tenor,
+                                        forward=0.0, strikes=strikes)
+            px = fn(jnp.asarray(1.0), jnp.asarray(true.beta.xs),
+                    jnp.asarray(true.volvol.xs))
+            market.append(np.asarray(infer_normal_implied_vol(
+                forward=0.0, ttm=expiry, strike=strikes, given_price=px)))
+
+        start = mk([0.1, 0.1, 0.1], 0.2)
+        fit, cost = calibrate_rate_logsv_lm_on_device(
+            start, t_grid, expiry=expiry, idx=0, tenors=tenors,
+            forwards=[0.0, 0.0], strikes_tenors=[strikes] * 2,
+            market_ivols_tenors=market, nb_iters=30)
+        # exact-recovery problem: the LM drives the ivol residuals to ~0
+        assert cost < 1e-10
+        np.testing.assert_allclose(fit.beta.xs[0], [0.3, -0.15, 0.05],
+                                   atol=2e-3)
+        assert abs(fit.volvol.xs[0] - 0.45) < 2e-3
+        # untouched segments stay at the start values (bootstrap contract)
+        np.testing.assert_allclose(fit.beta.xs[1:], start.beta.xs[1:])
+
+    @pytest.mark.slow
+    def test_term_structure_bootstrap_runs(self):
+        import jax.numpy as jnp
+        from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+            calibrate_rate_logsv_term_structure,
+        )
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_slice_fn,
+        )
+        from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
+
+        ts = np.array([0.0, 1.0, 2.0, 5.0])
+        true = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+            beta=TermStructure(ts=ts, xs=np.array([[0.25, -0.1, 0.0],
+                                                   [0.1, 0.05, -0.05],
+                                                   [0.0, 0.0, 0.0]])),
+            volvol=TermStructure(ts=ts, xs=np.array([0.4, 0.3, 0.3])),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+            basis=make_basis(), ccy="USD")
+        expiries, tenor = [1.0, 2.0], 5.0
+        strikes = np.array([-0.008, 0.0, 0.008])
+        market_rows = []
+        for expiry in expiries:
+            t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+            fn = make_swaption_slice_fn(true, t_grid, ttm=expiry, tenor=tenor,
+                                        forward=0.0, strikes=strikes)
+            px = fn(jnp.asarray(1.0), jnp.asarray(true.beta.xs),
+                    jnp.asarray(true.volvol.xs))
+            market_rows.append([np.asarray(infer_normal_implied_vol(
+                forward=0.0, ttm=expiry, strike=strikes, given_price=px))])
+
+        start = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+            beta=TermStructure.create_multi_fact_from_vec(
+                ts, np.array([0.05, 0.05, 0.05])),
+            volvol=TermStructure.create_from_scalar(ts, 0.2),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+            basis=make_basis(), ccy="USD")
+        fit, costs = calibrate_rate_logsv_term_structure(
+            start, expiries=expiries, tenors=[tenor],
+            forwards_expiries=[[0.0], [0.0]],
+            strikes_expiries=[[strikes], [strikes]],
+            market_ivols_expiries=market_rows, t_grid_pts=21, nb_iters=24)
+        # each bootstrap step reprices its own expiry's smile to ~0
+        assert all(c < 1e-8 for c in costs)
+        # 3 strikes x 1 tenor under-determines the 4-vector; assert the
+        # repriced smiles, not the raw parameters
+        for expiry, row in zip(expiries, market_rows):
+            t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=21)
+            fn = make_swaption_slice_fn(fit, t_grid, ttm=expiry, tenor=tenor,
+                                        forward=0.0, strikes=strikes)
+            px = fn(jnp.asarray(1.0), jnp.asarray(fit.beta.xs),
+                    jnp.asarray(fit.volvol.xs))
+            iv = np.asarray(infer_normal_implied_vol(
+                forward=0.0, ttm=expiry, strike=strikes, given_price=px))
+            np.testing.assert_allclose(iv, row[0], atol=1e-5)
