@@ -1,5 +1,6 @@
 from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import de_pricer  # noqa: F401
 from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (  # noqa: F401
+    calibrate_rate_logsv_cube_lm_on_device,
     calibrate_rate_logsv_lm_on_device,
     calibrate_rate_logsv_term_structure,
 )
@@ -30,5 +31,7 @@ from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (  # noqa: F4
     calc_futures_rate,
     futures_conv_adj,
     logsv_chain_de_pricer,
+    make_swaption_cube_fn,
+    make_swaption_slice_fn,
     simulate_logsv_MF,
 )

@@ -33,6 +33,7 @@ from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
     MultiFactRateLogSvParams,
 )
 from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+    make_swaption_cube_fn,
     make_swaption_slice_fn,
 )
 from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol_fast
@@ -147,3 +148,105 @@ def calibrate_rate_logsv_term_structure(
             nb_iters=nb_iters, **kwargs)
         costs.append(cost)
     return params, costs
+
+
+def calibrate_rate_logsv_cube_lm_on_device(
+        params: MultiFactRateLogSvParams,
+        slices: Sequence[Tuple[float, float]],
+        forwards: Sequence[float],
+        strikes_slices: Sequence[np.ndarray],
+        market_ivols_slices: Sequence[np.ndarray],
+        segments: Optional[Sequence[int]] = None,
+        weights_slices: Optional[Sequence[np.ndarray]] = None,
+        nb_iters: int = 24,
+        beta_bound: float = 2.0,
+        volvol_bounds: Tuple[float, float] = (0.01, 2.0),
+        year_steps: int = 360,
+        nb_grid_pts: int = 31,
+        **cube_kwargs,
+) -> Tuple[MultiFactRateLogSvParams, float]:
+    """JOINT fit of the (beta, volvol) term structure to a whole swaption
+    cube in one on-device LM solve.
+
+    Where :func:`calibrate_rate_logsv_lm_on_device` bootstraps expiry by
+    expiry (the paper's procedure), this drives the residuals of every
+    (expiry, tenor, strike) quote simultaneously through
+    :func:`make_swaption_cube_fn` — one compiled program evaluates the full
+    cube and its Jacobian per LM iteration.  ``segments`` selects which
+    term-structure segments are free (default: every segment covered by the
+    supplied expiries); earlier segments couple into later expiries through
+    the piecewise-constant term structure, which the bootstrap ignores by
+    construction.  Returns ``(updated params copy, best cost)``.
+    """
+    d = params.basis.get_nb_factors()
+    n_seg = params.beta.xs.shape[0]
+    if segments is None:
+        last = max(int(np.searchsorted(np.asarray(params.ts), float(e)) - 1)
+                   for e, _ in slices)
+        segments = list(range(0, min(last, n_seg - 1) + 1))
+    segments = list(segments)
+    n_free = len(segments)
+
+    price_fn, mask = make_swaption_cube_fn(
+        params, slices, forwards, strikes_slices, year_steps=year_steps,
+        nb_grid_pts=nb_grid_pts, **cube_kwargs)
+    K_max = mask.shape[1]
+    market = np.zeros((len(slices), K_max))
+    weights = np.zeros((len(slices), K_max))
+    fwd_panel = np.zeros((len(slices), K_max))
+    strike_panel = np.zeros((len(slices), K_max))
+    ttm_panel = np.zeros((len(slices), K_max))
+    for p, (iv, strikes, fwd) in enumerate(zip(market_ivols_slices,
+                                               strikes_slices, forwards)):
+        k = len(strikes)
+        market[p, :k] = np.asarray(iv, dtype=float)
+        weights[p, :k] = (1.0 if weights_slices is None
+                          else np.asarray(weights_slices[p], dtype=float))
+        fwd_panel[p, :k] = float(fwd)
+        strike_panel[p, :k] = np.asarray(strikes, dtype=float)
+        ttm_panel[p, :k] = float(slices[p][0])
+    weights = np.where(np.asarray(mask), weights, 0.0)
+    market_j = jnp.asarray(market)
+    weights_j = jnp.asarray(weights)
+    fwd_j, strike_j, ttm_j = map(jnp.asarray,
+                                 (fwd_panel, strike_panel, ttm_panel))
+    # padded entries hold (fwd=0, strike=0, ttm=0) — give them a priceable
+    # dummy so no NaN circulates (their weight is exactly 0 anyway)
+    safe_ttm = jnp.where(ttm_j > 0.0, ttm_j, 1.0)
+
+    beta0 = jnp.asarray(params.beta.xs, dtype=jnp.float64)
+    volvol0 = jnp.asarray(params.volvol.xs, dtype=jnp.float64)
+    sigma0 = jnp.asarray(params.sigma0, dtype=jnp.float64)
+    seg_idx = jnp.asarray(np.asarray(segments, dtype=int))
+
+    def unpack(pars):
+        beta_free = pars[:n_free * d].reshape(n_free, d)
+        volvol_free = pars[n_free * d:]
+        beta_xs = beta0.at[seg_idx].set(beta_free)
+        volvol_xs = volvol0.at[seg_idx].set(volvol_free)
+        return beta_xs, volvol_xs
+
+    def residuals(pars):
+        beta_xs, volvol_xs = unpack(pars)
+        prices = price_fn(sigma0, beta_xs, volvol_xs)
+        ivols = infer_normal_implied_vol_fast(
+            forward=fwd_j, ttm=safe_ttm, strike=strike_j, given_price=prices)
+        clean = jnp.where(jnp.isnan(ivols), market_j, ivols)
+        return (weights_j * (clean - market_j)).ravel()
+
+    p0 = jnp.concatenate([beta0[seg_idx].ravel(), volvol0[seg_idx]])
+    lower = jnp.concatenate([jnp.full(n_free * d, -beta_bound),
+                             jnp.full(n_free, volvol_bounds[0])])
+    upper = jnp.concatenate([jnp.full(n_free * d, beta_bound),
+                             jnp.full(n_free, volvol_bounds[1])])
+    run = jax.jit(lambda q0: lm_minimize(residuals, q0, lower, upper,
+                                         nb_iters=nb_iters))
+    best, best_cost = run(p0)
+    best = np.asarray(best, dtype=float)
+
+    fitted = copy.deepcopy(params)
+    for j, seg in enumerate(segments):
+        fitted.update_params(idx=int(seg),
+                             beta_idx=best[j * d:(j + 1) * d],
+                             volvol_idx=float(best[n_free * d + j]))
+    return fitted, float(best_cost)

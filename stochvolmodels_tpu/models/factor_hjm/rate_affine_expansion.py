@@ -255,3 +255,64 @@ def compute_logsv_a_mgf_grid(ttm: float,
         raise NotImplementedError
     log_mgf = Cplx(a_t1.re @ ys, a_t1.im @ ys)
     return a_t1, log_mgf
+
+
+# ----------------------------------------------------------------------------
+# batched cube solver: many (expiry, tenor) slices in ONE program
+# ----------------------------------------------------------------------------
+
+def solve_a_ode_grid_batch(phi_grid: Cplx,
+                           dts: Array,
+                           stage_coeffs: Array,
+                           q: float,
+                           expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                           ) -> Cplx:
+    """vmapped RK4 Riccati solve over a batch of P slices.
+
+    ``dts`` is (P,) — each slice integrates S shared steps of its own dt
+    (S * dt_p = expiry_p), ``stage_coeffs`` is (P, S, 7, 3) — the seven
+    scalar coefficient series evaluated at each slice's RK4 stage times.
+    Shares :func:`_rates_ode_terms` / :func:`_ode_rhs` and the sticky
+    divergence-freeze with the single-slice :func:`solve_a_ode_grid`; the
+    whole swaption cube prices as one ``vmap(scan)`` program instead of one
+    program per (expiry, tenor) — the reference loops scipy solve_ivp per
+    slice per grid point (rate_affine_expansion.py:87-164).
+    Returns A(expiry) as a Cplx of shape (P, N, n).
+    """
+    n = get_expansion_n(expansion_order)
+    n_grid = phi_grid.shape[0]
+    CLAMP = 1.0e3
+    DEAD_RE = -1.0e4
+
+    def solve_one(dt, coeffs):
+        def rk4_step(carry, c):
+            a_re, a_im, dead = carry
+            A = Cplx(a_re, a_im)
+            M0, L0_, H0 = _rates_ode_terms(q, c[:, 0], phi_grid, n)
+            Mh, Lh, Hh = _rates_ode_terms(q, c[:, 1], phi_grid, n)
+            M1, L1_, H1 = _rates_ode_terms(q, c[:, 2], phi_grid, n)
+            k1 = _ode_rhs(A, M0, L0_, H0)
+            k2 = _ode_rhs(A + k1 * (0.5 * dt), Mh, Lh, Hh)
+            k3 = _ode_rhs(A + k2 * (0.5 * dt), Mh, Lh, Hh)
+            k4 = _ode_rhs(A + k3 * dt, M1, L1_, H1)
+            A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
+            re = jnp.clip(A1.re, -CLAMP, CLAMP)
+            im = jnp.clip(A1.im, -CLAMP, CLAMP)
+            dead = dead | jnp.any((jnp.abs(A1.re) >= CLAMP)
+                                  | (jnp.abs(A1.im) >= CLAMP)
+                                  | ~jnp.isfinite(A1.re)
+                                  | ~jnp.isfinite(A1.im), axis=-1)
+            re = jnp.where(dead[:, None],
+                           jnp.concatenate([jnp.full_like(re[:, :1], DEAD_RE),
+                                            jnp.zeros_like(re[:, 1:])], axis=1),
+                           re)
+            im = jnp.where(dead[:, None], jnp.zeros_like(im), im)
+            return (re, im, dead), None
+
+        init = (jnp.zeros((n_grid, n)), jnp.zeros((n_grid, n)),
+                jnp.zeros(n_grid, dtype=bool))
+        (a_re, a_im, _), _ = jax.lax.scan(rk4_step, init, coeffs)
+        return a_re, a_im
+
+    a_re, a_im = jax.vmap(solve_one)(jnp.asarray(dts), stage_coeffs)
+    return Cplx(a_re, a_im)

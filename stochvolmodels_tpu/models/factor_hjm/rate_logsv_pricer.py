@@ -353,6 +353,133 @@ def make_swaption_slice_fn(params: MultiFactRateLogSvParams,
     return price
 
 
+def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
+                          slices,
+                          forwards,
+                          strikes_slices,
+                          expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                          nb_grid_pts: int = 31,
+                          year_steps: int = 360,
+                          h: float = 0.125,
+                          x_max: float = 2.75,
+                          x0: Optional[np.ndarray] = None,
+                          y0: Optional[np.ndarray] = None):
+    """jitted whole-cube swaption pricer: every (expiry, tenor) slice in ONE
+    device program.
+
+    ``slices`` is a sequence of (expiry, tenor) pairs, ``forwards[p]`` /
+    ``strikes_slices[p]`` the forward swap rate and strike grid of slice p.
+    Returns ``(price, mask)`` where ``price(sigma0, beta_xs, volvol_xs) ->
+    (P, K_max)`` jnp call prices (undiscounted, annuity-normalized) and
+    ``mask`` is the (P, K_max) validity panel of the padded strike axis.
+
+    Per-slice structural panels are frozen on host exactly as in
+    :func:`make_swaption_slice_fn`; the P Riccati systems then integrate as
+    one ``vmap(lax.scan)`` (``solve_a_ode_grid_batch``) with a shared step
+    count and per-slice dt, and the tanh-sinh inversion broadcasts over
+    (P, N, K).  The reference reprices a cube as a nested Python loop of
+    adaptive DE refinements, one scipy solve_ivp call per grid point per
+    slice (rate_logsv_pricer.py:148-244, double_exp_pricer.py:20-72);
+    end-to-end differentiable here, so the joint cube calibration
+    (fast_calibration.calibrate_rate_logsv_cube_lm_on_device) runs LM over
+    it entirely on device.
+    """
+    from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import (
+        tanh_sinh_nodes,
+    )
+    from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+        _scalar_series,
+        get_expansion_n,
+        solve_a_ode_grid_batch,
+    )
+    from stochvolmodels_tpu.utils.rate_core import generate_ttms_grid
+
+    P = len(slices)
+    assert len(forwards) == P and len(strikes_slices) == P
+    p_nodes, w_nodes = tanh_sinh_nodes(h=h, x_max=x_max)
+    theta, kappa1, kappa2 = params.theta, params.kappa1, params.kappa2
+    n = get_expansion_n(expansion_order)
+
+    # shared RK4 step count: every slice runs S steps of its own dt
+    ttms = np.array([float(e) for e, _ in slices])
+    S = max(int(np.ceil(year_steps * float(np.max(ttms)))), 16)
+
+    # host-frozen per-slice panels (ragged in T — consumed at trace time)
+    per_slice = []
+    for (expiry, tenor) in slices:
+        t_grid = generate_ttms_grid(np.array([float(expiry)]),
+                                    nb_pts=nb_grid_pts)
+        t_grid_cut, _, idx_t, swap_gr, loga_der, C_panel = \
+            params.qa_structural_panels(expiry=float(expiry),
+                                        tenor=float(tenor),
+                                        t_grid=t_grid, x0=x0, y0=y0)
+        CT_loga = jnp.asarray(np.einsum('tde,td->te', C_panel, loga_der))
+        a_interp = jnp.asarray(np.einsum('td,tde->te', swap_gr, C_panel))
+        dt = float(expiry) / S
+        tau0 = np.arange(S) * dt
+        stage_taus = np.stack([tau0, tau0 + 0.5 * dt, tau0 + dt], axis=1)
+        t_eval = jnp.asarray(float(expiry) - stage_taus)     # (S, 3)
+        per_slice.append((jnp.asarray(idx_t), CT_loga, a_interp,
+                          jnp.asarray(np.asarray(t_grid_cut, dtype=float)),
+                          t_eval, dt))
+
+    K_max = max(len(s) for s in strikes_slices)
+    moneyness = np.zeros((P, K_max))
+    mask = np.zeros((P, K_max), dtype=bool)
+    for p, (strikes, fwd) in enumerate(zip(strikes_slices, forwards)):
+        k = len(strikes)
+        moneyness[p, :k] = np.asarray(strikes, dtype=float) - float(fwd)
+        mask[p, :k] = True
+    moneyness_j = jnp.asarray(moneyness)
+    p_nodes_j = jnp.asarray(p_nodes)
+    w_nodes_j = jnp.asarray(w_nodes)
+    dts = jnp.asarray([ps[5] for ps in per_slice])
+
+    @jax.jit
+    def price(sigma0, beta_xs, volvol_xs):
+        beta_xs = jnp.asarray(beta_xs)
+        volvol_xs = jnp.asarray(volvol_xs)
+        coeffs_all = []
+        for idx_t, CT_loga, a_interp, times_f, t_eval, _dt in per_slice:
+            beta_interp = beta_xs[idx_t]                     # (T, d)
+            volvol_interp = volvol_xs[idx_t]                 # (T,)
+            beta2 = jnp.einsum('td,td->t', beta_interp, CT_loga)
+            kappa0_s = beta2 * theta * theta
+            kappa1_s = kappa1 - kappa2 * theta + 2.0 * (kappa2 - beta2) * theta
+            kappa2_s = kappa2 - beta2
+            series = _scalar_series(
+                times_f, a_interp, jnp.zeros_like(kappa0_s), kappa0_s,
+                kappa1_s, kappa2_s, beta_interp, volvol_interp,
+                jnp.zeros_like(kappa0_s), UnderlyingType.SWAP)  # (7, T)
+            coeffs = jax.vmap(
+                lambda s: jnp.interp(t_eval.ravel(), times_f, s))(series)
+            coeffs_all.append(jnp.moveaxis(coeffs.reshape(7, S, 3), 0, 1))
+        stage_coeffs = jnp.stack(coeffs_all)                 # (P, S, 7, 3)
+
+        phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
+        a_t1 = solve_a_ode_grid_batch(phi, dts, stage_coeffs, q=theta,
+                                      expansion_order=expansion_order)
+        y = sigma0 - theta
+        if n == 3:
+            ys = jnp.stack([jnp.ones_like(y), y, y * y])
+        else:
+            y2 = y * y
+            ys = jnp.stack([jnp.ones_like(y), y, y2, y2 * y, y2 * y2])
+        mgf_re = a_t1.re @ ys                                # (P, N)
+        mgf_im = a_t1.im @ ys
+        p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)     # 1/(pi phi^2)
+        z_re = (moneyness_j[:, None, :] * phi.re[None, :, None]
+                + mgf_re[:, :, None])                        # (P, N, K)
+        z_im = (moneyness_j[:, None, :] * phi.im[None, :, None]
+                + mgf_im[:, :, None])
+        e = jnp.exp(z_re)
+        integrand = e * (p_payoff.re[None, :, None] * jnp.cos(z_im)
+                         - p_payoff.im[None, :, None] * jnp.sin(z_im))
+        return jnp.einsum('n,pnk->pk', w_nodes_j, integrand)
+
+    return price, jnp.asarray(mask)
+
+
 # ----------------------------------------------------------------------------
 # pricer classes
 # ----------------------------------------------------------------------------

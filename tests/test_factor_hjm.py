@@ -400,3 +400,92 @@ class TestOnDeviceRateCalibration:
             iv = np.asarray(infer_normal_implied_vol(
                 forward=0.0, ttm=expiry, strike=strikes, given_price=px))
             np.testing.assert_allclose(iv, row[0], atol=1e-5)
+
+
+class TestSwaptionCubePricer:
+    """batched whole-cube pricer (make_swaption_cube_fn): every
+    (expiry, tenor) slice in one vmap(scan) program."""
+
+    def _true_params(self):
+        ts = np.array([0.0, 1.0, 2.0, 5.0])
+        return MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+            beta=TermStructure(ts=ts, xs=np.array([[0.25, -0.1, 0.0],
+                                                   [0.1, 0.05, -0.05],
+                                                   [0.0, 0.0, 0.0]])),
+            volvol=TermStructure(ts=ts, xs=np.array([0.4, 0.3, 0.3])),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+            basis=make_basis(), ccy="USD")
+
+    def test_cube_matches_slice_pricer(self):
+        import jax.numpy as jnp
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn,
+            make_swaption_slice_fn,
+        )
+        params = self._true_params()
+        slices = [(1.0, 1.0), (1.0, 5.0), (2.0, 5.0)]
+        strikes = [np.array([-0.01, 0.0, 0.01]),
+                   np.array([-0.012, -0.006, 0.0, 0.006, 0.012]),
+                   np.array([-0.01, 0.0, 0.01, 0.02])]
+        fwds = [0.0, 0.0, 0.0]
+        cube_fn, mask = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                              year_steps=180)
+        args = (jnp.asarray(1.0), jnp.asarray(params.beta.xs),
+                jnp.asarray(params.volvol.xs))
+        cube_px = np.asarray(cube_fn(*args))
+        assert cube_px.shape == (3, 5)
+        np.testing.assert_array_equal(
+            np.asarray(mask),
+            [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1], [1, 1, 1, 1, 0]])
+        for p, (expiry, tenor) in enumerate(slices):
+            t_grid = generate_ttms_grid(np.array([expiry]), nb_pts=31)
+            fn = make_swaption_slice_fn(params, t_grid, ttm=expiry,
+                                        tenor=tenor, forward=0.0,
+                                        strikes=strikes[p])
+            ref = np.asarray(fn(*args))
+            # shared-S cube uses a different (finer/equal) dt per slice than
+            # the slice pricer's 360/yr — RK4 is converged to ~1e-13 here
+            np.testing.assert_allclose(cube_px[p, :len(strikes[p])], ref,
+                                       atol=1e-10)
+
+    @pytest.mark.slow
+    def test_joint_cube_lm_reprices_market(self):
+        import jax.numpy as jnp
+        from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+            calibrate_rate_logsv_cube_lm_on_device,
+        )
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn,
+        )
+        from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
+
+        true = self._true_params()
+        slices = [(1.0, 1.0), (1.0, 5.0), (2.0, 1.0), (2.0, 5.0)]
+        strikes = [np.array([-0.012, -0.006, 0.0, 0.006, 0.012])] * 4
+        fwds = [0.0] * 4
+        fn, _ = make_swaption_cube_fn(true, slices, fwds, strikes,
+                                      year_steps=180)
+        px = np.asarray(fn(jnp.asarray(1.0), jnp.asarray(true.beta.xs),
+                           jnp.asarray(true.volvol.xs)))
+        market = [np.asarray(infer_normal_implied_vol(
+            forward=0.0, ttm=e, strike=strikes[p], given_price=px[p, :5]))
+            for p, (e, _) in enumerate(slices)]
+
+        ts = np.array([0.0, 1.0, 2.0, 5.0])
+        start = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+            beta=TermStructure.create_multi_fact_from_vec(
+                ts, np.array([0.05, 0.05, 0.05])),
+            volvol=TermStructure.create_from_scalar(ts, 0.2),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+            basis=make_basis(), ccy="USD")
+        fit, cost = calibrate_rate_logsv_cube_lm_on_device(
+            start, slices, fwds, strikes, market, nb_iters=40,
+            year_steps=180)
+        # 20 quotes, 8 free params: joint LM reprices the cube to ~0
+        assert cost < 1e-10
+        # segment (2y, 5y] has no quotes -> default segment selection must
+        # leave it at the start value
+        np.testing.assert_allclose(fit.beta.xs[2], start.beta.xs[2])
+        assert fit.volvol.xs[2] == start.volvol.xs[2]
