@@ -1,0 +1,126 @@
+"""
+On-device joint calibration of the USD swaption cube (TPU-native extension
+of the paper's Section 5 calibration).
+
+The reference paper ships pre-fitted (beta, volvol) term structures only
+(reference papers/sv_for_factor_hjm/calibration_fig_5_6_7.py:171-215 embeds
+them); the fit itself was done offline.  Here the fit is REPRODUCED live:
+starting from a flat term structure, one joint Levenberg-Marquardt solve on
+device fits every quoted (expiry, tenor, strike) of the 18-Aug-2023 USD
+surface simultaneously through the batched cube pricer
+(``make_swaption_cube_fn`` — all slices in one vmap(scan) program).
+
+The factor-vol panels A (ATM level per segment, prefit by the paper) are
+held at the paper's values: they enter the frozen QA structural panels,
+which are independent of the calibrated (beta, volvol) under the
+frozen-coefficient approximation.
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import List, Tuple
+
+import numpy as np
+
+from papers.sv_for_factor_hjm.calibration_fig_5_6_7 import (
+    get_calib_rate_logsv_params,
+    get_swaption_data,
+)
+from stochvolmodels_tpu import MultiFactRateLogSvParams, SwOptionChain
+from stochvolmodels_tpu.models.factor_hjm import (
+    calibrate_rate_logsv_cube_lm_on_device,
+    make_swaption_cube_fn,
+)
+from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
+
+
+def chain_to_cube(swaption_chain: SwOptionChain,
+                  max_expiry: float = 5.0
+                  ) -> Tuple[List[Tuple[float, float]], List[float],
+                             List[np.ndarray], List[np.ndarray]]:
+    """flatten a SwOptionChain into (slices, forwards, strikes, market ivols)
+    rows, one per (expiry, tenor), capped at ``max_expiry`` (the paper's
+    term structure ends at 5y)."""
+    slices, forwards, strikes_slices, ivols_slices = [], [], [], []
+    for i, tenor in enumerate(np.asarray(swaption_chain.tenors, dtype=float)):
+        for j, ttm in enumerate(np.asarray(swaption_chain.ttms, dtype=float)):
+            if ttm > max_expiry:
+                continue
+            slices.append((float(ttm), float(tenor)))
+            forwards.append(float(swaption_chain.forwards[i][j]))
+            strikes_slices.append(np.asarray(swaption_chain.strikes_ttms[i][j]))
+            ivols_slices.append(np.asarray(swaption_chain.bid_ivs[i][j]))
+    return slices, forwards, strikes_slices, ivols_slices
+
+
+def run_joint_cube_calibration(max_expiry: float = 5.0,
+                               nb_iters: int = 24,
+                               year_steps: int = 360,
+                               verbose: bool = True
+                               ) -> Tuple[MultiFactRateLogSvParams, float,
+                                          float, float]:
+    """joint LM fit of the USD cube from a flat start; returns
+    (fitted params, LM cost, mean |model-market| bp, max |model-market| bp)."""
+    chain = get_swaption_data("USD")
+    paper_fit = get_calib_rate_logsv_params()["USD"]
+
+    # flat start: keep the paper's prefit A (structural); reset the
+    # calibratables to featureless values
+    start = get_calib_rate_logsv_params()["USD"]
+    for idx in range(start.beta.xs.shape[0]):
+        start.beta.xs[idx, :] = np.array([0.1, 0.0, 0.0])
+        start.volvol.xs[idx] = 0.1
+
+    slices, forwards, strikes_slices, ivols_slices = chain_to_cube(
+        chain, max_expiry=max_expiry)
+    fitted, cost = calibrate_rate_logsv_cube_lm_on_device(
+        start, slices, forwards, strikes_slices, ivols_slices,
+        nb_iters=nb_iters, year_steps=year_steps)
+
+    mean_bp, max_bp = evaluate_cube_fit(fitted, slices, forwards,
+                                        strikes_slices, ivols_slices,
+                                        year_steps=year_steps)
+    if verbose:
+        paper_mean, paper_max = evaluate_cube_fit(
+            paper_fit, slices, forwards, strikes_slices, ivols_slices,
+            year_steps=year_steps)
+        print(f"joint LM over {sum(len(s) for s in strikes_slices)} quotes, "
+              f"{len(slices)} slices: cost={cost:.3e}")
+        print(f"  on-device fit : mean {mean_bp:.2f} bp, max {max_bp:.2f} bp")
+        print(f"  paper's fit   : mean {paper_mean:.2f} bp, max {paper_max:.2f} bp")
+    return fitted, cost, mean_bp, max_bp
+
+
+def evaluate_cube_fit(params: MultiFactRateLogSvParams,
+                      slices, forwards, strikes_slices, ivols_slices,
+                      year_steps: int = 360) -> Tuple[float, float]:
+    """(mean, max) |model - market| in bp of normal vol over the cube."""
+    import jax.numpy as jnp
+
+    fn, mask = make_swaption_cube_fn(params, slices, forwards, strikes_slices,
+                                     year_steps=year_steps)
+    px = np.asarray(fn(jnp.asarray(params.sigma0),
+                       jnp.asarray(params.beta.xs),
+                       jnp.asarray(params.volvol.xs)))
+    errs = []
+    for p, ((expiry, _), fwd, strikes, mkt) in enumerate(
+            zip(slices, forwards, strikes_slices, ivols_slices)):
+        iv = np.asarray(infer_normal_implied_vol(
+            forward=fwd, ttm=expiry, strike=strikes,
+            given_price=px[p, :len(strikes)]))
+        errs.append(np.abs(iv - np.asarray(mkt)) * 1e4)
+    errs = np.concatenate(errs)
+    return float(np.nanmean(errs)), float(np.nanmax(errs))
+
+
+class UnitTests(Enum):
+    JOINT_CUBE_CALIBRATION = 1
+
+
+def run_unit_test(unit_test: UnitTests, is_save: bool = False):
+    if unit_test == UnitTests.JOINT_CUBE_CALIBRATION:
+        run_joint_cube_calibration()
+
+
+if __name__ == "__main__":
+    run_unit_test(UnitTests.JOINT_CUBE_CALIBRATION)
