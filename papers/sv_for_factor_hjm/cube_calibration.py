@@ -39,18 +39,11 @@ def chain_to_cube(swaption_chain: SwOptionChain,
                   ) -> Tuple[List[Tuple[float, float]], List[float],
                              List[np.ndarray], List[np.ndarray]]:
     """flatten a SwOptionChain into (slices, forwards, strikes, market ivols)
-    rows, one per (expiry, tenor), capped at ``max_expiry`` (the paper's
-    term structure ends at 5y)."""
-    slices, forwards, strikes_slices, ivols_slices = [], [], [], []
-    for i, tenor in enumerate(np.asarray(swaption_chain.tenors, dtype=float)):
-        for j, ttm in enumerate(np.asarray(swaption_chain.ttms, dtype=float)):
-            if ttm > max_expiry:
-                continue
-            slices.append((float(ttm), float(tenor)))
-            forwards.append(float(swaption_chain.forwards[i][j]))
-            strikes_slices.append(np.asarray(swaption_chain.strikes_ttms[i][j]))
-            ivols_slices.append(np.asarray(swaption_chain.bid_ivs[i][j]))
-    return slices, forwards, strikes_slices, ivols_slices
+    rows, capped at ``max_expiry`` (the paper's term structure ends at 5y)."""
+    from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+        swaption_chain_to_cube,
+    )
+    return swaption_chain_to_cube(swaption_chain, max_expiry=max_expiry)
 
 
 def run_joint_cube_calibration(max_expiry: float = 5.0,

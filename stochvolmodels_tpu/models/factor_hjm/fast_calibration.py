@@ -250,3 +250,21 @@ def calibrate_rate_logsv_cube_lm_on_device(
                              beta_idx=best[j * d:(j + 1) * d],
                              volvol_idx=float(best[n_free * d + j]))
     return fitted, float(best_cost)
+
+
+def swaption_chain_to_cube(swaption_chain,
+                           max_expiry: Optional[float] = None):
+    """flatten a SwOptionChain into (slices, forwards, strikes_slices,
+    market_ivols_slices) rows, one per (expiry, tenor), optionally capped
+    at ``max_expiry`` (e.g. where the parameter term structure ends)."""
+    slices, forwards, strikes_slices, ivols_slices = [], [], [], []
+    for i, tenor in enumerate(np.asarray(swaption_chain.tenors, dtype=float)):
+        for j, ttm in enumerate(np.asarray(swaption_chain.ttms, dtype=float)):
+            if max_expiry is not None and ttm > float(max_expiry):
+                continue
+            slices.append((float(ttm), float(tenor)))
+            forwards.append(float(swaption_chain.forwards[i][j]))
+            strikes_slices.append(
+                np.asarray(swaption_chain.strikes_ttms[i][j]))
+            ivols_slices.append(np.asarray(swaption_chain.bid_ivs[i][j]))
+    return slices, forwards, strikes_slices, ivols_slices

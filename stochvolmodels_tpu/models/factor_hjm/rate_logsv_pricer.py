@@ -504,6 +504,27 @@ class RateLogSVPricer(ModelPricer):
                              **kwargs):
         raise NotImplementedError("use factor_hjm_pricer.calc_mc_vols")
 
+    def calibrate_model_params_to_chain(self, option_chain, params0,
+                                        max_expiry: Optional[float] = None,
+                                        nb_iters: int = 24,
+                                        year_steps: int = 360,
+                                        **kwargs):
+        """joint on-device LM fit of the (beta, volvol) term structure to a
+        SwOptionChain cube — beyond the reference, which has no factor-HJM
+        calibration engine (its papers embed offline fits).  Returns
+        ``(fitted MultiFactRateLogSvParams, LM cost)``."""
+        from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+            calibrate_rate_logsv_cube_lm_on_device,
+            swaption_chain_to_cube,
+        )
+        if max_expiry is None:
+            max_expiry = float(params0.ts[-1])
+        slices, forwards, strikes_slices, ivols_slices = \
+            swaption_chain_to_cube(option_chain, max_expiry=max_expiry)
+        return calibrate_rate_logsv_cube_lm_on_device(
+            params0, slices, forwards, strikes_slices, ivols_slices,
+            nb_iters=nb_iters, year_steps=year_steps, **kwargs)
+
 
 class RateFutLogSVPricer(ModelPricer):
     """pricer for rate futures and options on rate futures (Sec. 4.2)."""

@@ -56,7 +56,10 @@ def get_phi_grid(is_spot_measure: bool = True,
         real_p = -0.5 if is_spot_measure else 0.5
     else:
         real_p = real_phi
-    p = jnp.linspace(0.0, 5.6 / jnp.asarray(vol_scaler, dtype=jnp.float64), max_phi)
+    # result_type(float) is f64 under x64 and f32 in fast mode — an explicit
+    # float64 here would emit a truncation warning on every fast-path trace
+    p = jnp.linspace(0.0, 5.6 / jnp.asarray(vol_scaler, dtype=jnp.result_type(float)),
+                     max_phi)
     return Cplx(jnp.full_like(p, real_p), p)
 
 

@@ -489,3 +489,29 @@ class TestSwaptionCubePricer:
         # leave it at the start value
         np.testing.assert_allclose(fit.beta.xs[2], start.beta.xs[2])
         assert fit.volvol.xs[2] == start.volvol.xs[2]
+
+
+class TestRateLogSVPricerCalibration:
+    @pytest.mark.slow
+    def test_pricer_calibrate_to_chain(self):
+        """ModelPricer-level entry: RateLogSVPricer.calibrate_model_params_to_chain
+        runs the joint cube LM over a SwOptionChain (reduced USD cube)."""
+        from papers.sv_for_factor_hjm.calibration_fig_5_6_7 import (
+            get_calib_rate_logsv_params,
+            get_swaption_data,
+        )
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            RateLogSVPricer,
+        )
+
+        chain = get_swaption_data("USD")
+        start = get_calib_rate_logsv_params()["USD"]
+        for idx in range(start.beta.xs.shape[0]):
+            start.beta.xs[idx, :] = np.array([0.1, 0.0, 0.0])
+            start.volvol.xs[idx] = 0.1
+        fit, cost = RateLogSVPricer().calibrate_model_params_to_chain(
+            chain, start, max_expiry=2.0, nb_iters=10, year_steps=90)
+        assert np.isfinite(cost)
+        # the 1y and 2y segments moved off the flat start
+        assert not np.allclose(fit.beta.xs[0], start.beta.xs[0])
+        assert fit.volvol.xs[0] != start.volvol.xs[0]
