@@ -1,8 +1,11 @@
 from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import de_pricer  # noqa: F401
 from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (  # noqa: F401
     calibrate_rate_logsv_cube_lm_on_device,
+    calibrate_rate_logsv_full,
     calibrate_rate_logsv_lm_on_device,
     calibrate_rate_logsv_term_structure,
+    prefit_A_to_atm,
+    swaption_chain_to_cube,
 )
 from stochvolmodels_tpu.models.factor_hjm.factor_hjm_pricer import (  # noqa: F401
     calc_mc_vols,

@@ -268,3 +268,102 @@ def swaption_chain_to_cube(swaption_chain,
                 np.asarray(swaption_chain.strikes_ttms[i][j]))
             ivols_slices.append(np.asarray(swaption_chain.bid_ivs[i][j]))
     return slices, forwards, strikes_slices, ivols_slices
+
+
+def prefit_A_to_atm(params: MultiFactRateLogSvParams,
+                    slices: Sequence[Tuple[float, float]],
+                    forwards: Sequence[float],
+                    strikes_slices: Sequence[np.ndarray],
+                    market_ivols_slices: Sequence[np.ndarray],
+                    nb_outer: int = 4,
+                    year_steps: int = 360,
+                    damping: float = 1.0,
+                    ) -> Tuple[MultiFactRateLogSvParams, float]:
+    """fix-point prefit of the per-segment factor-vol levels A to the ATM
+    normal vols of the cube (the paper's stage-1 calibration; its result is
+    embedded as ``A_idx`` in calibration_fig_5_6_7.py:171-215).
+
+    Each tenor maps to its nearest basis key term, and each outer iteration
+    reprices the cube once (batched ``make_swaption_cube_fn``) and scales
+    ``A[seg][j] *= (mkt_atm / model_atm)`` for the latest segment covering
+    that expiry — ATM normal vol is near-linear in the local vol level, so
+    3-5 iterations converge to sub-bp.  A enters the frozen QA structural
+    panels, so each iteration re-freezes them (host) and re-traces the cube
+    program.  Returns ``(updated params copy, max ATM error in bp)``.
+    """
+    from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
+
+    params = copy.deepcopy(params)
+    key_terms = np.asarray(params.basis.key_terms, dtype=float)
+    expiries = sorted({e for e, _ in slices})
+    # latest term-structure segment covering each expiry
+    seg_of = {e: int(np.clip(np.searchsorted(np.asarray(params.ts), e) - 1,
+                             0, params.A.shape[0] - 1)) for e in expiries}
+    # ATM quote (nearest strike to forward) per slice
+    atm_mkt, atm_strike = [], []
+    for (e, tenor), fwd, strikes, ivs in zip(slices, forwards, strikes_slices,
+                                             market_ivols_slices):
+        k = int(np.argmin(np.abs(np.asarray(strikes) - fwd)))
+        atm_strike.append(k)
+        atm_mkt.append(float(np.asarray(ivs)[k]))
+
+    max_err_bp = np.inf
+    for _ in range(nb_outer):
+        import jax.numpy as jnp
+        fn, _ = make_swaption_cube_fn(params, slices, forwards,
+                                      strikes_slices, year_steps=year_steps)
+        px = np.asarray(fn(jnp.asarray(params.sigma0),
+                           jnp.asarray(params.beta.xs),
+                           jnp.asarray(params.volvol.xs)))
+        # per (segment, key-term) multiplicative updates, averaged over the
+        # slices that inform them
+        ratios = {}
+        errs = []
+        for p, ((e, tenor), fwd, strikes) in enumerate(
+                zip(slices, forwards, strikes_slices)):
+            k = atm_strike[p]
+            model_atm = float(np.asarray(infer_normal_implied_vol(
+                forward=fwd, ttm=e, strike=float(np.asarray(strikes)[k]),
+                given_price=float(px[p, k]))))
+            if not np.isfinite(model_atm):
+                continue
+            j = int(np.argmin(np.abs(key_terms - tenor)))
+            key = (seg_of[e], j)
+            ratios.setdefault(key, []).append(atm_mkt[p] / model_atm)
+            errs.append(abs(model_atm - atm_mkt[p]) * 1e4)
+        max_err_bp = float(np.max(errs)) if errs else np.inf
+        new_A = params.A.copy()
+        for (seg, j), rs in ratios.items():
+            r = float(np.mean(rs)) ** damping
+            new_A[seg, j] = params.A[seg, j] * r
+        for seg in range(new_A.shape[0]):
+            params.update_params(idx=seg, A_idx=new_A[seg])
+    return params, max_err_bp
+
+
+def calibrate_rate_logsv_full(params0: MultiFactRateLogSvParams,
+                              slices: Sequence[Tuple[float, float]],
+                              forwards: Sequence[float],
+                              strikes_slices: Sequence[np.ndarray],
+                              market_ivols_slices: Sequence[np.ndarray],
+                              nb_rounds: int = 2,
+                              nb_outer_atm: int = 4,
+                              nb_iters_lm: int = 24,
+                              year_steps: int = 360,
+                              **lm_kwargs,
+                              ) -> Tuple[MultiFactRateLogSvParams, float]:
+    """full two-stage cube calibration from scratch: alternate the ATM
+    prefit of A (:func:`prefit_A_to_atm`) with the joint (beta, volvol)
+    cube LM (:func:`calibrate_rate_logsv_cube_lm_on_device`).  The second
+    round re-levels A under the fitted skew (beta shifts the ATM point).
+    Returns ``(fitted params, final LM cost)``."""
+    params, cost = params0, np.inf
+    for _ in range(nb_rounds):
+        params, _ = prefit_A_to_atm(params, slices, forwards, strikes_slices,
+                                    market_ivols_slices,
+                                    nb_outer=nb_outer_atm,
+                                    year_steps=year_steps)
+        params, cost = calibrate_rate_logsv_cube_lm_on_device(
+            params, slices, forwards, strikes_slices, market_ivols_slices,
+            nb_iters=nb_iters_lm, year_steps=year_steps, **lm_kwargs)
+    return params, cost

@@ -151,3 +151,19 @@ def test_joint_cube_calibration_beats_flat_start():
     assert np.isfinite(cost)
     assert mean_bp < 3.0
     assert max_bp < 15.0
+
+
+@pytest.mark.slow
+def test_from_scratch_two_stage_calibration():
+    """A-prefit + joint LM with ZERO paper inputs (reduced config): the
+    two-stage fit must land within a few bp and the fitted A must be in the
+    paper's ballpark (~1.2-1.5% front-segment 2y key-term vol)."""
+    from papers.sv_for_factor_hjm.cube_calibration import (
+        run_from_scratch_calibration,
+    )
+    fit, cost, mean_bp, max_bp = run_from_scratch_calibration(
+        max_expiry=2.0, nb_rounds=1, nb_iters_lm=10, year_steps=90,
+        verbose=False)
+    assert np.isfinite(cost)
+    assert mean_bp < 3.0
+    assert 0.010 < fit.A[0, 0] < 0.020
