@@ -449,6 +449,32 @@ class TestSwaptionCubePricer:
             np.testing.assert_allclose(cube_px[p, :len(strikes[p])], ref,
                                        atol=1e-10)
 
+    def test_cube_second_order_expansion(self):
+        """ExpansionOrder.SECOND through the batched cube: off-sigma0 start
+        so the higher-order (sigma0-theta) terms matter; orders agree to
+        ~0.2% and differ measurably (the y^3/y^4 corrections are active)."""
+        import jax.numpy as jnp
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn,
+        )
+        params = self._true_params()
+        params.update_params(idx=0, sigma0=1.05)
+        slices = [(1.0, 1.0), (2.0, 5.0)]
+        strikes = [np.array([-0.01, 0.0, 0.01])] * 2
+        args = (jnp.asarray(1.05), jnp.asarray(params.beta.xs),
+                jnp.asarray(params.volvol.xs))
+        fn1, _ = make_swaption_cube_fn(params, slices, [0.0, 0.0], strikes,
+                                       year_steps=120)
+        fn2, _ = make_swaption_cube_fn(params, slices, [0.0, 0.0], strikes,
+                                       year_steps=120,
+                                       expansion_order=ExpansionOrder.SECOND)
+        p1, p2 = np.asarray(fn1(*args)), np.asarray(fn2(*args))
+        assert np.all(np.isfinite(p2)) and np.all(p2 > 0)
+        rel = np.abs(p2 - p1) / p1
+        assert np.max(rel) < 5e-3
+        assert np.max(rel) > 1e-5
+
+
     @pytest.mark.slow
     def test_joint_cube_lm_reprices_market(self):
         import jax.numpy as jnp
