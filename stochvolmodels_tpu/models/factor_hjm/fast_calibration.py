@@ -309,7 +309,6 @@ def prefit_A_to_atm(params: MultiFactRateLogSvParams,
 
     max_err_bp = np.inf
     for _ in range(nb_outer):
-        import jax.numpy as jnp
         fn, _ = make_swaption_cube_fn(params, slices, forwards,
                                       strikes_slices, year_steps=year_steps)
         px = np.asarray(fn(jnp.asarray(params.sigma0),

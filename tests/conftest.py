@@ -40,13 +40,23 @@ os.environ.setdefault("SVMTPU_NO_COMPILE_CACHE", "1")
 
 
 # XLA:CPU JIT code mappings accumulate per compiled executable; a full-suite
-# run crosses the kernel's vm.max_map_count (65530) and segfaults inside
-# LLVM (observed: maps 833 -> 63581, then SIGSEGV at the limit).  Dropping
-# executables between test modules keeps the count bounded; shared programs
-# recompile in later modules, which is slower but deterministic.
+# run crosses the kernel's vm.max_map_count (default 65530) and segfaults
+# inside LLVM (observed: maps 833 -> 63581, then SIGSEGV at the limit; a
+# single heavy module — e.g. the factor-HJM cube/LM programs — can cross it
+# alone).  Two defenses: best-effort raise of the limit (root in CI), and
+# dropping executables between test modules so shared programs recompile
+# later — slower but deterministic.
 import gc
 
 import pytest
+
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read().strip()) < 1048576:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except (OSError, PermissionError, ValueError):
+    pass  # not root / not linux: fall back to the cache-clear defense
 
 
 @pytest.fixture(autouse=True, scope="module")

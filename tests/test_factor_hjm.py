@@ -28,6 +28,20 @@ from stochvolmodels_tpu.utils.rate_core import generate_ttms_grid
 KEY_TERMS = np.array([1.0, 5.0, 10.0])
 
 
+@pytest.fixture(autouse=True, scope="class")
+def _clear_caches_between_classes():
+    """this module compiles many large CPU programs (cube pricers, jacfwd LM
+    solves); without dropping executables between classes a single run can
+    cross vm.max_map_count and segfault inside LLVM (see conftest.py)."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def make_basis() -> NelsonSiegel:
     return NelsonSiegel(meanrev=0.25, key_terms=KEY_TERMS)
 

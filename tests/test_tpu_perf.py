@@ -154,3 +154,34 @@ def test_warm_hawkes_lm_calibration_under_5s(btc_chain):
     warm = time.perf_counter() - t0
     assert warm < 5.0, f"warm Hawkes LM took {warm:.2f}s"
     assert np.isfinite(cost) and cost < 0.05
+
+
+def test_warm_swaption_cube_reprice_under_1s():
+    """the batched USD swaption cube (12 slices, 108 quotes, 1800 shared RK4
+    steps) repriced warm in well under a second — the reference's host
+    DE-refinement loop needs minutes for the same cube."""
+    from papers.sv_for_factor_hjm.calibration_fig_5_6_7 import (
+        get_calib_rate_logsv_params,
+        get_swaption_data,
+    )
+    from stochvolmodels_tpu.models.factor_hjm import (
+        make_swaption_cube_fn,
+        swaption_chain_to_cube,
+    )
+
+    chain = get_swaption_data("USD")
+    params = get_calib_rate_logsv_params()["USD"]
+    slices, fwds, strikes, _ = swaption_chain_to_cube(chain, max_expiry=5.0)
+    fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                  year_steps=360)
+    args = (jnp.asarray(params.sigma0), jnp.asarray(params.beta.xs),
+            jnp.asarray(params.volvol.xs))
+    float(jnp.sum(fn(*args)))  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        px = fn(*args)
+        s = float(jnp.sum(px))
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(s)
+    assert best < 1.0, f"warm cube reprice took {best:.2f}s (target < 1 s)"
