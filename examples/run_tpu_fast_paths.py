@@ -49,6 +49,15 @@ def main():
         option_chain=chain, params=params, nb_path=NB_PATH, engine="pallas")
     print("LogSV pallas-MC slice-0 prices:", np.round(np.asarray(mc_prices[0])[:4], 1))
 
+    # --- LogSV: antithetic variates on the scan MC engine -------------------------
+    a_prices, a_stds = logsv_pricer.model_mc_price_chain(
+        option_chain=chain, params=params, nb_path=NB_PATH, antithetic=True)
+    _, p_stds = logsv_pricer.model_mc_price_chain(
+        option_chain=chain, params=params, nb_path=NB_PATH)
+    print("LogSV antithetic slice-0 stderr:",
+          np.round(np.asarray(a_stds[0])[:4], 2),
+          "vs plain:", np.round(np.asarray(p_stds[0])[:4], 2))
+
     # --- Heston: fast fused ivols + Pallas MC ------------------------------------
     heston_pricer = svm.HestonPricer()
     hparams = svm.HestonParams(v0=0.85 ** 2, theta=1.4 ** 2, kappa=4.0,

@@ -29,7 +29,8 @@ from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer
 from stochvolmodels_tpu.ops import bsm
 from stochvolmodels_tpu.ops import lm, mgf
 from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
-from stochvolmodels_tpu.ops.random import key_from_seed, step_normals
+from stochvolmodels_tpu.ops.random import (antithetic_step_normals,
+                                           key_from_seed, step_normals)
 from stochvolmodels_tpu.utils.cplx import Cplx, cexp, clog, csqrt
 from stochvolmodels_tpu.utils.funcs import set_time_grid, timer
 
@@ -149,7 +150,8 @@ def heston_chain_price_grid(grid: ChainGrid,
 # Monte Carlo
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("ttm", "nb_steps_per_year", "dtype"))
+@partial(jax.jit, static_argnames=("ttm", "nb_steps_per_year", "dtype",
+                                   "antithetic"))
 def simulate_heston_terminal(key: jax.Array,
                              x0: Array,
                              var0: Array,
@@ -160,7 +162,8 @@ def simulate_heston_terminal(key: jax.Array,
                              rho,
                              volvol,
                              nb_steps_per_year: int = 360,
-                             dtype=jnp.float64
+                             dtype=jnp.float64,
+                             antithetic: bool = False
                              ) -> Tuple[Array, Array, Array]:
     """full-truncation Euler to the horizon ``ttm`` (heston_pricer.py:312-359).
 
@@ -175,9 +178,11 @@ def simulate_heston_terminal(key: jax.Array,
     nb_path = x0.shape[0]
     carry_dtype = x0.dtype
 
+    draw = antithetic_step_normals if antithetic else step_normals
+
     def step(carry, step_idx):
         x, var, qvar = carry
-        w = step_normals(key, step_idx, (2, nb_path), dtype=dtype) * sqrt_dt
+        w = draw(key, step_idx, (2, nb_path), dtype=dtype) * sqrt_dt
         w0, w1 = w[0], w[1]
         sigma = jnp.sqrt(var)
         var_dt = var * dt
@@ -209,15 +214,23 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
                            variable_type: VariableType = VariableType.LOG_RETURN,
                            seed=None,
                            dtype=jnp.float64,
-                           engine: str = "scan"
+                           engine: str = "scan",
+                           antithetic: bool = False
                            ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with terminal state carried across maturities
     (heston_pricer.py:265-309).  Returns ragged (prices, stderrs) lists.
 
     ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
-    kernel (float32); 'scan' (default) keeps the reference-parity f64 path."""
+    kernel (float32); 'scan' (default) keeps the reference-parity f64 path.
+    ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
+    mirrored Brownian increments; stderr is over pair averages."""
     if engine not in ("scan", "pallas"):
         raise NotImplementedError(f"engine={engine}")
+    if antithetic and engine != "scan":
+        raise NotImplementedError("antithetic variates require engine='scan' "
+                                  "(the Pallas kernel generates randoms on-chip)")
+    if antithetic and nb_path % 2:
+        nb_path += 1
     key = key_from_seed(seed)
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
@@ -252,13 +265,15 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
         slice_key = jax.random.fold_in(key, i)
         x, var, qvar = simulate_heston_terminal(
             key=slice_key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
-            theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype)
+            theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
+            antithetic=antithetic)
         ttm0 = float(ttm)
         prices, stds = compute_mc_vars_payoff(
             x0=x, sigma0=jnp.sqrt(var), qvar0=qvar, ttm=ttm,
             forward=forwards[i], strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i],
-            discfactor=discfactors[i], variable_type=variable_type)
+            discfactor=discfactors[i], variable_type=variable_type,
+            antithetic=antithetic)
         option_prices_ttm.append(np.asarray(prices))
         option_std_ttm.append(np.asarray(stds))
     return option_prices_ttm, option_std_ttm
@@ -340,7 +355,8 @@ class HestonPricer(ModelPricer):
                                       kappa=params.kappa, rho=params.rho,
                                       volvol=params.volvol, nb_path=nb_path,
                                       variable_type=variable_type, seed=seed,
-                                      engine=kwargs.get('engine', 'scan'))
+                                      engine=kwargs.get('engine', 'scan'),
+                                      antithetic=kwargs.get('antithetic', False))
 
     @timer
     def simulate_terminal_values(self, params: HestonParams, ttm: float = 1.0,

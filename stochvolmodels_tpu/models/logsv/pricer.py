@@ -34,7 +34,8 @@ from stochvolmodels_tpu.models.logsv.vol_moments import (
 from stochvolmodels_tpu.models.model_pricer import ModelPricer
 from stochvolmodels_tpu.ops import bsm, mgf
 from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
-from stochvolmodels_tpu.ops.random import key_from_seed, step_normals
+from stochvolmodels_tpu.ops.random import (antithetic_step_normals,
+                                           key_from_seed, step_normals)
 from stochvolmodels_tpu.utils.cplx import Cplx
 from stochvolmodels_tpu.utils.funcs import set_time_grid, timer
 
@@ -174,7 +175,7 @@ def logsv_chain_price_grid(grid: ChainGrid,
 # ----------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("ttm", "is_spot_measure",
-                                   "nb_steps_per_year", "dtype"))
+                                   "nb_steps_per_year", "dtype", "antithetic"))
 def simulate_logsv_terminal(key: jax.Array,
                             x0: Array,
                             sigma0: Array,
@@ -188,7 +189,8 @@ def simulate_logsv_terminal(key: jax.Array,
                             vol_backbone_eta=1.0,
                             is_spot_measure: bool = True,
                             nb_steps_per_year: int = 360,
-                            dtype=jnp.float64
+                            dtype=jnp.float64,
+                            antithetic: bool = False
                             ) -> Tuple[Array, Array, Array]:
     """explicit Euler on (X, ln sigma, I) to horizon ttm
     (logsv_pricer.py:843-940).  Jitted with the model params traced so
@@ -212,9 +214,11 @@ def simulate_logsv_terminal(key: jax.Array,
     nb_path = x0.shape[0]
     carry_dtype = x0.dtype
 
+    draw = antithetic_step_normals if antithetic else step_normals
+
     def step(carry, step_idx):
         x, log_sigma, sigma, qvar = carry
-        w = step_normals(key, step_idx, (2, nb_path), dtype=dtype) * sdt
+        w = draw(key, step_idx, (2, nb_path), dtype=dtype) * sdt
         w0, w1 = w[0], w[1]
         sigma_2dt = eta2 * sigma * sigma * dt
         x = x + alpha * 0.5 * sigma_2dt + vol_backbone_eta * sigma * w0
@@ -250,7 +254,8 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
                           variable_type: VariableType = VariableType.LOG_RETURN,
                           seed=None,
                           dtype=jnp.float64,
-                          engine: str = "scan"
+                          engine: str = "scan",
+                          antithetic: bool = False
                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with the terminal state carried across maturities
     (logsv_pricer.py:699-760).
@@ -258,11 +263,20 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
     ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
     kernel (float32, ~9.5e9 path-steps/s on a v5e chip vs ~1e9 for the f64
     scan) — use for large-path pricing where f32 MC noise dominates f32
-    rounding; 'scan' (default) keeps the reference-parity f64 path."""
+    rounding; 'scan' (default) keeps the reference-parity f64 path.
+
+    ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
+    mirrored Brownian increments and computes the standard error over pair
+    averages — a variance reduction the reference does not offer."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
     if engine not in ("scan", "pallas"):
         raise NotImplementedError(f"engine={engine}")
+    if antithetic and engine != "scan":
+        raise NotImplementedError("antithetic variates require engine='scan' "
+                                  "(the Pallas kernel generates randoms on-chip)")
+    if antithetic and nb_path % 2:
+        nb_path += 1
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
             pallas_engine_setup, simulate_logsv_terminal_pallas)
@@ -304,13 +318,14 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
             theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
             vol_backbone_eta=float(vol_backbone_etas[i]),
             is_spot_measure=is_spot_measure,
-            nb_steps_per_year=nb_steps_per_year, dtype=dtype)
+            nb_steps_per_year=nb_steps_per_year, dtype=dtype,
+            antithetic=antithetic)
         ttm0 = float(ttm)
         prices, stds = compute_mc_vars_payoff(
             x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
             strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
-            variable_type=variable_type)
+            variable_type=variable_type, antithetic=antithetic)
         option_prices_ttm.append(np.asarray(prices))
         option_std_ttm.append(np.asarray(stds))
     return option_prices_ttm, option_std_ttm
@@ -648,7 +663,8 @@ class LogSVPricer(ModelPricer):
             is_spot_measure=is_spot_measure, variable_type=variable_type,
             nb_path=nb_path, seed=seed,
             nb_steps_per_year=nb_steps or int(360 * np.max(option_chain.ttms)) + 1,
-            engine=kwargs.get('engine', 'scan'))
+            engine=kwargs.get('engine', 'scan'),
+            antithetic=kwargs.get('antithetic', False))
 
     def set_vol_scaler(self, option_chain: OptionChain) -> float:
         """grid scaler from the first ATM vol, frozen across calibration

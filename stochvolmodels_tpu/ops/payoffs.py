@@ -33,13 +33,24 @@ def compute_mc_vars_payoff(x0: Array,
                            strikes_ttm: Array,
                            optiontypes_ttm,
                            discfactor=1.0,
-                           variable_type: VariableType = VariableType.LOG_RETURN
+                           variable_type: VariableType = VariableType.LOG_RETURN,
+                           antithetic: bool = False
                            ) -> Tuple[Array, Array]:
     """discounted mean payoff and standard error per strike for one slice.
 
     ``x0``/``qvar0``: terminal log-return and quadratic variance paths
     (nb_path,); ``sigma0`` is accepted for signature symmetry with the
     reference and unused (mc_payoffs.py:31-34).  Returns ((K,), (K,)).
+
+    ``antithetic=True`` declares that path ``i`` and ``i + P/2`` are an
+    antithetic pair (see ``ops.random.antithetic_step_normals``): the price
+    is unchanged but the standard error is computed over the P/2 pair
+    averages — the correct estimator under the coupling, since the raw
+    per-path std would ignore the intra-pair covariance.  The reduction is
+    largest where payoffs are near-monotone in the driving noise (short
+    maturities, delta-dominated); for vol-of-vol-dominated long maturities
+    the intra-pair covariance can be positive and the honest stderr then
+    shows little or no gain.
     """
     del sigma0
     x0 = jnp.asarray(x0)
@@ -65,6 +76,12 @@ def compute_mc_vars_payoff(x0: Array,
     payoff = jnp.where(is_call, call_pay, put_pay)
     payoff = jnp.where(is_inverse, payoff / spots_t[None, :], payoff)
 
+    if antithetic:
+        half = payoff.shape[1] // 2
+        pair_avg = 0.5 * (payoff[:, :half] + payoff[:, half:])
+        option_prices = discfactor * jnp.nanmean(pair_avg, axis=1)
+        option_std = discfactor * jnp.nanstd(pair_avg, axis=1)
+        return option_prices, option_std / jnp.sqrt(half)
     option_prices = discfactor * jnp.nanmean(payoff, axis=1)
     option_std = discfactor * jnp.nanstd(payoff, axis=1)
     return option_prices, option_std / jnp.sqrt(x0.shape[0])

@@ -34,3 +34,22 @@ def step_normals(key: jax.Array, step: jnp.ndarray, shape, dtype=jnp.float32):
     kernel generates randoms on-chip.
     """
     return jax.random.normal(jax.random.fold_in(key, step), shape, dtype=dtype)
+
+
+def antithetic_step_normals(key: jax.Array, step: jnp.ndarray, shape,
+                            dtype=jnp.float32):
+    """per-step normals where the second half of the path axis mirrors the
+    first: returns ``concat([w, -w])`` along the last axis with ``w`` of
+    half width.
+
+    Classic antithetic-variates coupling (not in the reference, which has no
+    variance reduction): path ``i`` and path ``i + P/2`` see exactly opposite
+    Brownian increments at every step, so smooth payoffs pair-average with
+    strongly negative covariance.  The last axis of ``shape`` must be even.
+    """
+    *lead, nb_path = shape
+    if nb_path % 2:
+        raise ValueError(f"antithetic path count must be even, got {nb_path}")
+    w = jax.random.normal(jax.random.fold_in(key, step),
+                          (*lead, nb_path // 2), dtype=dtype)
+    return jnp.concatenate([w, -w], axis=-1)
