@@ -200,6 +200,94 @@ def simulate_heston_terminal(key: jax.Array,
     return x, var, qvar
 
 
+@partial(jax.jit, static_argnames=("dt", "dtype"))
+def _simulate_heston_terminal_qmc_core(v_tot: Array,
+                                       shift_tot: Array,
+                                       v_steps: Array,
+                                       shifts: Array,
+                                       x0: Array,
+                                       var0: Array,
+                                       qvar0: Array,
+                                       dt: float,
+                                       theta,
+                                       kappa,
+                                       rho,
+                                       volvol,
+                                       dtype=jnp.float64
+                                       ) -> Tuple[Array, Array, Array]:
+    """QMC variant of ``simulate_heston_terminal``: identical full-truncation
+    Euler, normals from randomized Sobol columns generated inside the scan
+    with each Brownian stream's slice-total stratified onto the slice's
+    leading dims (ops/qmc.py stratified_increment_shift; two passes — the
+    raw columns are re-generated to accumulate their sums, nothing is
+    materialized)."""
+    from stochvolmodels_tpu.ops.qmc import (gray_codes, qmc_step_normals,
+                                            stratified_increment_shift)
+
+    nb_steps = v_steps.shape[0]
+    sqrt_dt = float(np.sqrt(dt))
+    rho_1 = jnp.sqrt(1.0 - rho * rho)
+    carry_dtype = x0.dtype
+    gray = gray_codes(x0.shape[0])
+
+    def presum(sums, xs):
+        v_step, shift_step = xs
+        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        return (sums[0] + z0, sums[1] + z1), None
+
+    zero = jnp.zeros(x0.shape, dtype=dtype)
+    (s0, s1), _ = jax.lax.scan(presum, (zero, zero), (v_steps, shifts),
+                               unroll=2)
+    t0, t1 = qmc_step_normals(gray, v_tot, shift_tot, dtype)
+    c0 = stratified_increment_shift(t0, s0, nb_steps)
+    c1 = stratified_increment_shift(t1, s1, nb_steps)
+
+    def step(carry, xs):
+        v_step, shift_step = xs
+        x, var, qvar = carry
+        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        w0, w1 = (z0 + c0) * sqrt_dt, (z1 + c1) * sqrt_dt
+        sigma = jnp.sqrt(var)
+        var_dt = var * dt
+        x = x - 0.5 * var_dt + sigma * w0
+        qvar = qvar + var_dt
+        var = var + kappa * (theta - var) * dt + sigma * volvol * (rho * w0 + rho_1 * w1)
+        var = jnp.maximum(var, VAR_FLOOR)
+        return (x.astype(carry_dtype), var.astype(carry_dtype),
+                qvar.astype(carry_dtype)), None
+
+    (x, var, qvar), _ = jax.lax.scan(step, (x0, var0, qvar0),
+                                     (v_steps, shifts), unroll=2)
+    return x, var, qvar
+
+
+def simulate_heston_terminal_qmc(key: jax.Array,
+                                 x0: Array,
+                                 var0: Array,
+                                 qvar0: Array,
+                                 ttm: float,
+                                 theta,
+                                 kappa,
+                                 rho,
+                                 volvol,
+                                 nb_steps_per_year: int = 360,
+                                 dtype=jnp.float64,
+                                 dim_offset: int = 0
+                                 ) -> Tuple[Array, Array, Array]:
+    """terminal (x, var, qvar) by randomized quasi-Monte Carlo: path i is
+    Sobol point i; the slice's first two dims stratify each Brownian
+    stream's total, the rest map to steps.  ``dim_offset`` continues the
+    sequence across chained maturities (see ops/qmc.py)."""
+    from stochvolmodels_tpu.ops.qmc import qmc_scan_panels
+
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    v_tot, shift_tot, v_steps, shifts = qmc_scan_panels(
+        key, nb_steps, per_step=2, dim_offset=dim_offset)
+    return _simulate_heston_terminal_qmc_core(
+        v_tot, shift_tot, v_steps, shifts, x0, var0, qvar0, dt=float(dt),
+        theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype)
+
+
 def heston_mc_chain_pricer(ttms: np.ndarray,
                            forwards: np.ndarray,
                            discfactors: np.ndarray,
@@ -222,13 +310,17 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
 
     ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
     kernel (float32); 'scan' (default) keeps the reference-parity f64 path.
+    ``engine='qmc'`` uses randomized Sobol normals (ops/qmc.py) — near
+    O(1/N) error on smooth payoffs; reported stds keep the iid formula and
+    are an upper bound under QMC.
     ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
     mirrored Brownian increments; stderr is over pair averages."""
-    if engine not in ("scan", "pallas"):
+    if engine not in ("scan", "pallas", "qmc"):
         raise NotImplementedError(f"engine={engine}")
     if antithetic and engine != "scan":
         raise NotImplementedError("antithetic variates require engine='scan' "
-                                  "(the Pallas kernel generates randoms on-chip)")
+                                  "(Pallas generates randoms on-chip; Sobol "
+                                  "points are already stratified)")
     if antithetic and nb_path % 2:
         nb_path += 1
     key = key_from_seed(seed)
@@ -260,13 +352,24 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
     var = jnp.full(nb_path, v0, dtype=dtype)
     qvar = jnp.zeros(nb_path, dtype=dtype)
     ttm0 = 0.0
+    dim_offset = 0
     option_prices_ttm, option_std_ttm = [], []
     for i, ttm in enumerate(ttms):
-        slice_key = jax.random.fold_in(key, i)
-        x, var, qvar = simulate_heston_terminal(
-            key=slice_key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
-            theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
-            antithetic=antithetic)
+        if engine == "qmc":
+            from stochvolmodels_tpu.ops.qmc import qmc_dims_per_slice
+
+            x, var, qvar = simulate_heston_terminal_qmc(
+                key=key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
+                theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
+                dim_offset=dim_offset)
+            dim_offset += qmc_dims_per_slice(set_time_grid(
+                ttm=float(ttm - ttm0), nb_steps_per_year=360)[0])
+        else:
+            slice_key = jax.random.fold_in(key, i)
+            x, var, qvar = simulate_heston_terminal(
+                key=slice_key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
+                theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
+                antithetic=antithetic)
         ttm0 = float(ttm)
         prices, stds = compute_mc_vars_payoff(
             x0=x, sigma0=jnp.sqrt(var), qvar0=qvar, ttm=ttm,

@@ -236,6 +236,118 @@ def simulate_logsv_terminal(key: jax.Array,
     return x, sigma, qvar
 
 
+@partial(jax.jit, static_argnames=("dt", "is_spot_measure", "dtype"))
+def _simulate_logsv_terminal_qmc_core(v_tot: Array,
+                                      shift_tot: Array,
+                                      v_steps: Array,
+                                      shifts: Array,
+                                      x0: Array,
+                                      sigma0: Array,
+                                      qvar0: Array,
+                                      dt: float,
+                                      theta,
+                                      kappa1,
+                                      kappa2,
+                                      beta,
+                                      volvol,
+                                      vol_backbone_eta,
+                                      is_spot_measure: bool = True,
+                                      dtype=jnp.float64
+                                      ) -> Tuple[Array, Array, Array]:
+    """QMC variant of ``simulate_logsv_terminal``: identical Euler
+    discretization, but the two per-step normals come from randomized Sobol
+    columns (dims = time steps, points = paths) generated inside the scan,
+    with each Brownian stream's slice-total stratified onto the slice's
+    leading Sobol dims (ops/qmc.py stratified_increment_shift).  Two passes:
+    pass 1 re-generates the raw columns to accumulate their sums (columns
+    are pure functions of (dim, path) — nothing is materialized), pass 2
+    runs the Euler recursion on the conditioned increments."""
+    from stochvolmodels_tpu.ops.qmc import (gray_codes, qmc_step_normals,
+                                            stratified_increment_shift)
+
+    nb_steps = v_steps.shape[0]
+    sdt = float(np.sqrt(dt))
+    if is_spot_measure:
+        alpha, adj = -1.0, 0.0
+    else:
+        alpha, adj = 1.0, beta * vol_backbone_eta
+    vartheta2 = beta * beta + volvol * volvol
+    eta2 = vol_backbone_eta * vol_backbone_eta
+    carry_dtype = x0.dtype
+    gray = gray_codes(x0.shape[0])
+
+    def presum(sums, xs):
+        v_step, shift_step = xs
+        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        return (sums[0] + z0, sums[1] + z1), None
+
+    zero = jnp.zeros(x0.shape, dtype=dtype)
+    (s0, s1), _ = jax.lax.scan(presum, (zero, zero), (v_steps, shifts),
+                               unroll=2)
+    t0, t1 = qmc_step_normals(gray, v_tot, shift_tot, dtype)
+    c0 = stratified_increment_shift(t0, s0, nb_steps)
+    c1 = stratified_increment_shift(t1, s1, nb_steps)
+
+    def step(carry, xs):
+        v_step, shift_step = xs
+        x, log_sigma, sigma, qvar = carry
+        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        w0, w1 = (z0 + c0) * sdt, (z1 + c1) * sdt
+        sigma_2dt = eta2 * sigma * sigma * dt
+        x = x + alpha * 0.5 * sigma_2dt + vol_backbone_eta * sigma * w0
+        log_sigma = log_sigma + ((kappa1 * theta / sigma - kappa1)
+                                 + kappa2 * (theta - sigma) + adj * sigma
+                                 - 0.5 * vartheta2) * dt + beta * w0 + volvol * w1
+        sigma_new = jnp.exp(log_sigma)
+        qvar = qvar + 0.5 * (sigma_2dt + eta2 * sigma_new * sigma_new * dt)
+        return (x.astype(carry_dtype), log_sigma.astype(carry_dtype),
+                sigma_new.astype(carry_dtype), qvar.astype(carry_dtype)), None
+
+    init = (x0, jnp.log(sigma0), sigma0, qvar0)
+    (x, _, sigma, qvar), _ = jax.lax.scan(step, init, (v_steps, shifts),
+                                          unroll=2)
+    return x, sigma, qvar
+
+
+def simulate_logsv_terminal_qmc(key: jax.Array,
+                                x0: Array,
+                                sigma0: Array,
+                                qvar0: Array,
+                                ttm: float,
+                                theta,
+                                kappa1,
+                                kappa2,
+                                beta,
+                                volvol,
+                                vol_backbone_eta=1.0,
+                                is_spot_measure: bool = True,
+                                nb_steps_per_year: int = 360,
+                                dtype=jnp.float64,
+                                dim_offset: int = 0
+                                ) -> Tuple[Array, Array, Array]:
+    """terminal (x, sigma, qvar) by randomized quasi-Monte Carlo.
+
+    Same dynamics and discretization as ``simulate_logsv_terminal``
+    (reference logsv_pricer.py:843-940) with Sobol normals: path i is Sobol
+    point i; the slice's first two dims stratify each Brownian stream's
+    total, the rest map to steps.  ``dim_offset`` is the number of Sobol
+    dimensions consumed by earlier slices of a chained run
+    (``ops.qmc.qmc_dims_per_slice`` per slice), so a chain continues one
+    low-discrepancy sequence across maturities.  The digital shift (and
+    thus the whole draw) is reproducible from ``key``.
+    """
+    from stochvolmodels_tpu.ops.qmc import qmc_scan_panels
+
+    nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
+    v_tot, shift_tot, v_steps, shifts = qmc_scan_panels(
+        key, nb_steps, per_step=2, dim_offset=dim_offset)
+    return _simulate_logsv_terminal_qmc_core(
+        v_tot, shift_tot, v_steps, shifts, x0, sigma0, qvar0, dt=float(dt),
+        theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+        vol_backbone_eta=vol_backbone_eta, is_spot_measure=is_spot_measure,
+        dtype=dtype)
+
+
 def logsv_mc_chain_pricer(ttms: np.ndarray,
                           forwards: np.ndarray,
                           discfactors: np.ndarray,
@@ -267,14 +379,21 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
 
     ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
     mirrored Brownian increments and computes the standard error over pair
-    averages — a variance reduction the reference does not offer."""
+    averages — a variance reduction the reference does not offer.
+
+    ``engine='qmc'`` replaces the threefry normals with randomized Sobol
+    points (ops/qmc.py): near-O(1/N) error on smooth payoffs, so far fewer
+    paths are needed per price.  One low-discrepancy sequence spans the
+    whole chain (dimensions continue across maturities); the reported stds
+    keep the iid formula and are an upper bound under QMC."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
-    if engine not in ("scan", "pallas"):
+    if engine not in ("scan", "pallas", "qmc"):
         raise NotImplementedError(f"engine={engine}")
     if antithetic and engine != "scan":
         raise NotImplementedError("antithetic variates require engine='scan' "
-                                  "(the Pallas kernel generates randoms on-chip)")
+                                  "(Pallas generates randoms on-chip; Sobol "
+                                  "points are already stratified)")
     if antithetic and nb_path % 2:
         nb_path += 1
     if engine == "pallas":
@@ -310,16 +429,32 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
     sigma = jnp.full(nb_path, v0, dtype=dtype)
     qvar = jnp.zeros(nb_path, dtype=dtype)
     ttm0 = 0.0
+    dim_offset = 0
     option_prices_ttm, option_std_ttm = [], []
     for i, ttm in enumerate(ttms):
-        slice_key = jax.random.fold_in(key, i)
-        x, sigma, qvar = simulate_logsv_terminal(
-            key=slice_key, x0=x, sigma0=sigma, qvar0=qvar, ttm=float(ttm - ttm0),
-            theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
-            vol_backbone_eta=float(vol_backbone_etas[i]),
-            is_spot_measure=is_spot_measure,
-            nb_steps_per_year=nb_steps_per_year, dtype=dtype,
-            antithetic=antithetic)
+        if engine == "qmc":
+            from stochvolmodels_tpu.ops.qmc import qmc_dims_per_slice
+
+            x, sigma, qvar = simulate_logsv_terminal_qmc(
+                key=key, x0=x, sigma0=sigma, qvar0=qvar, ttm=float(ttm - ttm0),
+                theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+                volvol=volvol, vol_backbone_eta=float(vol_backbone_etas[i]),
+                is_spot_measure=is_spot_measure,
+                nb_steps_per_year=nb_steps_per_year, dtype=dtype,
+                dim_offset=dim_offset)
+            dim_offset += qmc_dims_per_slice(set_time_grid(
+                ttm=float(ttm - ttm0),
+                nb_steps_per_year=nb_steps_per_year)[0])
+        else:
+            slice_key = jax.random.fold_in(key, i)
+            x, sigma, qvar = simulate_logsv_terminal(
+                key=slice_key, x0=x, sigma0=sigma, qvar0=qvar,
+                ttm=float(ttm - ttm0),
+                theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+                volvol=volvol, vol_backbone_eta=float(vol_backbone_etas[i]),
+                is_spot_measure=is_spot_measure,
+                nb_steps_per_year=nb_steps_per_year, dtype=dtype,
+                antithetic=antithetic)
         ttm0 = float(ttm)
         prices, stds = compute_mc_vars_payoff(
             x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
