@@ -533,6 +533,32 @@ def get_randoms_for_chain_valuation(ttms: np.ndarray,
     return W0s, W1s, dts
 
 
+def get_qmc_randoms_for_chain_valuation(ttms: np.ndarray,
+                                        nb_path: int = 100000,
+                                        nb_steps_per_year: int = 360,
+                                        seed: int = 10):
+    """randomized-Sobol analogue of ``get_randoms_for_chain_valuation``:
+    the same (W0s, W1s, dts) contract, but each block is a stratified-totals
+    QMC panel (ops/qmc.py) — drop-in for
+    ``logsv_mc_chain_pricer_fixed_randoms`` with ~40x less MC noise at
+    matched paths.  Draws are frozen given ``seed``."""
+    from stochvolmodels_tpu.ops.qmc import qmc_normal_blocks
+
+    key = key_from_seed(seed)
+    nb_steps_list, dts = [], []
+    ttm0 = 0.0
+    for ttm in ttms:
+        nb_steps_, dt, _ = set_time_grid(ttm=ttm - ttm0,
+                                         nb_steps_per_year=nb_steps_per_year)
+        nb_steps_list.append(nb_steps_)
+        dts.append(dt)
+        ttm0 = ttm
+    blocks = qmc_normal_blocks(key, nb_path, nb_steps_list)
+    W0s = [b[0] for b in blocks]
+    W1s = [b[1] for b in blocks]
+    return W0s, W1s, dts
+
+
 def logsv_mc_chain_pricer_fixed_randoms(ttms: np.ndarray,
                                         forwards: np.ndarray,
                                         discfactors: np.ndarray,
@@ -963,6 +989,21 @@ class LogSVPricer(ModelPricer):
                 return jnp.sum(jnp.where(nan_mask, 0.0, resid))
         elif calibration_engine == CalibrationEngine.MC:
             key = key_from_seed(seed)
+            mc_engine = kwargs.pop('mc_engine', 'scan')
+            if mc_engine not in ('scan', 'qmc'):
+                raise NotImplementedError(f"mc_engine={mc_engine}")
+            if mc_engine == 'qmc':
+                # randomized-Sobol objective: the frozen-randoms contract
+                # holds (fixed key -> fixed draws across iterations) with
+                # ~40x less MC noise at matched paths (ops/qmc.py), so far
+                # fewer paths are needed for a stable MC calibration
+                from stochvolmodels_tpu.ops.qmc import qmc_dims_per_slice
+                dim_offsets, off, ttm0_ = [], 0, 0.0
+                for ttm in ttms_static:
+                    dim_offsets.append(off)
+                    off += qmc_dims_per_slice(set_time_grid(
+                        ttm=ttm - ttm0_, nb_steps_per_year=nb_steps)[0])
+                    ttm0_ = ttm
 
             def loss_fn(pars):
                 sigma0, theta, kappa1, kappa2, beta, volvol, etas = expand_pars(pars)
@@ -974,11 +1015,20 @@ class LogSVPricer(ModelPricer):
                 for i, ttm in enumerate(ttms_static):
                     slice_key = jax.random.fold_in(key, i)
                     eta_i = 1.0 if etas is None else etas[i]
-                    x, sig, qv = simulate_logsv_terminal(
-                        key=slice_key, x0=x, sigma0=sig, qvar0=qv,
-                        ttm=ttm - ttm0, theta=theta, kappa1=kappa1,
-                        kappa2=kappa2, beta=beta, volvol=volvol,
-                        vol_backbone_eta=eta_i, nb_steps_per_year=nb_steps)
+                    if mc_engine == 'qmc':
+                        x, sig, qv = simulate_logsv_terminal_qmc(
+                            key=key, x0=x, sigma0=sig, qvar0=qv,
+                            ttm=ttm - ttm0, theta=theta, kappa1=kappa1,
+                            kappa2=kappa2, beta=beta, volvol=volvol,
+                            vol_backbone_eta=eta_i,
+                            nb_steps_per_year=nb_steps,
+                            dim_offset=dim_offsets[i])
+                    else:
+                        x, sig, qv = simulate_logsv_terminal(
+                            key=slice_key, x0=x, sigma0=sig, qvar0=qv,
+                            ttm=ttm - ttm0, theta=theta, kappa1=kappa1,
+                            kappa2=kappa2, beta=beta, volvol=volvol,
+                            vol_backbone_eta=eta_i, nb_steps_per_year=nb_steps)
                     ttm0 = ttm
                     prices, _ = compute_mc_vars_payoff(
                         x0=x, sigma0=sig, qvar0=qv, ttm=grid.ttms[i],

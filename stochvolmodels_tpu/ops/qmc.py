@@ -195,6 +195,33 @@ def qmc_dims_per_slice(nb_steps: int, per_step: int = 2) -> int:
     return per_step * (nb_steps + 1)
 
 
+def qmc_normal_blocks(key: jax.Array, nb_path: int, nb_steps_list,
+                      dtype=jnp.float64):
+    """materialized per-slice Sobol normal blocks with stratified totals.
+
+    Returns ``[(W0 (steps, paths), W1 (steps, paths)), ...]`` — the QMC
+    drop-in for the reference's pre-drawn fixed-randoms contract
+    (logsv_pricer.py:944-966): feed to
+    ``logsv_mc_chain_pricer_fixed_randoms``.  Slices chain one Sobol
+    sequence (same dimension layout as the scan engine's
+    ``qmc_scan_panels``); draws are frozen given ``key``.
+    """
+    blocks = []
+    dim_offset = 0
+    for n in nb_steps_list:
+        n = int(n)
+        z = sobol_normals(nb_path, 2 * (n + 1), key=key,
+                          dim_offset=dim_offset, dtype=dtype)
+        t0, t1 = z[:, 0], z[:, 1]
+        z0 = z[:, 2::2].T        # (steps, paths), stream 0
+        z1 = z[:, 3::2].T
+        c0 = stratified_increment_shift(t0, jnp.sum(z0, axis=0), n)
+        c1 = stratified_increment_shift(t1, jnp.sum(z1, axis=0), n)
+        blocks.append((z0 + c0[None, :], z1 + c1[None, :]))
+        dim_offset += qmc_dims_per_slice(n)
+    return blocks
+
+
 def stratified_increment_shift(total_z: jnp.ndarray, raw_sum: jnp.ndarray,
                                nb_steps: int) -> jnp.ndarray:
     """per-path constant ``c`` such that ``z'_t = z_t + c`` are iid N(0,1)

@@ -163,6 +163,66 @@ class TestQmcEngines:
         tol = np.maximum(3.0 * s_qmc[0], 2e-3)
         assert np.all(np.abs(p_qmc[0] - np.asarray(analytic[0])) < tol)
 
+    def test_qmc_fixed_randoms_matches_qmc_engine(self):
+        """the materialized QMC blocks (fixed-randoms contract) and the
+        scan QMC engine consume the same dims from the same key, so the
+        chain prices must agree to float tolerance."""
+        from stochvolmodels_tpu.models.logsv.pricer import (
+            get_qmc_randoms_for_chain_valuation,
+            logsv_mc_chain_pricer_fixed_randoms)
+
+        ttms = np.array([0.1, 0.3])
+        strikes = [np.array([0.9, 1.0, 1.1])] * 2
+        types = [np.array(['P', 'C', 'C'])] * 2
+        kwargs = dict(ttms=ttms, forwards=np.ones(2), discfactors=np.ones(2),
+                      strikes_ttms=strikes, optiontypes_ttms=types,
+                      theta=0.9, kappa1=3.0, kappa2=3.0, beta=0.2, volvol=1.5)
+        W0s, W1s, dts = get_qmc_randoms_for_chain_valuation(
+            ttms=ttms, nb_path=2048, nb_steps_per_year=120, seed=7)
+        p_fixed, _ = logsv_mc_chain_pricer_fixed_randoms(
+            W0s=W0s, W1s=W1s, dts=dts, v0=0.8, **kwargs)
+        p_qmc, _ = logsv_mc_chain_pricer(
+            v0=0.8, nb_path=2048, nb_steps_per_year=120, seed=7,
+            engine="qmc", **kwargs)
+        for a, b in zip(p_fixed, p_qmc):
+            np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
+
+    def test_mc_calibration_with_qmc_engine(self):
+        """calibration_engine=MC with mc_engine='qmc': the frozen-Sobol
+        objective is smooth in params and the SLSQP fit recovers a sane
+        smile from an analytic target at only 4096 paths."""
+        from stochvolmodels_tpu.data.option_chain import OptionChain
+        from stochvolmodels_tpu.models.logsv.params import LogSvParams
+        from stochvolmodels_tpu.models.logsv.pricer import (
+            CalibrationEngine, LogSVPricer)
+
+        true = LogSvParams(sigma0=0.85, theta=0.95, kappa1=4.0, kappa2=4.0,
+                           beta=0.2, volvol=1.6)
+        ttms = np.array([0.25])
+        strikes = [np.linspace(0.8, 1.3, 6)]
+        types = [np.array(['P', 'P', 'C', 'C', 'C', 'C'])]
+        pricer = LogSVPricer()
+        chain0 = OptionChain(ttms=ttms, forwards=np.ones(1),
+                             discfactors=np.ones(1), strikes_ttms=strikes,
+                             optiontypes_ttms=types)
+        _, ivols = pricer.compute_chain_prices_with_vols(
+            option_chain=chain0, params=true)
+        chain = OptionChain(ttms=ttms, forwards=np.ones(1),
+                            discfactors=np.ones(1), strikes_ttms=strikes,
+                            optiontypes_ttms=types, bid_ivs=ivols,
+                            ask_ivs=ivols)
+        fit = pricer.calibrate_model_params_to_chain(
+            option_chain=chain,
+            params0=LogSvParams(sigma0=0.8, theta=0.9, kappa1=4.0,
+                                kappa2=4.0, beta=0.1, volvol=1.4),
+            calibration_engine=CalibrationEngine.MC, mc_engine='qmc',
+            nb_path=4096, nb_steps=120, use_float32=False)
+        assert np.isfinite(fit.sigma0) and 0.5 < fit.sigma0 < 1.2
+        # MC-implied vols of the fit must track the target smile closely
+        _, fit_ivols = pricer.compute_chain_prices_with_vols(
+            option_chain=chain0, params=fit)
+        assert np.nanmax(np.abs(fit_ivols[0] - ivols[0])) < 0.02
+
     def test_unknown_engine_rejected(self):
         with pytest.raises(NotImplementedError):
             logsv_mc_chain_pricer(ttms=TTMS, forwards=FORWARDS,
