@@ -44,6 +44,13 @@ def main():
     print("LogSV fast slice-0 prices:", np.round(np.asarray(fast_prices[0])[:4], 4))
     print("LogSV fused slice-0 ivols:", np.round(np.asarray(fast_ivols[0])[:4], 4))
 
+    # --- LogSV: model-consistent AD greeks ----------------------------------------
+    greeks = logsv_pricer.compute_chain_greeks(
+        option_chain=chain, params=params, greeks=("delta", "gamma", "vega"),
+        year_steps=360)
+    print("LogSV AD slice-0 deltas:", np.round(greeks["delta"][0][:4], 4))
+    print("LogSV AD slice-0 vegas: ", np.round(greeks["vega"][0][:4], 4))
+
     # --- LogSV: Pallas MC engine -------------------------------------------------
     mc_prices, mc_stds = logsv_pricer.model_mc_price_chain(
         option_chain=chain, params=params, nb_path=NB_PATH, engine="pallas")

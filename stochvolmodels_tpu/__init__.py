@@ -146,5 +146,9 @@ from stochvolmodels_tpu.models.heston import (  # noqa: F401
     heston_mc_chain_pricer,
     simulate_heston_terminal,
 )
+from stochvolmodels_tpu.models.greeks import (  # noqa: F401
+    heston_chain_greeks,
+    logsv_chain_greeks,
+)
 
 __version__ = "0.1.0"

@@ -1,0 +1,206 @@
+"""
+Model-consistent chain greeks by automatic differentiation.
+
+The reference computes greeks only under BSM (analytic/bsm.py:148-384:
+delta/vega/gamma/theta of the *Black* formula at some implied vol).  Here
+every analytic chain pricer is a differentiable jax program, so
+model-consistent sensitivities — forward delta/gamma and per-parameter
+vegas of the *model* price, smile-dynamics-consistent by construction —
+fall out of `jax.jvp` at roughly one extra pricing per greek.  This has no
+reference counterpart (beyond-parity feature).
+
+Design: each model wrapper builds ONE jitted program computing the price
+panel plus every requested greek panel for a padded `ChainGrid`; the
+program is cached per (chain shape, maturities, greek set, solver config),
+so repricing the same chain with new params costs a single warm device
+call.  `delta`/`gamma` differentiate w.r.t. the per-maturity forwards: the
+price panel row i depends only on `forwards[i]`, so a jvp against the
+all-ones tangent reads out exactly dP_ij/dF_i (and a second jvp the
+row-wise second derivative).  Parameter greeks are one jvp per scalar
+parameter.  Calendar theta is NOT offered: maturities fix the per-slice
+ODE step counts at trace time, so ttm is not a traceable input.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stochvolmodels_tpu.data.option_chain import ChainGrid, OptionChain
+
+Array = jnp.ndarray
+
+#: greek name -> the model parameter it aliases ('vega' is the vol state)
+_LOGSV_VEGA = "sigma0"
+_HESTON_VEGA = "v0"
+
+_PROGRAM_CACHE: Dict[tuple, callable] = {}
+
+
+def _resolve_names(greeks: Tuple[str, ...], vega_param: str,
+                   param_names: Tuple[str, ...]) -> List[Tuple[str, str]]:
+    """map requested greek names to (output key, target) pairs where target
+    is 'delta'/'gamma' or a model parameter name."""
+    out = []
+    for g in greeks:
+        target = vega_param if g == "vega" else g
+        if target not in ("delta", "gamma") and target not in param_names:
+            raise ValueError(f"unknown greek {g!r}; expected 'delta', 'gamma', "
+                             f"'vega' or one of {param_names}")
+        out.append((g, target))
+    return out
+
+
+def _greeks_program(price_fn, names: List[Tuple[str, str]]):
+    """build fn(grid, params_dict) -> {'price': panel, greek: panel, ...}.
+
+    ``price_fn(grid, params_dict) -> (n_ttm, max_strikes)`` must be a pure
+    jax function of the grid leaves and the scalar params.
+    """
+    targets = {t for _, t in names}
+
+    def program(grid: ChainGrid, params: Dict[str, Array]):
+        import dataclasses
+
+        def f_of_forwards(fwds):
+            g = dataclasses.replace(grid, forwards=fwds)
+            return price_fn(g, params)
+
+        ones = jnp.ones_like(grid.forwards)
+        out: Dict[str, Array] = {}
+        if "delta" in targets or "gamma" in targets:
+            price, delta = jax.jvp(f_of_forwards, (grid.forwards,), (ones,))
+            out["price"] = price
+            if "delta" in targets:
+                out["delta"] = delta
+            if "gamma" in targets:
+                def dfn(fwds):
+                    return jax.jvp(f_of_forwards, (fwds,),
+                                   (jnp.ones_like(fwds),))[1]
+                out["gamma"] = jax.jvp(dfn, (grid.forwards,), (ones,))[1]
+        else:
+            out["price"] = price_fn(grid, params)
+        for _, target in names:
+            if target in ("delta", "gamma") or target in out:
+                continue
+            def f_of_param(v, target=target):
+                return price_fn(grid, {**params, target: v})
+            out[target] = jax.jvp(f_of_param, (params[target],),
+                                  (jnp.ones_like(params[target]),))[1]
+        return out
+
+    return jax.jit(program)
+
+
+def _unpad(panel: Array, grid: ChainGrid) -> List[np.ndarray]:
+    mask = np.asarray(grid.mask)
+    p = np.asarray(panel)
+    return [p[i, mask[i]] for i in range(p.shape[0])]
+
+
+def _run(cache_key: tuple, price_fn, names, grid: ChainGrid,
+         params: Dict[str, float], greeks: Tuple[str, ...]
+         ) -> Dict[str, List[np.ndarray]]:
+    program = _PROGRAM_CACHE.get(cache_key)
+    if program is None:
+        program = _greeks_program(price_fn, names)
+        _PROGRAM_CACHE[cache_key] = program
+    par = {k: jnp.asarray(v, dtype=jnp.float64) for k, v in params.items()}
+    panels = program(grid, par)
+    out = {"price": _unpad(panels["price"], grid)}
+    for g, target in names:
+        out[g] = _unpad(panels[target], grid)
+    return out
+
+
+def logsv_chain_greeks(option_chain: OptionChain,
+                       params,
+                       greeks: Tuple[str, ...] = ("delta", "gamma", "vega"),
+                       vol_scaler: Optional[float] = None,
+                       is_spot_measure: bool = True,
+                       expansion_order=None,
+                       year_steps: int = 720,
+                       ) -> Dict[str, List[np.ndarray]]:
+    """model-consistent greeks of the LogSV analytic chain prices.
+
+    ``greeks`` may contain ``'delta'`` (dP/dF per maturity), ``'gamma'``
+    (d2P/dF2), ``'vega'`` (alias for ``sigma0``) or any of the parameter
+    names ``sigma0/theta/kappa1/kappa2/beta/volvol``.  Returns
+    ``{'price': [...], greek: [...]}`` as per-maturity arrays matching the
+    chain's ragged strikes.  The underlying pricer is
+    :func:`stochvolmodels_tpu.models.logsv.pricer.logsv_chain_price_grid`
+    (reference semantics logsv_pricer.py:562-632) — prices and greeks come
+    from the SAME program, so they are mutually consistent to machine
+    precision.
+    """
+    from stochvolmodels_tpu.models.logsv import affine as afe
+    from stochvolmodels_tpu.models.logsv.pricer import (
+        logsv_chain_price_grid, set_vol_scaler)
+
+    if expansion_order is None:
+        expansion_order = afe.ExpansionOrder.SECOND
+    if vol_scaler is None:
+        vol_scaler = set_vol_scaler(sigma0=params.sigma0,
+                                    ttm=np.min(option_chain.ttms))
+    grid = option_chain.to_grid()
+    ttms_static = tuple(float(t) for t in option_chain.ttms)
+    etas = tuple(float(e) for e in
+                 params.get_vol_backbone_etas(ttms=option_chain.ttms))
+    param_names = ("sigma0", "theta", "kappa1", "kappa2", "beta", "volvol")
+    names = _resolve_names(tuple(greeks), _LOGSV_VEGA, param_names)
+    need = tuple(sorted({t for _, t in names}))
+
+    def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
+        return logsv_chain_price_grid(
+            g, sigma0=p["sigma0"], theta=p["theta"], kappa1=p["kappa1"],
+            kappa2=p["kappa2"], beta=p["beta"], volvol=p["volvol"],
+            vol_backbone_etas=np.asarray(etas), vol_scaler=float(vol_scaler),
+            ttms_static=ttms_static, is_spot_measure=is_spot_measure,
+            expansion_order=expansion_order, year_steps=year_steps)
+
+    key = ("logsv", ttms_static, grid.max_strikes, need, float(vol_scaler),
+           is_spot_measure, expansion_order, year_steps, etas)
+    values = {"sigma0": params.sigma0, "theta": params.theta,
+              "kappa1": params.kappa1, "kappa2": params.kappa2,
+              "beta": params.beta, "volvol": params.volvol}
+    return _run(key, price_fn, names, grid, values, tuple(greeks))
+
+
+def heston_chain_greeks(option_chain: OptionChain,
+                        params,
+                        greeks: Tuple[str, ...] = ("delta", "gamma", "vega"),
+                        vol_scaler: Optional[float] = None,
+                        is_spot_measure: bool = True,
+                        ) -> Dict[str, List[np.ndarray]]:
+    """model-consistent greeks of the Heston analytic chain prices.
+
+    ``'vega'`` aliases ``v0`` (dP/dv0, variance units); other parameter
+    names: ``v0/theta/kappa/rho/volvol``.  Same contract as
+    :func:`logsv_chain_greeks`; pricer =
+    :func:`stochvolmodels_tpu.models.heston.heston_chain_price_grid`
+    (reference heston_pricer.py:203-262).
+    """
+    from stochvolmodels_tpu.models.heston import heston_chain_price_grid
+
+    if vol_scaler is None:
+        vol_scaler = float(np.minimum(
+            0.3, np.sqrt(params.v0 * float(np.min(option_chain.ttms)))))
+    grid = option_chain.to_grid()
+    ttms_static = tuple(float(t) for t in option_chain.ttms)
+    param_names = ("v0", "theta", "kappa", "rho", "volvol")
+    names = _resolve_names(tuple(greeks), _HESTON_VEGA, param_names)
+    need = tuple(sorted({t for _, t in names}))
+
+    def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
+        return heston_chain_price_grid(
+            g, v0=p["v0"], theta=p["theta"], kappa=p["kappa"],
+            volvol=p["volvol"], rho=p["rho"], vol_scaler=float(vol_scaler),
+            is_spot_measure=is_spot_measure)
+
+    key = ("heston", ttms_static, grid.max_strikes, need, float(vol_scaler),
+           is_spot_measure)
+    values = {"v0": params.v0, "theta": params.theta, "kappa": params.kappa,
+              "rho": params.rho, "volvol": params.volvol}
+    return _run(key, price_fn, names, grid, values, tuple(greeks))

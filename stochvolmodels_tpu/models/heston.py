@@ -389,6 +389,17 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
 class HestonPricer(ModelPricer):
     """ModelPricer for Heston, valued by Fourier inversion of the analytic MGF."""
 
+    def compute_chain_greeks(self, option_chain: OptionChain,
+                             params: HestonParams,
+                             greeks=("delta", "gamma", "vega"),
+                             **kwargs):
+        """model-consistent chain greeks by AD through the analytic pricer;
+        see models/greeks.py (beyond-reference feature — the reference only
+        has BSM-formula greeks, bsm.py:148-384)."""
+        from stochvolmodels_tpu.models.greeks import heston_chain_greeks
+        return heston_chain_greeks(option_chain=option_chain, params=params,
+                                   greeks=greeks, **kwargs)
+
     def price_chain(self, option_chain: OptionChain, params: HestonParams,
                     variable_type: VariableType = VariableType.LOG_RETURN,
                     vol_scaler: Optional[float] = None,

@@ -712,6 +712,17 @@ def simulate_vol_paths(ttm: float,
 class LogSVPricer(ModelPricer):
     """ModelPricer for the LogSV model of Eq. (3.12)."""
 
+    def compute_chain_greeks(self, option_chain: OptionChain,
+                             params: LogSvParams,
+                             greeks=("delta", "gamma", "vega"),
+                             **kwargs):
+        """model-consistent chain greeks by AD through the analytic pricer;
+        see models/greeks.py (beyond-reference feature — the reference only
+        has BSM-formula greeks, bsm.py:148-384)."""
+        from stochvolmodels_tpu.models.greeks import logsv_chain_greeks
+        return logsv_chain_greeks(option_chain=option_chain, params=params,
+                                  greeks=greeks, **kwargs)
+
     def price_chain(self, option_chain: OptionChain, params: LogSvParams,
                     is_spot_measure: bool = True,
                     variable_type: VariableType = VariableType.LOG_RETURN,

@@ -1,0 +1,173 @@
+"""
+AD chain greeks (models/greeks.py) — validated against central finite
+differences of the same pricers and against BSM greeks in the flat-vol
+Heston limit (volvol -> 0, v0 = theta gives Black with sigma = sqrt(v0)).
+"""
+import numpy as np
+import pytest
+
+from stochvolmodels_tpu.data.option_chain import OptionChain
+from stochvolmodels_tpu.models.greeks import (heston_chain_greeks,
+                                              logsv_chain_greeks)
+from stochvolmodels_tpu.models.heston import HestonParams, HestonPricer
+from stochvolmodels_tpu.models.logsv.params import LogSvParams
+from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+
+def small_chain(forward: float = 1.0) -> OptionChain:
+    return OptionChain(
+        ttms=np.array([0.08, 0.25]),
+        forwards=np.array([forward, forward * 1.002]),
+        discfactors=np.array([0.999, 0.995]),
+        strikes_ttms=[forward * np.array([0.85, 0.95, 1.0, 1.05, 1.2]),
+                      forward * np.array([0.8, 1.0, 1.25])],
+        optiontypes_ttms=[np.array(['P', 'P', 'C', 'C', 'C']),
+                          np.array(['P', 'C', 'C'])])
+
+
+LOGSV = LogSvParams(sigma0=0.85, theta=1.0, kappa1=4.0, kappa2=4.0,
+                    beta=0.15, volvol=1.8)
+HESTON = HestonParams(v0=0.7, theta=0.9, kappa=3.0, rho=-0.4, volvol=1.5)
+
+
+class TestLogSVGreeks:
+    YEAR_STEPS = 360
+
+    def greeks(self, chain, params, greeks):
+        return logsv_chain_greeks(chain, params, greeks=greeks,
+                                  year_steps=self.YEAR_STEPS)
+
+    def test_delta_gamma_vs_finite_differences(self):
+        chain = small_chain()
+        out = self.greeks(chain, LOGSV, ("delta", "gamma"))
+        eps = 1e-4
+        # frozen vol_scaler across bumps: use the unbumped scaler for all
+        from stochvolmodels_tpu.models.logsv.pricer import set_vol_scaler
+        vs = set_vol_scaler(sigma0=LOGSV.sigma0, ttm=float(np.min(chain.ttms)))
+
+        def grid_prices(fmult):
+            c = small_chain()
+            c.forwards = c.forwards * fmult
+            return logsv_chain_greeks(c, LOGSV, greeks=(), vol_scaler=vs,
+                                      year_steps=self.YEAR_STEPS)["price"]
+
+        up, dn = grid_prices(1.0 + eps), grid_prices(1.0 - eps)
+        mid = grid_prices(1.0)
+        for i, f in enumerate(chain.forwards):
+            h = f * eps
+            fd_delta = (up[i] - dn[i]) / (2 * h)
+            fd_gamma = (up[i] - 2 * mid[i] + dn[i]) / (h * h)
+            np.testing.assert_allclose(out["delta"][i], fd_delta,
+                                       rtol=2e-4, atol=1e-7)
+            np.testing.assert_allclose(out["gamma"][i], fd_gamma,
+                                       rtol=2e-3, atol=5e-4)
+
+    def test_param_greeks_vs_finite_differences(self):
+        chain = small_chain()
+        out = self.greeks(chain, LOGSV, ("vega", "beta", "volvol"))
+        from stochvolmodels_tpu.models.logsv.pricer import set_vol_scaler
+        vs = set_vol_scaler(sigma0=LOGSV.sigma0, ttm=float(np.min(chain.ttms)))
+        eps = 1e-4
+        for name in ("sigma0", "beta", "volvol"):
+            d = LOGSV.to_dict()
+            d_up = {**d, name: d[name] + eps}
+            d_dn = {**d, name: d[name] - eps}
+            up = logsv_chain_greeks(chain, LogSvParams(**{
+                k: d_up[k] for k in ("sigma0", "theta", "kappa1", "kappa2",
+                                     "beta", "volvol")}), greeks=(),
+                vol_scaler=vs, year_steps=self.YEAR_STEPS)["price"]
+            dn = logsv_chain_greeks(chain, LogSvParams(**{
+                k: d_dn[k] for k in ("sigma0", "theta", "kappa1", "kappa2",
+                                     "beta", "volvol")}), greeks=(),
+                vol_scaler=vs, year_steps=self.YEAR_STEPS)["price"]
+            key = "vega" if name == "sigma0" else name
+            for i in range(len(chain.ttms)):
+                fd = (up[i] - dn[i]) / (2 * eps)
+                np.testing.assert_allclose(out[key][i], fd,
+                                           rtol=5e-4, atol=1e-6)
+
+    def test_sanity_signs(self):
+        chain = small_chain()
+        out = self.greeks(chain, LOGSV, ("delta", "gamma", "vega"))
+        for i, (codes, df) in enumerate(zip(chain.optiontypes_ttms,
+                                            chain.discfactors)):
+            is_call = codes == 'C'
+            assert np.all(out["delta"][i][is_call] > 0.0)
+            assert np.all(out["delta"][i][is_call] <= df + 1e-9)
+            assert np.all(out["delta"][i][~is_call] < 0.0)
+            assert np.all(out["gamma"][i] > 0.0)
+            assert np.all(out["vega"][i] > 0.0)
+
+    def test_pricer_method_and_price_consistency(self):
+        chain = small_chain()
+        out = LogSVPricer().compute_chain_greeks(chain, LOGSV,
+                                                 greeks=("delta",),
+                                                 year_steps=self.YEAR_STEPS)
+        base = logsv_chain_greeks(chain, LOGSV, greeks=(),
+                                  year_steps=self.YEAR_STEPS)["price"]
+        for i in range(len(chain.ttms)):
+            np.testing.assert_allclose(out["price"][i], base[i], rtol=1e-12)
+
+
+class TestHestonGreeks:
+    def test_delta_vega_vs_finite_differences(self):
+        chain = small_chain()
+        out = heston_chain_greeks(chain, HESTON,
+                                  greeks=("delta", "gamma", "vega", "rho"))
+        vs = float(np.minimum(0.3, np.sqrt(HESTON.v0 * np.min(chain.ttms))))
+        eps = 1e-4
+
+        def prices(params, fmult=1.0):
+            c = small_chain()
+            c.forwards = c.forwards * fmult
+            return heston_chain_greeks(c, params, greeks=(),
+                                       vol_scaler=vs)["price"]
+
+        up, dn, mid = prices(HESTON, 1 + eps), prices(HESTON, 1 - eps), \
+            prices(HESTON)
+        vup = prices(HestonParams(v0=HESTON.v0 + eps, theta=HESTON.theta,
+                                  kappa=HESTON.kappa, rho=HESTON.rho,
+                                  volvol=HESTON.volvol))
+        vdn = prices(HestonParams(v0=HESTON.v0 - eps, theta=HESTON.theta,
+                                  kappa=HESTON.kappa, rho=HESTON.rho,
+                                  volvol=HESTON.volvol))
+        rup = prices(HestonParams(v0=HESTON.v0, theta=HESTON.theta,
+                                  kappa=HESTON.kappa, rho=HESTON.rho + eps,
+                                  volvol=HESTON.volvol))
+        rdn = prices(HestonParams(v0=HESTON.v0, theta=HESTON.theta,
+                                  kappa=HESTON.kappa, rho=HESTON.rho - eps,
+                                  volvol=HESTON.volvol))
+        for i, f in enumerate(chain.forwards):
+            h = f * eps
+            np.testing.assert_allclose(out["delta"][i], (up[i] - dn[i]) / (2 * h),
+                                       rtol=2e-4, atol=1e-7)
+            np.testing.assert_allclose(out["gamma"][i],
+                                       (up[i] - 2 * mid[i] + dn[i]) / (h * h),
+                                       rtol=2e-3, atol=5e-4)
+            np.testing.assert_allclose(out["vega"][i], (vup[i] - vdn[i]) / (2 * eps),
+                                       rtol=5e-4, atol=1e-6)
+            np.testing.assert_allclose(out["rho"][i], (rup[i] - rdn[i]) / (2 * eps),
+                                       rtol=5e-4, atol=1e-6)
+
+    def test_flat_vol_limit_matches_bsm_delta(self):
+        """volvol -> 0, v0 = theta: Heston degenerates to Black with
+        sigma = sqrt(v0); AD delta must match the BSM closed form."""
+        from stochvolmodels_tpu.ops import bsm
+        sigma = 0.6
+        flat = HestonParams(v0=sigma ** 2, theta=sigma ** 2, kappa=2.0,
+                            rho=0.0, volvol=1e-4)
+        chain = small_chain()
+        out = heston_chain_greeks(chain, flat, greeks=("delta",))
+        for i, (ttm, f, df, strikes, codes) in enumerate(zip(
+                chain.ttms, chain.forwards, chain.discfactors,
+                chain.strikes_ttms, chain.optiontypes_ttms)):
+            ref = np.asarray([
+                float(bsm.compute_bsm_vanilla_delta(
+                    ttm=ttm, forward=f, strike=k, vol=sigma,
+                    optiontype=ot, discfactor=df))
+                for k, ot in zip(strikes, codes)])
+            np.testing.assert_allclose(out["delta"][i], ref, atol=2e-4)
+
+    def test_unknown_greek_raises(self):
+        with pytest.raises(ValueError):
+            heston_chain_greeks(small_chain(), HESTON, greeks=("smile",))
