@@ -88,7 +88,22 @@ def _kernel(seed_ref, x0_ref, x_ref, *, nb_steps, dt, variant, unroll=2):
     dtf = np.float32(dt)
 
     def body(i, carry):
-        x, lns, sigma, qvar = carry
+        # panel-reduction variants carry fewer state panels:
+        #   sigma-carry:        (x, sigma, qvar) — sigma updated
+        #                       multiplicatively, no lns panel
+        #   no-qvar:            (x, lns, sigma)  — vanilla-only pricing
+        #   sigma-carry-noqvar: (x, sigma)       — minimal state
+        if variant == "sigma-carry":
+            x, sigma, qvar = carry
+            lns = None
+        elif variant == "no-qvar":
+            x, lns, sigma = carry
+            qvar = None
+        elif variant == "sigma-carry-noqvar":
+            x, sigma = carry
+            lns = qvar = None
+        else:
+            x, lns, sigma, qvar = carry
         if variant == "alu-floor":
             b1 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
             b2 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
@@ -118,14 +133,24 @@ def _kernel(seed_ref, x0_ref, x_ref, *, nb_steps, dt, variant, unroll=2):
         dln = ((kappa1 * theta * pl.reciprocal(sigma, approx=True) - kappa1)
                + kappa2 * (theta - sigma) - 0.5 * vartheta2) * dtf \
             + beta * w0 + volvol * w1
-        lns = lns + dln
+        if lns is not None:
+            lns = lns + dln
         if variant in ("no-exp", "alu-floor", "no-prng"):
             sigma_new = jnp.abs(1.0 + lns)  # wrong dynamics; ALU only
         elif variant in ("poly-exp", "poly-all"):
             sigma_new = sigma * _poly_exp_small(dln)
+        elif lns is None:
+            sigma_new = sigma * jnp.exp(dln)  # multiplicative, no lns panel
         else:
             sigma_new = jnp.exp(lns)
-        qvar = qvar + 0.5 * (sig2dt + sigma_new * sigma_new * dtf)
+        if qvar is not None:
+            qvar = qvar + 0.5 * (sig2dt + sigma_new * sigma_new * dtf)
+        if variant == "sigma-carry":
+            return x, sigma_new, qvar
+        if variant == "no-qvar":
+            return x, lns, sigma_new
+        if variant == "sigma-carry-noqvar":
+            return x, sigma_new
         return x, lns, sigma_new, qvar
 
     def bodyn(i, carry):
@@ -134,8 +159,28 @@ def _kernel(seed_ref, x0_ref, x_ref, *, nb_steps, dt, variant, unroll=2):
         return carry
 
     x0 = x0_ref[:]
-    carry = (x0, jnp.zeros_like(x0), jnp.full_like(x0, 0.84), jnp.zeros_like(x0))
-    x, lns, sigma, qvar = jax.lax.fori_loop(0, nb_steps // unroll, bodyn, carry)
+    lns0 = np.float32(np.log(0.84))  # consistent with sigma0 (a zero seed
+    # makes step 1 jump sigma 0.84 -> ~1 and the sanity mean meaningless)
+    if variant == "sigma-carry":
+        carry = (x0, jnp.full_like(x0, 0.84), jnp.zeros_like(x0))
+    elif variant == "no-qvar":
+        carry = (x0, jnp.full_like(x0, lns0), jnp.full_like(x0, 0.84))
+    elif variant == "sigma-carry-noqvar":
+        carry = (x0, jnp.full_like(x0, 0.84))
+    else:
+        carry = (x0, jnp.full_like(x0, lns0), jnp.full_like(x0, 0.84),
+                 jnp.zeros_like(x0))
+    carry = jax.lax.fori_loop(0, nb_steps // unroll, bodyn, carry)
+    if variant == "sigma-carry":
+        x, sigma, qvar = carry
+    elif variant == "no-qvar":
+        x, _, sigma = carry
+        qvar = jnp.zeros_like(x)
+    elif variant == "sigma-carry-noqvar":
+        x, sigma = carry
+        qvar = jnp.zeros_like(x)
+    else:
+        x, _, sigma, qvar = carry
     x_ref[:] = x + sigma + qvar
 
 
@@ -164,8 +209,10 @@ def main():
         "raw Mosaic lowering, no interpret fallback)")
     nb_path = 1 << 20
     nb_steps = 360
-    cfgs = [("poly-bm", 256, 2), ("poly-bm2", 256, 2), ("poly-bm", 256, 2),
-            ("poly-bm2", 256, 2), ("alu-floor", 256, 2)]
+    cfgs = [("poly-bm", 256, 2), ("sigma-carry", 256, 2), ("no-qvar", 256, 2),
+            ("sigma-carry-noqvar", 256, 2), ("poly-bm", 256, 2),
+            ("sigma-carry", 256, 2), ("sigma-carry-noqvar", 256, 2),
+            ("alu-floor", 256, 2)]
     for variant, block_rows, unroll in cfgs:
         def run(seed):
             out = _run(jnp.asarray([seed], dtype=jnp.int32), nb_steps,
