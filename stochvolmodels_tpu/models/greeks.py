@@ -168,6 +168,64 @@ def logsv_chain_greeks(option_chain: OptionChain,
     return _run(key, price_fn, names, grid, values, tuple(greeks))
 
 
+def swaption_cube_greeks(params,
+                         slices,
+                         forwards,
+                         strikes_slices,
+                         greeks: Tuple[str, ...] = ("vega", "beta_shift",
+                                                    "volvol_shift"),
+                         **cube_kwargs):
+    """model-consistent swaption-cube sensitivities for the factor-HJM
+    rate LogSV model, by jvp over the batched differentiable cube pricer
+    (:func:`..factor_hjm.rate_logsv_pricer.make_swaption_cube_fn`).
+
+    Greeks:
+
+    - ``'vega'``          dP/d(sigma0) — volatility-state vega;
+    - ``'beta_shift'``    dP/d(parallel shift of the skew term structure
+                          beta(t), all segments and factors bumped +1
+                          together);
+    - ``'volvol_shift'``  dP/d(parallel shift of volvol(t)).
+
+    Returns ``(panels, mask)``: ``panels['price']`` and one (P, K_max)
+    panel per greek (annuity-normalized price units, matching the cube
+    pricer), ``mask`` the strike-validity panel.  The whole bundle is one
+    device program per greek on the SAME frozen structural panels, so
+    warm repricing across parameter moves costs one call each.  The
+    reference has no rate greeks at all (its factor-HJM pricer is a host
+    scipy loop, rate_logsv_pricer.py:148-244, not differentiable).
+    """
+    from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+        make_swaption_cube_fn)
+
+    allowed = ("vega", "beta_shift", "volvol_shift")
+    for g in greeks:
+        if g not in allowed:
+            raise ValueError(f"unknown greek {g!r}; expected one of {allowed}")
+    cube_fn, mask = make_swaption_cube_fn(params, slices, forwards,
+                                          strikes_slices, **cube_kwargs)
+    sigma0 = jnp.asarray(float(params.sigma0))
+    beta_xs = jnp.asarray(params.beta.xs)
+    volvol_xs = jnp.asarray(params.volvol.xs)
+    zero_b = jnp.zeros_like(beta_xs)
+    zero_v = jnp.zeros_like(volvol_xs)
+    tangents = {
+        "vega": (jnp.ones_like(sigma0), zero_b, zero_v),
+        "beta_shift": (jnp.zeros_like(sigma0), jnp.ones_like(beta_xs), zero_v),
+        "volvol_shift": (jnp.zeros_like(sigma0), zero_b,
+                         jnp.ones_like(volvol_xs)),
+    }
+    panels: Dict[str, np.ndarray] = {}
+    primals = (sigma0, beta_xs, volvol_xs)
+    for g in greeks:
+        price, sens = jax.jvp(cube_fn, primals, tangents[g])
+        panels.setdefault("price", np.asarray(price))
+        panels[g] = np.asarray(sens)
+    if "price" not in panels:
+        panels["price"] = np.asarray(cube_fn(*primals))
+    return panels, np.asarray(mask)
+
+
 def heston_chain_greeks(option_chain: OptionChain,
                         params,
                         greeks: Tuple[str, ...] = ("delta", "gamma", "vega"),

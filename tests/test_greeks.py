@@ -171,3 +171,64 @@ class TestHestonGreeks:
     def test_unknown_greek_raises(self):
         with pytest.raises(ValueError):
             heston_chain_greeks(small_chain(), HESTON, greeks=("smile",))
+
+
+class TestSwaptionCubeGreeks:
+    """factor-HJM swaption sensitivities via jvp over the batched cube
+    pricer — checked against finite differences of the same cube fn."""
+
+    def setup_cube(self):
+        import jax.numpy as jnp
+
+        from stochvolmodels_tpu.models.factor_hjm.rate_factor_basis import (
+            NelsonSiegel)
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
+            MultiFactRateLogSvParams, TermStructure)
+        ts = np.array([0.0, 1.0, 2.0, 5.0])
+        params = MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+            beta=TermStructure(ts=ts, xs=np.array([[0.25, -0.1, 0.0],
+                                                   [0.1, 0.05, -0.05],
+                                                   [0.0, 0.0, 0.0]])),
+            volvol=TermStructure(ts=ts, xs=np.array([0.4, 0.3, 0.3])),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+            basis=NelsonSiegel(meanrev=0.25,
+                               key_terms=np.array([1.0, 5.0, 10.0])),
+            ccy="USD")
+        slices = [(1.0, 1.0), (2.0, 5.0)]
+        strikes = [np.array([-0.01, 0.0, 0.01]), np.array([0.0, 0.01])]
+        fwds = [0.0, 0.0]
+        return params, slices, fwds, strikes, jnp
+
+    def test_cube_greeks_vs_finite_differences(self):
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn)
+        from stochvolmodels_tpu.models.greeks import swaption_cube_greeks
+        params, slices, fwds, strikes, jnp = self.setup_cube()
+        panels, mask = swaption_cube_greeks(params, slices, fwds, strikes,
+                                            year_steps=120)
+        cube_fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                           year_steps=120)
+        s0 = jnp.asarray(1.0)
+        b = jnp.asarray(params.beta.xs)
+        v = jnp.asarray(params.volvol.xs)
+        eps = 1e-5
+        fd = {
+            "vega": (np.asarray(cube_fn(s0 + eps, b, v))
+                     - np.asarray(cube_fn(s0 - eps, b, v))) / (2 * eps),
+            "beta_shift": (np.asarray(cube_fn(s0, b + eps, v))
+                           - np.asarray(cube_fn(s0, b - eps, v))) / (2 * eps),
+            "volvol_shift": (np.asarray(cube_fn(s0, b, v + eps))
+                             - np.asarray(cube_fn(s0, b, v - eps))) / (2 * eps),
+        }
+        assert np.all(panels["vega"][mask] > 0.0)  # long vol
+        for g, ref in fd.items():
+            np.testing.assert_allclose(panels[g][mask], ref[mask],
+                                       rtol=2e-4, atol=1e-9)
+
+    def test_unknown_greek_raises(self):
+        from stochvolmodels_tpu.models.greeks import swaption_cube_greeks
+        params, slices, fwds, strikes, _ = self.setup_cube()
+        with pytest.raises(ValueError):
+            swaption_cube_greeks(params, slices, fwds, strikes,
+                                 greeks=("delta",), year_steps=120)
