@@ -53,26 +53,44 @@ def _resolve_names(greeks: Tuple[str, ...], vega_param: str,
     return out
 
 
-def _greeks_program(price_fn, names: List[Tuple[str, str]]):
+def _invert_to_ivols(grid: ChainGrid, prices: Array) -> Array:
+    from stochvolmodels_tpu.ops import bsm
+    return bsm.infer_bsm_implied_vol_fast(
+        forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
+        strike=grid.strikes, given_price=prices,
+        discfactor=grid.discfactors[:, None], optiontype=grid.optioncodes)
+
+
+def _greeks_program(price_fn, names: List[Tuple[str, str]],
+                    in_vols: bool = False):
     """build fn(grid, params_dict) -> {'price': panel, greek: panel, ...}.
 
     ``price_fn(grid, params_dict) -> (n_ttm, max_strikes)`` must be a pure
-    jax function of the grid leaves and the scalar params.
+    jax function of the grid leaves and the scalar params.  With
+    ``in_vols`` the differentiated target is the BSM implied-vol panel
+    (the inverter's implicit-function custom_jvp carries the tangents, so
+    e.g. the IV delta dIV/dF correctly combines the model price move with
+    the moneyness shift of the Black formula); outputs gain an ``'ivol'``
+    panel and every greek is an IV sensitivity.
     """
     targets = {t for _, t in names}
 
     def program(grid: ChainGrid, params: Dict[str, Array]):
         import dataclasses
 
+        def target_of(g, p):
+            prices = price_fn(g, p)
+            return _invert_to_ivols(g, prices) if in_vols else prices
+
         def f_of_forwards(fwds):
             g = dataclasses.replace(grid, forwards=fwds)
-            return price_fn(g, params)
+            return target_of(g, params)
 
         ones = jnp.ones_like(grid.forwards)
         out: Dict[str, Array] = {}
+        base = None
         if "delta" in targets or "gamma" in targets:
-            price, delta = jax.jvp(f_of_forwards, (grid.forwards,), (ones,))
-            out["price"] = price
+            base, delta = jax.jvp(f_of_forwards, (grid.forwards,), (ones,))
             if "delta" in targets:
                 out["delta"] = delta
             if "gamma" in targets:
@@ -80,15 +98,24 @@ def _greeks_program(price_fn, names: List[Tuple[str, str]]):
                     return jax.jvp(f_of_forwards, (fwds,),
                                    (jnp.ones_like(fwds),))[1]
                 out["gamma"] = jax.jvp(dfn, (grid.forwards,), (ones,))[1]
-        else:
-            out["price"] = price_fn(grid, params)
         for _, target in names:
             if target in ("delta", "gamma") or target in out:
                 continue
             def f_of_param(v, target=target):
-                return price_fn(grid, {**params, target: v})
-            out[target] = jax.jvp(f_of_param, (params[target],),
-                                  (jnp.ones_like(params[target]),))[1]
+                return target_of(grid, {**params, target: v})
+            base_p, sens = jax.jvp(f_of_param, (params[target],),
+                                   (jnp.ones_like(params[target]),))
+            if base is None:
+                base = base_p
+            out[target] = sens
+        if in_vols:
+            prices = price_fn(grid, params)
+            out["price"] = prices
+            out["ivol"] = base if base is not None \
+                else _invert_to_ivols(grid, prices)
+        else:
+            out["price"] = base if base is not None \
+                else price_fn(grid, params)
         return out
 
     return jax.jit(program)
@@ -101,15 +128,18 @@ def _unpad(panel: Array, grid: ChainGrid) -> List[np.ndarray]:
 
 
 def _run(cache_key: tuple, price_fn, names, grid: ChainGrid,
-         params: Dict[str, float], greeks: Tuple[str, ...]
-         ) -> Dict[str, List[np.ndarray]]:
+         params: Dict[str, float], greeks: Tuple[str, ...],
+         in_vols: bool = False) -> Dict[str, List[np.ndarray]]:
+    cache_key = cache_key + (in_vols,)
     program = _PROGRAM_CACHE.get(cache_key)
     if program is None:
-        program = _greeks_program(price_fn, names)
+        program = _greeks_program(price_fn, names, in_vols=in_vols)
         _PROGRAM_CACHE[cache_key] = program
     par = {k: jnp.asarray(v, dtype=jnp.float64) for k, v in params.items()}
     panels = program(grid, par)
     out = {"price": _unpad(panels["price"], grid)}
+    if in_vols:
+        out["ivol"] = _unpad(panels["ivol"], grid)
     for g, target in names:
         out[g] = _unpad(panels[target], grid)
     return out
@@ -122,6 +152,7 @@ def logsv_chain_greeks(option_chain: OptionChain,
                        is_spot_measure: bool = True,
                        expansion_order=None,
                        year_steps: int = 720,
+                       in_vols: bool = False,
                        ) -> Dict[str, List[np.ndarray]]:
     """model-consistent greeks of the LogSV analytic chain prices.
 
@@ -134,6 +165,14 @@ def logsv_chain_greeks(option_chain: OptionChain,
     (reference semantics logsv_pricer.py:562-632) — prices and greeks come
     from the SAME program, so they are mutually consistent to machine
     precision.
+
+    ``in_vols=True`` expresses every greek in BSM implied-vol space (adds
+    an ``'ivol'`` panel): ``'delta'`` becomes the model's smile dynamics
+    dIV/dF — the total derivative combining the model price move with the
+    fixed-strike moneyness shift, i.e. how the quoted smile point moves
+    when the forward moves — and parameter greeks become dIV/dparam (the
+    IV-space calibration Jacobian row).  Gamma is supported in vol space
+    too (second total derivative).
     """
     from stochvolmodels_tpu.models.logsv import affine as afe
     from stochvolmodels_tpu.models.logsv.pricer import (
@@ -165,7 +204,8 @@ def logsv_chain_greeks(option_chain: OptionChain,
     values = {"sigma0": params.sigma0, "theta": params.theta,
               "kappa1": params.kappa1, "kappa2": params.kappa2,
               "beta": params.beta, "volvol": params.volvol}
-    return _run(key, price_fn, names, grid, values, tuple(greeks))
+    return _run(key, price_fn, names, grid, values, tuple(greeks),
+                in_vols=in_vols)
 
 
 def swaption_cube_greeks(params,
@@ -231,6 +271,7 @@ def heston_chain_greeks(option_chain: OptionChain,
                         greeks: Tuple[str, ...] = ("delta", "gamma", "vega"),
                         vol_scaler: Optional[float] = None,
                         is_spot_measure: bool = True,
+                        in_vols: bool = False,
                         ) -> Dict[str, List[np.ndarray]]:
     """model-consistent greeks of the Heston analytic chain prices.
 
@@ -261,4 +302,5 @@ def heston_chain_greeks(option_chain: OptionChain,
            is_spot_measure)
     values = {"v0": params.v0, "theta": params.theta, "kappa": params.kappa,
               "rho": params.rho, "volvol": params.volvol}
-    return _run(key, price_fn, names, grid, values, tuple(greeks))
+    return _run(key, price_fn, names, grid, values, tuple(greeks),
+                in_vols=in_vols)

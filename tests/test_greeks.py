@@ -109,6 +109,63 @@ class TestLogSVGreeks:
             np.testing.assert_allclose(out["price"][i], base[i], rtol=1e-12)
 
 
+class TestIVSpaceGreeks:
+    """in_vols=True: greeks expressed as implied-vol sensitivities via the
+    inverter's implicit-function custom_jvp composed into the program."""
+    YEAR_STEPS = 360
+
+    def test_iv_vega_and_delta_vs_finite_differences(self):
+        from stochvolmodels_tpu.models.logsv.pricer import set_vol_scaler
+        chain = small_chain()
+        vs = set_vol_scaler(sigma0=LOGSV.sigma0, ttm=float(np.min(chain.ttms)))
+        out = logsv_chain_greeks(chain, LOGSV, greeks=("delta", "vega"),
+                                 vol_scaler=vs, year_steps=self.YEAR_STEPS,
+                                 in_vols=True)
+
+        def ivols(params, fmult=1.0):
+            c = small_chain()
+            c.forwards = c.forwards * fmult
+            return logsv_chain_greeks(c, params, greeks=(), vol_scaler=vs,
+                                      year_steps=self.YEAR_STEPS,
+                                      in_vols=True)["ivol"]
+
+        eps = 1e-4
+        up, dn = ivols(LOGSV, 1 + eps), ivols(LOGSV, 1 - eps)
+        d = LOGSV.to_dict()
+        mk = lambda s0: LogSvParams(sigma0=s0, theta=d["theta"],
+                                    kappa1=d["kappa1"], kappa2=d["kappa2"],
+                                    beta=d["beta"], volvol=d["volvol"])
+        vup, vdn = ivols(mk(LOGSV.sigma0 + eps)), ivols(mk(LOGSV.sigma0 - eps))
+        for i, f in enumerate(chain.forwards):
+            fd_delta = (up[i] - dn[i]) / (2 * f * eps)
+            fd_vega = (vup[i] - vdn[i]) / (2 * eps)
+            np.testing.assert_allclose(out["delta"][i], fd_delta,
+                                       rtol=2e-3, atol=2e-5)
+            np.testing.assert_allclose(out["vega"][i], fd_vega,
+                                       rtol=5e-4, atol=1e-6)
+        # IV vega of a stochastic-vol model: higher sigma0 lifts the smile
+        for v in out["vega"]:
+            assert np.all(v > 0.0)
+        # ivol panel matches prices: invert independently
+        from stochvolmodels_tpu.ops import bsm
+        for i, (ttm, f, df) in enumerate(zip(chain.ttms, chain.forwards,
+                                             chain.discfactors)):
+            iv_ref = np.asarray(bsm.infer_bsm_implied_vol(
+                forward=f, ttm=ttm, strike=chain.strikes_ttms[i],
+                given_price=out["price"][i], discfactor=df,
+                optiontype=chain.optiontypes_ttms[i]))
+            np.testing.assert_allclose(out["ivol"][i], iv_ref, atol=1e-7)
+
+    def test_heston_iv_greeks_finite(self):
+        chain = small_chain()
+        out = heston_chain_greeks(chain, HESTON, greeks=("delta", "vega"),
+                                  in_vols=True)
+        for i in range(len(chain.ttms)):
+            assert np.all(np.isfinite(out["ivol"][i]))
+            assert np.all(out["vega"][i] > 0.0)
+            assert np.all(np.isfinite(out["delta"][i]))
+
+
 class TestHestonGreeks:
     def test_delta_vega_vs_finite_differences(self):
         chain = small_chain()
