@@ -149,6 +149,7 @@ from stochvolmodels_tpu.models.heston import (  # noqa: F401
 from stochvolmodels_tpu.models.greeks import (  # noqa: F401
     heston_chain_greeks,
     logsv_chain_greeks,
+    logsv_mc_chain_greeks,
     swaption_cube_greeks,
 )
 

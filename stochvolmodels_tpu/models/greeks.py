@@ -208,6 +208,85 @@ def logsv_chain_greeks(option_chain: OptionChain,
                 in_vols=in_vols)
 
 
+def logsv_mc_chain_greeks(option_chain: OptionChain,
+                          params,
+                          greeks: Tuple[str, ...] = ("delta", "vega"),
+                          nb_path: int = 100000,
+                          nb_steps_per_year: int = 360,
+                          seed=None,
+                          is_spot_measure: bool = True,
+                          dtype=jnp.float64,
+                          ) -> Dict[str, List[np.ndarray]]:
+    """pathwise Monte-Carlo greeks by AD through the LogSV scan simulation.
+
+    The whole chain MC — threefry normals, the Euler path loop under
+    ``lax.scan``, terminal-state chaining across maturities, forward
+    recentring, payoff and discounting — is one differentiable program, so
+    a jvp at a FIXED key gives the classic pathwise (infinitesimal
+    perturbation) estimator of dPrice/dF and dPrice/dparam.  This is
+    impossible in the reference: its MC kernels are numba loops over a
+    mutated RNG (logsv_pricer.py:843-940).
+
+    Valid greeks: ``'delta'`` and any of
+    ``sigma0/theta/kappa1/kappa2/beta/volvol`` (``'vega'`` = sigma0).
+    ``'gamma'`` is intentionally rejected — the pathwise estimator of a
+    second derivative of a kinked payoff is biased (the kink's delta
+    function is never sampled); use the analytic :func:`logsv_chain_greeks`
+    for gamma.
+
+    Estimator notes: payoffs are Lipschitz in the terminal state (vanilla
+    and inverse), so the pathwise estimator is unbiased; like-for-like FD
+    at the same key agrees to o(eps).  MC noise on a greek is O(1/sqrt(P))
+    like the price itself.
+    """
+    from stochvolmodels_tpu.models.logsv.pricer import (
+        simulate_logsv_terminal)
+    from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
+    from stochvolmodels_tpu.ops.random import key_from_seed
+
+    if "gamma" in greeks:
+        raise ValueError("pathwise MC gamma is biased for kinked payoffs; "
+                         "use logsv_chain_greeks for gamma")
+    param_names = ("sigma0", "theta", "kappa1", "kappa2", "beta", "volvol")
+    names = _resolve_names(tuple(greeks), _LOGSV_VEGA, param_names)
+    grid = option_chain.to_grid()
+    ttms_static = tuple(float(t) for t in option_chain.ttms)
+    etas = tuple(float(e) for e in
+                 params.get_vol_backbone_etas(ttms=option_chain.ttms))
+    key = key_from_seed(seed)
+
+    def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
+        x = jnp.zeros(nb_path, dtype=dtype)
+        sigma = jnp.full(nb_path, p["sigma0"], dtype=dtype)
+        qvar = jnp.zeros(nb_path, dtype=dtype)
+        ttm0 = 0.0
+        rows = []
+        for i, ttm in enumerate(ttms_static):
+            slice_key = jax.random.fold_in(key, i)
+            x, sigma, qvar = simulate_logsv_terminal(
+                key=slice_key, x0=x, sigma0=sigma, qvar0=qvar,
+                ttm=ttm - ttm0, theta=p["theta"], kappa1=p["kappa1"],
+                kappa2=p["kappa2"], beta=p["beta"], volvol=p["volvol"],
+                vol_backbone_eta=etas[i], is_spot_measure=is_spot_measure,
+                nb_steps_per_year=nb_steps_per_year, dtype=dtype)
+            ttm0 = ttm
+            prices, _ = compute_mc_vars_payoff(
+                x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm,
+                forward=g.forwards[i], strikes_ttm=g.strikes[i],
+                optiontypes_ttm=g.optioncodes[i], discfactor=g.discfactors[i])
+            rows.append(prices)
+        return jnp.stack(rows, axis=0)
+
+    cache_key = ("logsv_mc", ttms_static, grid.max_strikes,
+                 tuple(sorted({t for _, t in names})), nb_path,
+                 nb_steps_per_year, str(seed), is_spot_measure,
+                 jnp.dtype(dtype).name, etas)
+    values = {"sigma0": params.sigma0, "theta": params.theta,
+              "kappa1": params.kappa1, "kappa2": params.kappa2,
+              "beta": params.beta, "volvol": params.volvol}
+    return _run(cache_key, price_fn, names, grid, values, tuple(greeks))
+
+
 def swaption_cube_greeks(params,
                          slices,
                          forwards,

@@ -230,6 +230,65 @@ class TestHestonGreeks:
             heston_chain_greeks(small_chain(), HESTON, greeks=("smile",))
 
 
+class TestMCPathwiseGreeks:
+    """pathwise MC greeks: jvp at a fixed threefry key must match central
+    finite differences of the SAME fixed-key MC program (common random
+    numbers make the FD nearly noise-free), and agree with the analytic AD
+    greeks within MC error."""
+    NB_PATH = 16384
+    STEPS = 180
+
+    def test_mc_delta_vega_vs_fixed_key_fd(self):
+        from stochvolmodels_tpu.models.greeks import logsv_mc_chain_greeks
+        chain = small_chain()
+        out = logsv_mc_chain_greeks(chain, LOGSV, greeks=("delta", "vega"),
+                                    nb_path=self.NB_PATH,
+                                    nb_steps_per_year=self.STEPS, seed=7)
+
+        def prices(params, fmult=1.0):
+            c = small_chain()
+            c.forwards = c.forwards * fmult
+            return logsv_mc_chain_greeks(c, params, greeks=(),
+                                         nb_path=self.NB_PATH,
+                                         nb_steps_per_year=self.STEPS,
+                                         seed=7)["price"]
+
+        eps = 1e-4
+        up, dn = prices(LOGSV, 1 + eps), prices(LOGSV, 1 - eps)
+        d = LOGSV.to_dict()
+        mk = lambda s0: LogSvParams(sigma0=s0, theta=d["theta"],
+                                    kappa1=d["kappa1"], kappa2=d["kappa2"],
+                                    beta=d["beta"], volvol=d["volvol"])
+        vup, vdn = prices(mk(LOGSV.sigma0 + eps)), prices(mk(LOGSV.sigma0 - eps))
+        for i, f in enumerate(chain.forwards):
+            fd_delta = (up[i] - dn[i]) / (2 * f * eps)
+            fd_vega = (vup[i] - vdn[i]) / (2 * eps)
+            np.testing.assert_allclose(out["delta"][i], fd_delta,
+                                       rtol=5e-3, atol=5e-4)
+            np.testing.assert_allclose(out["vega"][i], fd_vega,
+                                       rtol=5e-3, atol=5e-4)
+
+    def test_mc_greeks_match_analytic_within_mc_error(self):
+        from stochvolmodels_tpu.models.greeks import logsv_mc_chain_greeks
+        chain = small_chain()
+        mc = logsv_mc_chain_greeks(chain, LOGSV, greeks=("delta", "vega"),
+                                   nb_path=self.NB_PATH,
+                                   nb_steps_per_year=self.STEPS, seed=7)
+        an = logsv_chain_greeks(chain, LOGSV, greeks=("delta", "vega"),
+                                year_steps=360)
+        for i in range(len(chain.ttms)):
+            # loose: 16k paths, different discretizations
+            np.testing.assert_allclose(mc["delta"][i], an["delta"][i],
+                                       atol=0.03)
+            np.testing.assert_allclose(mc["vega"][i], an["vega"][i],
+                                       atol=0.03)
+
+    def test_mc_gamma_rejected(self):
+        from stochvolmodels_tpu.models.greeks import logsv_mc_chain_greeks
+        with pytest.raises(ValueError):
+            logsv_mc_chain_greeks(small_chain(), LOGSV, greeks=("gamma",))
+
+
 class TestSwaptionCubeGreeks:
     """factor-HJM swaption sensitivities via jvp over the batched cube
     pricer — checked against finite differences of the same cube fn."""
