@@ -34,11 +34,9 @@ def do_mc_simulation(basis_type: str,
                      T_fwd: Optional[float] = None,
                      ) -> Tuple[list, list, list, list]:
     """simulate model paths to the requested maturities
-    (factor_hjm_pricer.py:27-79)."""
+    (factor_hjm_pricer.py:27-79); ``bxs`` enables the DLN-skew branch."""
     if basis_type != "NELSON-SIEGEL":
         raise NotImplementedError
-    if bxs is not None:
-        raise NotImplementedError("DLN skew simulation not implemented")
     return simulate_logsv_MF(ttms=ttms, x0=x0, y0=y0, I0=I0, sigma0=sigma0,
                              theta=params.theta, kappa1=params.kappa1,
                              kappa2=params.kappa2, ts=params.ts, A=params.A,
@@ -46,7 +44,7 @@ def do_mc_simulation(basis_type: str,
                              betaxs=params.beta.xs, volvolxs=params.volvol.xs,
                              basis=params.basis, measure_type=measure_type,
                              nb_path=nb_path, seed=seed, ccy=ccy, ts_sw=ts_sw,
-                             T_fwd=T_fwd, year_days=year_days)
+                             T_fwd=T_fwd, year_days=year_days, bxs=bxs)
 
 
 def calc_mc_vols(basis_type: str,
@@ -63,6 +61,7 @@ def calc_mc_vols(basis_type: str,
                  sigma0: Optional[np.ndarray] = None,
                  I0: Optional[np.ndarray] = None,
                  seed: Optional[int] = None,
+                 bxs: Optional[np.ndarray] = None,
                  **kwargs) -> Tuple[list, list, list, list]:
     """annuity-deflated MC swaption prices inverted to normal implied vols
     (factor_hjm_pricer.py:82-205)."""
@@ -96,7 +95,8 @@ def calc_mc_vols(basis_type: str,
                                         ttms=ttms, x0=x0, y0=y0, I0=I0,
                                         sigma0=sigma0, params=params,
                                         nb_path=nb_path, seed=seed,
-                                        measure_type=Measure.RISK_NEUTRAL)
+                                        measure_type=Measure.RISK_NEUTRAL,
+                                        bxs=bxs)
     x_T, y_T, I_T = x0s[-1], y0s[-1], I0s[-1]
 
     mc_vols, mc_prices, mc_vols_ups, mc_vols_downs = [], [], [], []

@@ -590,11 +590,28 @@ def simulate_logsv_MF(ttms: np.ndarray,
                       nb_path: int = 100000,
                       seed: Optional[int] = None,
                       year_days: int = 360,
+                      bxs: Optional[np.ndarray] = None,
+                      W: Optional[Tuple[np.ndarray, np.ndarray]] = None,
                       **kwargs
                       ) -> Tuple[list, list, list, list]:
     """joint Euler of (X, Y, I, ln sigma) under the selected measure
     (rate_logsv_pricer.py:864-1037), as a lax.scan over per-step coefficient
-    panels precomputed on host."""
+    panels precomputed on host.
+
+    ``bxs`` switches on the displaced-log-normal (DLN) skew branch
+    (rate_logsv_pricer.py:1001-1023): per-path factor-vol matrices
+    C_p = B^-1 diag(A_t + b .. y_p) chol(R) built from the simulated key-tenor
+    yields y_p, and per-path Omega drift.  The reference loops over paths to
+    form each (d, d) matrix; here the products collapse algebraically —
+    the diffusion shock is B^-1 (v .. (chol(R) w)) and Omega is a fixed
+    (aux, d, d) bilinear form in v — so the whole branch stays inside the
+    jitted scan with no per-path matrices materialised.
+
+    ``W`` optionally injects pre-drawn *unscaled* standard normals
+    ((S, P, d), (S, P)) in place of the on-device threefry stream — the
+    reference's matched-randoms hook (rate_logsv_pricer.py:885,946-948),
+    used by the oracle-parity tests.
+    """
     ttm = float(ttms[-1])
     nb_factors = basis.get_nb_factors()
     nb_aux = basis.get_nb_aux_factors()
@@ -626,6 +643,45 @@ def simulate_logsv_MF(ttms: np.ndarray,
     B0_X = jnp.asarray(basis.get_basis(0.0))
     B0_Y = jnp.asarray(basis.get_aux_basis(0.0))
 
+    is_dln = bxs is not None
+    if is_dln:
+        # mirrors the reference preconditions (rate_logsv_pricer.py:911-914):
+        # skew comes only from the DLN displacement, the SV driver is frozen.
+        assert measure_type == Measure.RISK_NEUTRAL
+        assert np.all(np.abs(betaxs) <= 1e-8) and np.all(volvolxs <= 1e-8)
+        assert abs(kappa1) <= 1e-8 and abs(kappa2) <= 1e-8
+        bxs = np.asarray(bxs, dtype=float)
+        assert bxs.shape == (nb_factors,)
+        from stochvolmodels_tpu.utils.rate_core import df_fast
+        inv_B = np.linalg.inv(basis.get_matrix_B())
+        R_chol = np.linalg.cholesky(np.asarray(R, dtype=float))
+        key_terms = np.asarray(basis.key_terms, dtype=float)
+        # key-tenor yields are affine in the state: y_i = c_i(t) + KX_i.x + KY_i.y
+        # with constant coefficient rows B_P(tau_i)/tau_i (bond is
+        # time-homogeneous up to the deterministic df ratio)
+        BPX_tenor = np.stack([basis.bond_coeffs(tau)[0] for tau in key_terms])
+        BPY_tenor = np.stack([basis.bond_coeffs(tau)[1] for tau in key_terms])
+        KX = jnp.asarray(BPX_tenor / key_terms[:, None])
+        KY = jnp.asarray(BPY_tenor / key_terms[:, None])
+        y_const = np.zeros((nb_steps, nb_factors))
+        for s, t in enumerate(grid_t[:nb_steps]):
+            for i, tau in enumerate(key_terms):
+                y_const[s, i] = -np.log(df_fast(t + tau, ccy) / df_fast(t, ccy)) / tau
+        y_const_steps = jnp.asarray(y_const)
+        A_steps = jnp.asarray(np.asarray(A, dtype=float)[idx_ts])   # (S, d)
+        # Omega_p = calc_Omega(B^-1 diag(v_p) R diag(v_p) B^-T) is a bilinear
+        # form in v_p: precompute its (aux, d, d) coefficient tensor once.
+        OmegaG = np.zeros((nb_aux, nb_factors, nb_factors))
+        for kk in range(nb_factors):
+            for ll in range(nb_factors):
+                E = np.zeros((nb_factors, nb_factors))
+                E[kk, ll] = 1.0
+                OmegaG[:, kk, ll] = basis.calc_Omega(inv_B @ E @ inv_B.T)
+        OmegaGR = jnp.asarray(OmegaG * np.asarray(R, dtype=float)[None, :, :])
+        inv_B_j = jnp.asarray(inv_B)
+        R_chol_j = jnp.asarray(R_chol)
+        bxs_j = jnp.asarray(bxs)
+
     # measure-dependent precomputations
     if measure_type == Measure.ANNUITY:
         assert ts_sw is not None
@@ -652,10 +708,13 @@ def simulate_logsv_MF(ttms: np.ndarray,
     def step(carry, inp):
         x, y, I, log_vol = carry
         step_idx, beta_t, volvol_t, C_t, Omega_t, vartheta2 = inp[:6]
-        k = jax.random.fold_in(key, step_idx.astype(jnp.int32))
-        k0, k1 = jax.random.split(k)
-        w0 = jax.random.normal(k0, (nb_path, nb_factors)) * sdt
-        w1 = jax.random.normal(k1, (nb_path,)) * sdt
+        if W is not None:
+            w0, w1 = inp[-2], inp[-1]
+        else:
+            k = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+            k0, k1 = jax.random.split(k)
+            w0 = jax.random.normal(k0, (nb_path, nb_factors)) * sdt
+            w1 = jax.random.normal(k1, (nb_path,)) * sdt
         sigma = jnp.exp(log_vol)
         sigma2 = sigma * sigma
 
@@ -678,12 +737,26 @@ def simulate_logsv_MF(ttms: np.ndarray,
             adj_vol_drift = 0.0
 
         I = I + dt * (x @ B0_X + y @ B0_Y)
-        y = y + dt * (y @ D_Y.T + Omega_t[None, :] * sigma2[:, None])
-        x = x + dt * x @ D_X.T + (w0 @ C_t.T) * sigma[:, None] + adj_x_drift * dt
-        log_vol = (log_vol + ((kappa1 * theta / sigma)
-                              - (kappa1 - kappa2 * theta + 0.5 * vartheta2)
-                              - kappa2 * sigma) * dt
-                   + w0 @ beta_t + volvol_t * w1 + adj_vol_drift * dt)
+        if is_dln:
+            # per-path DLN factor vols C_p = B^-1 diag(v_p) chol(R) with
+            # v_p = A_t + b .. (key-tenor yields of path p); the SV driver is
+            # frozen (log_vol drift and shocks vanish under the asserted
+            # preconditions, matching rate_logsv_pricer.py:1016-1023 where the
+            # log-vol update is skipped in the bxs branch)
+            A_t, yconst_t = inp[6], inp[7]
+            ys = yconst_t[None, :] + x @ KX.T + y @ KY.T          # (P, d)
+            v = A_t[None, :] + bxs_j[None, :] * ys                # (P, d)
+            omega_p = jnp.einsum('mkl,pk,pl->pm', OmegaGR, v, v)  # (P, aux)
+            shock = (v * (w0 @ R_chol_j.T)) @ inv_B_j.T           # (P, d)
+            y = y + dt * (y @ D_Y.T + omega_p)
+            x = x + dt * x @ D_X.T + shock * sigma[:, None] + adj_x_drift * dt
+        else:
+            y = y + dt * (y @ D_Y.T + Omega_t[None, :] * sigma2[:, None])
+            x = x + dt * x @ D_X.T + (w0 @ C_t.T) * sigma[:, None] + adj_x_drift * dt
+            log_vol = (log_vol + ((kappa1 * theta / sigma)
+                                  - (kappa1 - kappa2 * theta + 0.5 * vartheta2)
+                                  - kappa2 * sigma) * dt
+                       + w0 @ beta_t + volvol_t * w1 + adj_vol_drift * dt)
         return (x, y, I, log_vol), None
 
     # assemble scan inputs
@@ -693,6 +766,10 @@ def simulate_logsv_MF(ttms: np.ndarray,
         base_inputs += [BPX_pmt, BPY_pmt, df_ratio]
     elif measure_type == Measure.FORWARD:
         base_inputs += [BPX_fwd]
+    if is_dln:
+        base_inputs += [A_steps, y_const_steps]
+    if W is not None:
+        base_inputs += [jnp.asarray(W[0]) * sdt, jnp.asarray(W[1]) * sdt]
     inputs = tuple(base_inputs)
 
     idx_ttms = [int(np.where(np.isclose(grid_t, t))[0][0]) for t in ttms]

@@ -2,6 +2,8 @@
 Factor HJM rates suite: basis identities, measure transforms, DE-quadrature
 swaption pricing vs a deterministic-vol oracle, futures convexity, and MC.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -555,3 +557,141 @@ class TestRateLogSVPricerCalibration:
         # the 1y and 2y segments moved off the flat start
         assert not np.allclose(fit.beta.xs[0], start.beta.xs[0])
         assert fit.volvol.xs[0] != start.volvol.xs[0]
+
+
+class TestDLNSkewMC:
+    """displaced-log-normal skew branch of the joint factor-HJM simulation
+    (reference rate_logsv_pricer.py:1001-1023)."""
+
+    @staticmethod
+    def _dln_params(vols=0.01):
+        """frozen SV driver: betas/volvols/kappas ~ 0, sigma0 = 1."""
+        ts = np.array([0.0, 1.0, 2.0, 5.0])
+        return MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=0.0, kappa2=0.0,
+            beta=TermStructure.create_multi_fact_from_vec(ts, np.zeros(3)),
+            volvol=TermStructure.create_from_scalar(ts, 0.0),
+            A=np.array([vols, vols, vols]), R=np.eye(3),
+            basis=make_basis(), ccy="USD")
+
+    def test_zero_b_matches_standard_branch(self):
+        """with b = 0 the per-path DLN factor vols collapse to the constant
+        C(t) panels, so the DLN scan must reproduce the standard scan on the
+        same threefry stream."""
+        from stochvolmodels_tpu.models.factor_hjm.factor_hjm_pricer import (
+            do_mc_simulation,
+        )
+
+        params = self._dln_params()
+        nb_path = 256
+        common = dict(basis_type="NELSON-SIEGEL", ccy="USD",
+                      ttms=np.array([0.5]),
+                      x0=np.zeros((nb_path, 3)), y0=np.zeros((nb_path, 8)),
+                      I0=np.zeros(nb_path), sigma0=np.ones((nb_path, 1)),
+                      params=params, nb_path=nb_path, seed=7)
+        xs_std, ys_std, Is_std, _ = do_mc_simulation(**common)
+        xs_dln, ys_dln, Is_dln, _ = do_mc_simulation(bxs=np.zeros(3), **common)
+        np.testing.assert_allclose(xs_dln[-1], xs_std[-1], atol=1e-12)
+        np.testing.assert_allclose(ys_dln[-1], ys_std[-1], atol=1e-12)
+        np.testing.assert_allclose(Is_dln[-1], Is_std[-1], atol=1e-12)
+
+    def test_matches_reference_oracle_at_matched_randoms(self):
+        """inject the same normal draws into our jitted scan and the
+        reference's numpy loop (via the W hook both share) and require the
+        terminal states to agree to solver roundoff."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from reference_oracle import load_reference
+
+        load_reference()
+        from _ref_stochvolmodels.pricers.factor_hjm import (
+            rate_factor_basis as ref_basis_mod,
+        )
+        from _ref_stochvolmodels.pricers.factor_hjm import (
+            rate_logsv_params as ref_params_mod,
+        )
+        from _ref_stochvolmodels.pricers.factor_hjm import (
+            rate_logsv_pricer as ref_rp,
+        )
+
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            Measure,
+            simulate_logsv_MF,
+        )
+
+        nb_path, ttm, bvec = 64, 0.5, np.array([0.5, 0.2, -0.3])
+        params = self._dln_params()
+        nb_steps = int(ttm * 360) + 1  # set_time_grid contract
+        rng = np.random.default_rng(3)
+        W0 = rng.standard_normal((nb_steps, nb_path, 3))
+        W1 = rng.standard_normal((nb_steps, nb_path))
+
+        ref_ts = np.array([0.0, 1.0, 2.0, 5.0])
+        ref_basis = ref_basis_mod.NelsonSiegel(meanrev=0.25, key_terms=KEY_TERMS)
+        ref_params = ref_params_mod.MultiFactRateLogSvParams(
+            sigma0=1.0, theta=1.0, kappa1=0.0, kappa2=0.0,
+            beta=ref_params_mod.TermStructure.create_multi_fact_from_vec(
+                ref_ts, np.zeros(3)),
+            volvol=ref_params_mod.TermStructure.create_from_scalar(ref_ts, 0.0),
+            A=np.array([0.01, 0.01, 0.01]), R=np.eye(3), basis=ref_basis,
+            ccy="USD", vol_interpolation="BY_YIELD")
+
+        def fresh_state():
+            # the reference loop mutates x0 in place — never share arrays
+            return dict(x0=np.zeros((nb_path, 3)), y0=np.zeros((nb_path, 8)),
+                        I0=np.zeros(nb_path), sigma0=np.ones((nb_path, 1)))
+
+        common = dict(ttms=np.array([ttm]),
+                      theta=1.0, kappa1=0.0, kappa2=0.0,
+                      betaxs=params.beta.xs, volvolxs=params.volvol.xs,
+                      ts_sw=None, T_fwd=None, ccy="USD", nb_path=nb_path,
+                      bxs=bvec)
+        r_xs, r_ys, r_Is, r_sigmas = ref_rp.simulate_logsv_MF(
+            ts=ref_params.ts, A=ref_params.A, R=ref_params.R, C=ref_params.C,
+            Omega=ref_params.Omega, basis=ref_basis,
+            measure_type=ref_rp.Measure.RISK_NEUTRAL, W=[W0, W1],
+            params0=ref_params, **fresh_state(), **common)
+        o_xs, o_ys, o_Is, o_sigmas = simulate_logsv_MF(
+            ts=params.ts, A=params.A, R=params.R, C=params.C,
+            Omega=params.Omega, basis=params.basis,
+            measure_type=Measure.RISK_NEUTRAL, W=(W0, W1),
+            **fresh_state(), **common)
+
+        np.testing.assert_allclose(o_xs[-1], r_xs[-1], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(o_ys[-1], r_ys[-1], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(o_Is[-1], r_Is[-1], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.ravel(o_sigmas[-1]),
+                                   np.ravel(r_sigmas[-1]), rtol=1e-12)
+
+    @pytest.mark.slow
+    def test_dln_skew_shifts_smile(self):
+        """a positive DLN displacement must tilt the MC swaption smile the
+        displaced-log-normal way: higher normal vols for high strikes, and a
+        skew slope growing with b (reference has no analytic DLN pricer; the
+        sign/monotonicity of the smile tilt is the model-level contract)."""
+        params = self._dln_params(vols=0.01)
+        ttm, tenor = 1.0, 5.0
+        fwd = 0.043
+        strikes = np.array([fwd - 0.01, fwd, fwd + 0.01])
+
+        def smile(bvec):
+            _, vols, _, _ = calc_mc_vols(
+                basis_type="NELSON-SIEGEL", params=params, ttm=ttm,
+                tenors=np.array([tenor]), forwards=[np.array([fwd])],
+                strikes_ttms=[[strikes]], optiontypes=np.array(['P', 'C', 'C']),
+                is_annuity_measure=False, nb_path=16384, seed=11, bxs=bvec)
+            return vols[0]
+
+        # measured at seed 11: skews 0.0014 / 0.0044 / 0.0071, MC stderr ~5e-4
+        v0 = smile(np.zeros(3))
+        v1 = smile(np.full(3, 0.25))
+        v2 = smile(np.full(3, 0.5))
+        skew0 = v0[2] - v0[0]
+        skew1 = v1[2] - v1[0]
+        skew2 = v2[2] - v2[0]
+        # DLN displacement adds positive skew, growing with b, well beyond
+        # the MC error; the vol level also rises with the displacement
+        assert skew1 > skew0 + 1.5e-3
+        assert skew2 > skew1 + 1.5e-3
+        assert v1[1] > v0[1] and v2[1] > v1[1]
