@@ -1,14 +1,23 @@
 """
-Benchmark: Monte-Carlo path-steps/sec on the flagship LogSV model.
+Benchmark: the three BASELINE.json headline metrics, in ONE process.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the BASELINE.json north-star target of 1e9 path-steps/sec
-(the reference publishes no numbers and its numba CPU kernels cannot run
-here — numba is not installed).
+Prints ONE JSON line.  Primary metric (the "metric"/"value"/"vs_baseline"
+triple) is Monte-Carlo path-steps/sec on the flagship LogSV model vs the
+1e9 north-star target (the reference publishes no numbers and its numba
+CPU kernels cannot run here — numba is not installed).  Extra fields on
+the same line make the other BASELINE targets driver-verifiable each
+round:
 
-On TPU this exercises the Pallas kernel with on-chip PRNG
+* ``calib_warm_s``    — warm on-device LM calibration of the full BTC
+  chain (target < 1 s; reference workload logsv_pricer.py:205-453).
+* ``fast_reprice_ms`` — warm `price_chain(precision='fast')` of the BTC
+  chain (the repricing call inside calibration loops).
+* ``fast_ivols_ms``   — warm fused price + IV inversion for the chain.
+
+On TPU the MC metric exercises the Pallas kernel with on-chip PRNG
 (stochvolmodels_tpu/ops/pallas_mc.py); elsewhere it falls back to the
-lax.scan kernel.
+lax.scan kernel and skips the wall-clock extras (they are TPU targets;
+the driver runs this file on the real chip).
 """
 from __future__ import annotations
 
@@ -25,7 +34,7 @@ from stochvolmodels_tpu.models.logsv.pricer import LOGSV_BTC_PARAMS as P
 BASELINE_PATH_STEPS_PER_SEC = 1.0e9
 
 
-def main() -> None:
+def bench_mc_path_steps() -> tuple[str, float]:
     nb_path = 1 << 20          # 1,048,576 paths
     ttm = 1.0
     nb_steps_per_year = 360    # reference default workload density
@@ -67,14 +76,78 @@ def main() -> None:
         t0 = time.perf_counter()
         run(r + 1)
         best = min(best, time.perf_counter() - t0)
+    return metric, nb_path * nb_steps / best
 
-    path_steps_per_sec = nb_path * nb_steps / best
-    print(json.dumps({
+
+def bench_calibration_and_reprice() -> dict:
+    """warm LM calibration + fast reprice/ivols wall-clocks on the BTC chain."""
+    from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+    from stochvolmodels_tpu.models.logsv.fast_calibration import (
+        calibrate_logsv_lm_on_device,
+    )
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+    chain = get_btc_test_chain_data()
+    pricer = LogSVPricer()
+    params0 = LogSvParams(sigma0=0.8, theta=1.0, kappa1=2.21, kappa2=2.18,
+                          beta=0.15, volvol=1.85)
+
+    # -- warm LM calibration (< 1 s target) --------------------------------
+    fit, cost = calibrate_logsv_lm_on_device(chain, params0, nb_iters=12)
+    float(cost)                       # compile + first run, fetch to host
+    calib_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fit, cost = calibrate_logsv_lm_on_device(chain, params0, nb_iters=12)
+        cost_f = float(cost)
+        calib_best = min(calib_best, time.perf_counter() - t0)
+    assert np.isfinite(cost_f)
+
+    # -- warm fast reprice / fused ivols ------------------------------------
+    params = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                         beta=0.15, volvol=1.85)
+
+    def reprice():
+        prices = pricer.price_chain(option_chain=chain, params=params,
+                                    precision="fast")
+        return float(np.asarray(prices[0])[0])
+
+    def ivols():
+        vols = pricer.compute_model_ivols_for_chain(
+            option_chain=chain, params=params, precision="fast")
+        return float(np.asarray(vols[0])[0])
+
+    reprice()
+    ivols()
+    reprice_best = ivols_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reprice()
+        reprice_best = min(reprice_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ivols()
+        ivols_best = min(ivols_best, time.perf_counter() - t0)
+
+    return {
+        "calib_warm_s": round(calib_best, 4),
+        "calib_cost": round(cost_f, 6),
+        "fast_reprice_ms": round(reprice_best * 1e3, 2),
+        "fast_ivols_ms": round(ivols_best * 1e3, 2),
+    }
+
+
+def main() -> None:
+    metric, path_steps_per_sec = bench_mc_path_steps()
+    out = {
         "metric": metric,
         "value": path_steps_per_sec,
         "unit": "path-steps/sec",
         "vs_baseline": path_steps_per_sec / BASELINE_PATH_STEPS_PER_SEC,
-    }))
+    }
+    if jax.devices()[0].platform != "cpu":
+        out.update(bench_calibration_and_reprice())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
