@@ -163,6 +163,7 @@ def calibrate_rate_logsv_cube_lm_on_device(
         volvol_bounds: Tuple[float, float] = (0.01, 2.0),
         year_steps: int = 360,
         nb_grid_pts: int = 31,
+        mesh=None,
         **cube_kwargs,
 ) -> Tuple[MultiFactRateLogSvParams, float]:
     """JOINT fit of the (beta, volvol) term structure to a whole swaption
@@ -177,6 +178,13 @@ def calibrate_rate_logsv_cube_lm_on_device(
     supplied expiries); earlier segments couple into later expiries through
     the piecewise-constant term structure, which the bootstrap ignores by
     construction.  Returns ``(updated params copy, best cost)``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the cube's (expiry, tenor)
+    slice axis shards over it (see ``make_swaption_cube_fn``), so each LM
+    iteration's cube evaluation and Jacobian split across devices; the
+    normal-equation reductions become ICI psums inserted by XLA.  Slice
+    results are mathematically independent, so the sharded fit equals the
+    single-device fit to float tolerance (tests/test_parallel.py).
     """
     d = params.basis.get_nb_factors()
     n_seg = params.beta.xs.shape[0]
@@ -189,7 +197,7 @@ def calibrate_rate_logsv_cube_lm_on_device(
 
     price_fn, mask = make_swaption_cube_fn(
         params, slices, forwards, strikes_slices, year_steps=year_steps,
-        nb_grid_pts=nb_grid_pts, **cube_kwargs)
+        nb_grid_pts=nb_grid_pts, mesh=mesh, **cube_kwargs)
     K_max = mask.shape[1]
     market = np.zeros((len(slices), K_max))
     weights = np.zeros((len(slices), K_max))

@@ -363,7 +363,8 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
                           h: float = 0.125,
                           x_max: float = 2.75,
                           x0: Optional[np.ndarray] = None,
-                          y0: Optional[np.ndarray] = None):
+                          y0: Optional[np.ndarray] = None,
+                          mesh=None):
     """jitted whole-cube swaption pricer: every (expiry, tenor) slice in ONE
     device program.
 
@@ -383,6 +384,14 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
     end-to-end differentiable here, so the joint cube calibration
     (fast_calibration.calibrate_rate_logsv_cube_lm_on_device) runs LM over
     it entirely on device.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the slice axis P is then
+    sharded over the mesh's first axis (``with_sharding_constraint`` on the
+    stage-coefficient panel and the price panel), so the P independent
+    Riccati scans and the (P, N, K) inversion split across devices with no
+    hand-written collectives; parameter gradients reduce over ICI psums
+    that XLA inserts.  Slices are independent, so uneven P is fine (XLA
+    pads internally).
     """
     from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import (
         tanh_sinh_nodes,
@@ -434,6 +443,12 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
     p_nodes_j = jnp.asarray(p_nodes)
     w_nodes_j = jnp.asarray(w_nodes)
     dts = jnp.asarray([ps[5] for ps in per_slice])
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PSpec
+        slice_sharding = NamedSharding(mesh, PSpec(mesh.axis_names[0]))
+    else:
+        slice_sharding = None
 
     @jax.jit
     def price(sigma0, beta_xs, volvol_xs):
@@ -455,6 +470,9 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
                 lambda s: jnp.interp(t_eval.ravel(), times_f, s))(series)
             coeffs_all.append(jnp.moveaxis(coeffs.reshape(7, S, 3), 0, 1))
         stage_coeffs = jnp.stack(coeffs_all)                 # (P, S, 7, 3)
+        if slice_sharding is not None:
+            stage_coeffs = jax.lax.with_sharding_constraint(
+                stage_coeffs, slice_sharding)
 
         phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
         a_t1 = solve_a_ode_grid_batch(phi, dts, stage_coeffs, q=theta,
@@ -475,7 +493,10 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
         e = jnp.exp(z_re)
         integrand = e * (p_payoff.re[None, :, None] * jnp.cos(z_im)
                          - p_payoff.im[None, :, None] * jnp.sin(z_im))
-        return jnp.einsum('n,pnk->pk', w_nodes_j, integrand)
+        out = jnp.einsum('n,pnk->pk', w_nodes_j, integrand)
+        if slice_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, slice_sharding)
+        return out
 
     return price, jnp.asarray(mask)
 

@@ -13,12 +13,19 @@ Design: each model wrapper builds ONE jitted program computing the price
 panel plus every requested greek panel for a padded `ChainGrid`; the
 program is cached per (chain shape, maturities, greek set, solver config),
 so repricing the same chain with new params costs a single warm device
-call.  `delta`/`gamma` differentiate w.r.t. the per-maturity forwards: the
+call.  Default ``vol_scaler`` is derived from the CHAIN (ATM vol), never
+from the moving params, so the cache key is stable across parameter moves
+— pass an explicit frozen ``vol_scaler`` to pin it yourself.  The cache is
+bounded (FIFO) so pathological key churn cannot grow it without bound.
+`delta`/`gamma` differentiate w.r.t. the per-maturity forwards: the
 price panel row i depends only on `forwards[i]`, so a jvp against the
 all-ones tangent reads out exactly dP_ij/dF_i (and a second jvp the
 row-wise second derivative).  Parameter greeks are one jvp per scalar
-parameter.  Calendar theta is NOT offered: maturities fix the per-slice
-ODE step counts at trace time, so ttm is not a traceable input.
+parameter.  Calendar ``'theta'`` (dP/dt as calendar time passes, =
+−dP/dttm) is a central finite difference in ttm between two cached
+programs: maturities fix the per-slice ODE/MC step counts at trace time,
+so ttm itself cannot be a traced input — but the two shifted-maturity
+programs are built once and reused like any other.
 """
 from __future__ import annotations
 
@@ -37,12 +44,14 @@ _LOGSV_VEGA = "sigma0"
 _HESTON_VEGA = "v0"
 
 _PROGRAM_CACHE: Dict[tuple, callable] = {}
+_PROGRAM_CACHE_MAX = 64
 
 
 def _resolve_names(greeks: Tuple[str, ...], vega_param: str,
                    param_names: Tuple[str, ...]) -> List[Tuple[str, str]]:
     """map requested greek names to (output key, target) pairs where target
-    is 'delta'/'gamma' or a model parameter name."""
+    is 'delta'/'gamma' or a model parameter name ('theta_calendar' is
+    handled separately by the callers via FD-in-ttm, never resolved here)."""
     out = []
     for g in greeks:
         target = vega_param if g == "vega" else g
@@ -51,6 +60,25 @@ def _resolve_names(greeks: Tuple[str, ...], vega_param: str,
                              f"'vega' or one of {param_names}")
         out.append((g, target))
     return out
+
+
+def _theta_dt(ttms) -> float:
+    """FD step for calendar theta: one day, capped so ttm-dt stays positive."""
+    return float(min(1.0 / 365.0, 0.25 * float(np.min(ttms))))
+
+
+def _chain_atm0(option_chain: OptionChain, fallback: float) -> float:
+    """first-maturity ATM vol of the chain, falling back to a param-implied
+    level only when the chain carries no usable vols.  Used for DEFAULT
+    vol_scaler values so the greeks program cache key does not move with
+    the params being differentiated."""
+    try:
+        atm0 = float(option_chain.get_chain_atm_vols()[0])
+    except Exception:
+        atm0 = float("nan")
+    if not np.isfinite(atm0) or atm0 <= 0.0:
+        atm0 = float(fallback)
+    return atm0
 
 
 def _invert_to_ivols(grid: ChainGrid, prices: Array) -> Array:
@@ -134,6 +162,8 @@ def _run(cache_key: tuple, price_fn, names, grid: ChainGrid,
     program = _PROGRAM_CACHE.get(cache_key)
     if program is None:
         program = _greeks_program(price_fn, names, in_vols=in_vols)
+        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         _PROGRAM_CACHE[cache_key] = program
     par = {k: jnp.asarray(v, dtype=jnp.float64) for k, v in params.items()}
     panels = program(grid, par)
@@ -143,6 +173,41 @@ def _run(cache_key: tuple, price_fn, names, grid: ChainGrid,
     for g, target in names:
         out[g] = _unpad(panels[target], grid)
     return out
+
+
+def _calendar_theta(make_price_fn, key_prefix: tuple, grid: ChainGrid,
+                    values: Dict[str, float],
+                    ttms_static: Tuple[float, ...],
+                    in_vols: bool) -> List[np.ndarray]:
+    """calendar theta dP/dt (= −dP/dttm) by central finite difference in
+    maturity between two cached price-only programs.
+
+    Conventions: forwards are held fixed (driftless theta) and discount
+    factors are re-expressed at FIXED continuous rates
+    ``df(ttm±dt) = exp(−r·(ttm±dt))`` with ``r = −ln(df)/ttm``, so the
+    carry component of theta is the model's own discounting, not a curve
+    move.  The two shifted-maturity programs enter the same bounded
+    program cache as every other greek program, so warm repricing stays a
+    constant number of device calls.  Extends the reference's BSM-only
+    theta (analytic/bsm.py:357-384) to the model-consistent chain level.
+    """
+    import dataclasses
+    dt = _theta_dt(np.asarray(ttms_static))
+    ttms_np = np.asarray(grid.ttms)
+    rates = -np.log(np.asarray(grid.discfactors)) / ttms_np
+    sides = []
+    for sign in (1.0, -1.0):
+        ttms_s = tuple(float(t) + sign * dt for t in ttms_static)
+        g = dataclasses.replace(
+            grid,
+            ttms=jnp.asarray(np.asarray(ttms_s), dtype=grid.ttms.dtype),
+            discfactors=jnp.asarray(np.exp(-rates * np.asarray(ttms_s)),
+                                    dtype=grid.discfactors.dtype))
+        out = _run(key_prefix + (ttms_s,), make_price_fn(ttms_s), [], g,
+                   values, (), in_vols=in_vols)
+        sides.append(out["ivol" if in_vols else "price"])
+    return [np.asarray(-(up - dn) / (2.0 * dt))
+            for up, dn in zip(sides[0], sides[1])]
 
 
 def logsv_chain_greeks(option_chain: OptionChain,
@@ -173,6 +238,13 @@ def logsv_chain_greeks(option_chain: OptionChain,
     when the forward moves — and parameter greeks become dIV/dparam (the
     IV-space calibration Jacobian row).  Gamma is supported in vol space
     too (second total derivative).
+
+    ``'theta_calendar'`` is the calendar time decay dP/dt (central FD in
+    ttm between two cached shifted-maturity programs, see
+    :func:`_calendar_theta`); the vol backbone etas are held at the
+    unshifted maturities.  It is named explicitly because the bare name
+    ``'theta'`` already denotes the sensitivity to the model's mean vol
+    level parameter.
     """
     from stochvolmodels_tpu.models.logsv import affine as afe
     from stochvolmodels_tpu.models.logsv.pricer import (
@@ -181,31 +253,44 @@ def logsv_chain_greeks(option_chain: OptionChain,
     if expansion_order is None:
         expansion_order = afe.ExpansionOrder.SECOND
     if vol_scaler is None:
-        vol_scaler = set_vol_scaler(sigma0=params.sigma0,
-                                    ttm=np.min(option_chain.ttms))
+        vol_scaler = set_vol_scaler(
+            sigma0=_chain_atm0(option_chain, fallback=params.sigma0),
+            ttm=np.min(option_chain.ttms))
     grid = option_chain.to_grid()
     ttms_static = tuple(float(t) for t in option_chain.ttms)
     etas = tuple(float(e) for e in
                  params.get_vol_backbone_etas(ttms=option_chain.ttms))
+    greeks = tuple(greeks)
+    want_theta = "theta_calendar" in greeks
+    rest = tuple(g for g in greeks if g != "theta_calendar")
     param_names = ("sigma0", "theta", "kappa1", "kappa2", "beta", "volvol")
-    names = _resolve_names(tuple(greeks), _LOGSV_VEGA, param_names)
+    names = _resolve_names(rest, _LOGSV_VEGA, param_names)
     need = tuple(sorted({t for _, t in names}))
 
-    def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
-        return logsv_chain_price_grid(
-            g, sigma0=p["sigma0"], theta=p["theta"], kappa1=p["kappa1"],
-            kappa2=p["kappa2"], beta=p["beta"], volvol=p["volvol"],
-            vol_backbone_etas=np.asarray(etas), vol_scaler=float(vol_scaler),
-            ttms_static=ttms_static, is_spot_measure=is_spot_measure,
-            expansion_order=expansion_order, year_steps=year_steps)
+    def make_price_fn(tts: Tuple[float, ...]):
+        def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
+            return logsv_chain_price_grid(
+                g, sigma0=p["sigma0"], theta=p["theta"], kappa1=p["kappa1"],
+                kappa2=p["kappa2"], beta=p["beta"], volvol=p["volvol"],
+                vol_backbone_etas=np.asarray(etas),
+                vol_scaler=float(vol_scaler),
+                ttms_static=tts, is_spot_measure=is_spot_measure,
+                expansion_order=expansion_order, year_steps=year_steps)
+        return price_fn
 
     key = ("logsv", ttms_static, grid.max_strikes, need, float(vol_scaler),
            is_spot_measure, expansion_order, year_steps, etas)
     values = {"sigma0": params.sigma0, "theta": params.theta,
               "kappa1": params.kappa1, "kappa2": params.kappa2,
               "beta": params.beta, "volvol": params.volvol}
-    return _run(key, price_fn, names, grid, values, tuple(greeks),
-                in_vols=in_vols)
+    out = _run(key, make_price_fn(ttms_static), names, grid, values, rest,
+               in_vols=in_vols)
+    if want_theta:
+        key_theta = ("logsv-theta", grid.max_strikes, float(vol_scaler),
+                     is_spot_measure, expansion_order, year_steps, etas)
+        out["theta_calendar"] = _calendar_theta(
+            make_price_fn, key_theta, grid, values, ttms_static, in_vols)
+    return out
 
 
 def logsv_mc_chain_greeks(option_chain: OptionChain,
@@ -355,31 +440,49 @@ def heston_chain_greeks(option_chain: OptionChain,
     """model-consistent greeks of the Heston analytic chain prices.
 
     ``'vega'`` aliases ``v0`` (dP/dv0, variance units); other parameter
-    names: ``v0/theta/kappa/rho/volvol``.  Same contract as
-    :func:`logsv_chain_greeks`; pricer =
+    names: ``v0/theta/kappa/rho/volvol``; ``'theta_calendar'`` is the
+    calendar time decay (same FD contract as :func:`logsv_chain_greeks`).
+    Pricer =
     :func:`stochvolmodels_tpu.models.heston.heston_chain_price_grid`
     (reference heston_pricer.py:203-262).
     """
     from stochvolmodels_tpu.models.heston import heston_chain_price_grid
 
     if vol_scaler is None:
+        atm0 = _chain_atm0(option_chain, fallback=np.sqrt(params.v0))
         vol_scaler = float(np.minimum(
-            0.3, np.sqrt(params.v0 * float(np.min(option_chain.ttms)))))
+            0.3, atm0 * np.sqrt(float(np.min(option_chain.ttms)))))
     grid = option_chain.to_grid()
     ttms_static = tuple(float(t) for t in option_chain.ttms)
+    greeks = tuple(greeks)
+    want_theta = "theta_calendar" in greeks
+    rest = tuple(g for g in greeks if g != "theta_calendar")
     param_names = ("v0", "theta", "kappa", "rho", "volvol")
-    names = _resolve_names(tuple(greeks), _HESTON_VEGA, param_names)
+    names = _resolve_names(rest, _HESTON_VEGA, param_names)
     need = tuple(sorted({t for _, t in names}))
 
-    def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
-        return heston_chain_price_grid(
-            g, v0=p["v0"], theta=p["theta"], kappa=p["kappa"],
-            volvol=p["volvol"], rho=p["rho"], vol_scaler=float(vol_scaler),
-            is_spot_measure=is_spot_measure)
+    def make_price_fn(tts: Tuple[float, ...]):
+        # the Heston MGF is closed-form in ttm, so only the traced
+        # grid.ttms leaves matter; tts only keys the cache.
+        del tts
+
+        def price_fn(g: ChainGrid, p: Dict[str, Array]) -> Array:
+            return heston_chain_price_grid(
+                g, v0=p["v0"], theta=p["theta"], kappa=p["kappa"],
+                volvol=p["volvol"], rho=p["rho"],
+                vol_scaler=float(vol_scaler),
+                is_spot_measure=is_spot_measure)
+        return price_fn
 
     key = ("heston", ttms_static, grid.max_strikes, need, float(vol_scaler),
            is_spot_measure)
     values = {"v0": params.v0, "theta": params.theta, "kappa": params.kappa,
               "rho": params.rho, "volvol": params.volvol}
-    return _run(key, price_fn, names, grid, values, tuple(greeks),
-                in_vols=in_vols)
+    out = _run(key, make_price_fn(ttms_static), names, grid, values, rest,
+               in_vols=in_vols)
+    if want_theta:
+        key_theta = ("heston-theta", grid.max_strikes, float(vol_scaler),
+                     is_spot_measure)
+        out["theta_calendar"] = _calendar_theta(
+            make_price_fn, key_theta, grid, values, ttms_static, in_vols)
+    return out

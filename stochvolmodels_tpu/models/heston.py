@@ -200,7 +200,7 @@ def simulate_heston_terminal(key: jax.Array,
     return x, var, qvar
 
 
-@partial(jax.jit, static_argnames=("dt", "dtype"))
+@partial(jax.jit, static_argnames=("dt", "dtype", "nb_replicates"))
 def _simulate_heston_terminal_qmc_core(v_tot: Array,
                                        shift_tot: Array,
                                        v_steps: Array,
@@ -213,39 +213,54 @@ def _simulate_heston_terminal_qmc_core(v_tot: Array,
                                        kappa,
                                        rho,
                                        volvol,
-                                       dtype=jnp.float64
+                                       dtype=jnp.float64,
+                                       nb_replicates: int = 0
                                        ) -> Tuple[Array, Array, Array]:
     """QMC variant of ``simulate_heston_terminal``: identical full-truncation
     Euler, normals from randomized Sobol columns generated inside the scan
     with each Brownian stream's slice-total stratified onto the slice's
     leading dims (ops/qmc.py stratified_increment_shift; two passes — the
     raw columns are re-generated to accumulate their sums, nothing is
-    materialized)."""
+    materialized).  ``nb_replicates=R > 0`` makes the path axis R contiguous
+    replicate groups of one Sobol point set under independent digital
+    shifts (see the LogSV twin for details)."""
     from stochvolmodels_tpu.ops.qmc import (gray_codes, qmc_step_normals,
+                                            replicated_gray_codes,
                                             stratified_increment_shift)
 
     nb_steps = v_steps.shape[0]
     sqrt_dt = float(np.sqrt(dt))
     rho_1 = jnp.sqrt(1.0 - rho * rho)
     carry_dtype = x0.dtype
-    gray = gray_codes(x0.shape[0])
+    nb_path = x0.shape[0]
+    if nb_replicates:
+        gray = replicated_gray_codes(nb_path, nb_replicates)
+        per_rep = nb_path // nb_replicates
+
+        def expand(shift_step):
+            return jnp.repeat(shift_step, per_rep, axis=-1)
+    else:
+        gray = gray_codes(nb_path)
+
+        def expand(shift_step):
+            return shift_step
 
     def presum(sums, xs):
         v_step, shift_step = xs
-        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        z0, z1 = qmc_step_normals(gray, v_step, expand(shift_step), dtype)
         return (sums[0] + z0, sums[1] + z1), None
 
     zero = jnp.zeros(x0.shape, dtype=dtype)
     (s0, s1), _ = jax.lax.scan(presum, (zero, zero), (v_steps, shifts),
                                unroll=2)
-    t0, t1 = qmc_step_normals(gray, v_tot, shift_tot, dtype)
+    t0, t1 = qmc_step_normals(gray, v_tot, expand(shift_tot), dtype)
     c0 = stratified_increment_shift(t0, s0, nb_steps)
     c1 = stratified_increment_shift(t1, s1, nb_steps)
 
     def step(carry, xs):
         v_step, shift_step = xs
         x, var, qvar = carry
-        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        z0, z1 = qmc_step_normals(gray, v_step, expand(shift_step), dtype)
         w0, w1 = (z0 + c0) * sqrt_dt, (z1 + c1) * sqrt_dt
         sigma = jnp.sqrt(var)
         var_dt = var * dt
@@ -272,20 +287,24 @@ def simulate_heston_terminal_qmc(key: jax.Array,
                                  volvol,
                                  nb_steps_per_year: int = 360,
                                  dtype=jnp.float64,
-                                 dim_offset: int = 0
+                                 dim_offset: int = 0,
+                                 nb_replicates: int = 0
                                  ) -> Tuple[Array, Array, Array]:
     """terminal (x, var, qvar) by randomized quasi-Monte Carlo: path i is
     Sobol point i; the slice's first two dims stratify each Brownian
     stream's total, the rest map to steps.  ``dim_offset`` continues the
-    sequence across chained maturities (see ops/qmc.py)."""
+    sequence across chained maturities; ``nb_replicates`` runs R
+    independently-randomized replicate groups (see ops/qmc.py)."""
     from stochvolmodels_tpu.ops.qmc import qmc_scan_panels
 
     nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
     v_tot, shift_tot, v_steps, shifts = qmc_scan_panels(
-        key, nb_steps, per_step=2, dim_offset=dim_offset)
+        key, nb_steps, per_step=2, dim_offset=dim_offset,
+        nb_replicates=nb_replicates)
     return _simulate_heston_terminal_qmc_core(
         v_tot, shift_tot, v_steps, shifts, x0, var0, qvar0, dt=float(dt),
-        theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype)
+        theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
+        nb_replicates=nb_replicates)
 
 
 def heston_mc_chain_pricer(ttms: np.ndarray,
@@ -303,7 +322,8 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
                            seed=None,
                            dtype=jnp.float64,
                            engine: str = "scan",
-                           antithetic: bool = False
+                           antithetic: bool = False,
+                           qmc_replicates: int = 8
                            ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with terminal state carried across maturities
     (heston_pricer.py:265-309).  Returns ragged (prices, stderrs) lists.
@@ -311,8 +331,11 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
     ``engine='pallas'`` runs each slice through the on-chip-PRNG Pallas
     kernel (float32); 'scan' (default) keeps the reference-parity f64 path.
     ``engine='qmc'`` uses randomized Sobol normals (ops/qmc.py) — near
-    O(1/N) error on smooth payoffs; reported stds keep the iid formula and
-    are an upper bound under QMC.
+    O(1/N) error on smooth payoffs; the path budget is split into
+    ``qmc_replicates`` independently-randomized replicate groups and the
+    reported stds are the standard error over replicate means (honest
+    RQMC error; ``qmc_replicates=0`` keeps one unreplicated sequence with
+    upper-bound iid stds).
     ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
     mirrored Brownian increments; stderr is over pair averages."""
     if engine not in ("scan", "pallas", "qmc"):
@@ -323,6 +346,11 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
                                   "points are already stratified)")
     if antithetic and nb_path % 2:
         nb_path += 1
+    qmc_replicates = int(qmc_replicates) if engine == "qmc" else 0
+    if qmc_replicates == 1:
+        qmc_replicates = 0
+    if qmc_replicates and nb_path % qmc_replicates:
+        nb_path += qmc_replicates - nb_path % qmc_replicates
     key = key_from_seed(seed)
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
@@ -361,7 +389,7 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
             x, var, qvar = simulate_heston_terminal_qmc(
                 key=key, x0=x, var0=var, qvar0=qvar, ttm=float(ttm - ttm0),
                 theta=theta, kappa=kappa, rho=rho, volvol=volvol, dtype=dtype,
-                dim_offset=dim_offset)
+                dim_offset=dim_offset, nb_replicates=qmc_replicates)
             dim_offset += qmc_dims_per_slice(set_time_grid(
                 ttm=float(ttm - ttm0), nb_steps_per_year=360)[0])
         else:
@@ -376,7 +404,7 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
             forward=forwards[i], strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i],
             discfactor=discfactors[i], variable_type=variable_type,
-            antithetic=antithetic)
+            antithetic=antithetic, nb_replicates=qmc_replicates)
         option_prices_ttm.append(np.asarray(prices))
         option_std_ttm.append(np.asarray(stds))
     return option_prices_ttm, option_std_ttm

@@ -236,7 +236,8 @@ def simulate_logsv_terminal(key: jax.Array,
     return x, sigma, qvar
 
 
-@partial(jax.jit, static_argnames=("dt", "is_spot_measure", "dtype"))
+@partial(jax.jit, static_argnames=("dt", "is_spot_measure", "dtype",
+                                   "nb_replicates"))
 def _simulate_logsv_terminal_qmc_core(v_tot: Array,
                                       shift_tot: Array,
                                       v_steps: Array,
@@ -252,7 +253,8 @@ def _simulate_logsv_terminal_qmc_core(v_tot: Array,
                                       volvol,
                                       vol_backbone_eta,
                                       is_spot_measure: bool = True,
-                                      dtype=jnp.float64
+                                      dtype=jnp.float64,
+                                      nb_replicates: int = 0
                                       ) -> Tuple[Array, Array, Array]:
     """QMC variant of ``simulate_logsv_terminal``: identical Euler
     discretization, but the two per-step normals come from randomized Sobol
@@ -261,8 +263,15 @@ def _simulate_logsv_terminal_qmc_core(v_tot: Array,
     leading Sobol dims (ops/qmc.py stratified_increment_shift).  Two passes:
     pass 1 re-generates the raw columns to accumulate their sums (columns
     are pure functions of (dim, path) — nothing is materialized), pass 2
-    runs the Euler recursion on the conditioned increments."""
+    runs the Euler recursion on the conditioned increments.
+
+    ``nb_replicates=R > 0``: the path axis holds R contiguous replicate
+    groups, each the SAME Sobol point set under an independent digital
+    shift (shift panels carry a trailing (R,) axis, expanded to per-path
+    words on the fly) — the replicated-randomization construction whose
+    group means admit an honest iid standard error."""
     from stochvolmodels_tpu.ops.qmc import (gray_codes, qmc_step_normals,
+                                            replicated_gray_codes,
                                             stratified_increment_shift)
 
     nb_steps = v_steps.shape[0]
@@ -274,24 +283,35 @@ def _simulate_logsv_terminal_qmc_core(v_tot: Array,
     vartheta2 = beta * beta + volvol * volvol
     eta2 = vol_backbone_eta * vol_backbone_eta
     carry_dtype = x0.dtype
-    gray = gray_codes(x0.shape[0])
+    nb_path = x0.shape[0]
+    if nb_replicates:
+        gray = replicated_gray_codes(nb_path, nb_replicates)
+        per_rep = nb_path // nb_replicates
+
+        def expand(shift_step):
+            return jnp.repeat(shift_step, per_rep, axis=-1)
+    else:
+        gray = gray_codes(nb_path)
+
+        def expand(shift_step):
+            return shift_step
 
     def presum(sums, xs):
         v_step, shift_step = xs
-        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        z0, z1 = qmc_step_normals(gray, v_step, expand(shift_step), dtype)
         return (sums[0] + z0, sums[1] + z1), None
 
     zero = jnp.zeros(x0.shape, dtype=dtype)
     (s0, s1), _ = jax.lax.scan(presum, (zero, zero), (v_steps, shifts),
                                unroll=2)
-    t0, t1 = qmc_step_normals(gray, v_tot, shift_tot, dtype)
+    t0, t1 = qmc_step_normals(gray, v_tot, expand(shift_tot), dtype)
     c0 = stratified_increment_shift(t0, s0, nb_steps)
     c1 = stratified_increment_shift(t1, s1, nb_steps)
 
     def step(carry, xs):
         v_step, shift_step = xs
         x, log_sigma, sigma, qvar = carry
-        z0, z1 = qmc_step_normals(gray, v_step, shift_step, dtype)
+        z0, z1 = qmc_step_normals(gray, v_step, expand(shift_step), dtype)
         w0, w1 = (z0 + c0) * sdt, (z1 + c1) * sdt
         sigma_2dt = eta2 * sigma * sigma * dt
         x = x + alpha * 0.5 * sigma_2dt + vol_backbone_eta * sigma * w0
@@ -323,7 +343,8 @@ def simulate_logsv_terminal_qmc(key: jax.Array,
                                 is_spot_measure: bool = True,
                                 nb_steps_per_year: int = 360,
                                 dtype=jnp.float64,
-                                dim_offset: int = 0
+                                dim_offset: int = 0,
+                                nb_replicates: int = 0
                                 ) -> Tuple[Array, Array, Array]:
     """terminal (x, sigma, qvar) by randomized quasi-Monte Carlo.
 
@@ -335,17 +356,23 @@ def simulate_logsv_terminal_qmc(key: jax.Array,
     (``ops.qmc.qmc_dims_per_slice`` per slice), so a chain continues one
     low-discrepancy sequence across maturities.  The digital shift (and
     thus the whole draw) is reproducible from ``key``.
+
+    ``nb_replicates=R > 0`` runs R independently-randomized copies of the
+    (nb_path/R)-point set on one path axis (contiguous groups); reduce with
+    ``compute_mc_vars_payoff(nb_replicates=R)`` for honest RQMC standard
+    errors.
     """
     from stochvolmodels_tpu.ops.qmc import qmc_scan_panels
 
     nb_steps, dt, _ = set_time_grid(ttm=ttm, nb_steps_per_year=nb_steps_per_year)
     v_tot, shift_tot, v_steps, shifts = qmc_scan_panels(
-        key, nb_steps, per_step=2, dim_offset=dim_offset)
+        key, nb_steps, per_step=2, dim_offset=dim_offset,
+        nb_replicates=nb_replicates)
     return _simulate_logsv_terminal_qmc_core(
         v_tot, shift_tot, v_steps, shifts, x0, sigma0, qvar0, dt=float(dt),
         theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
         vol_backbone_eta=vol_backbone_eta, is_spot_measure=is_spot_measure,
-        dtype=dtype)
+        dtype=dtype, nb_replicates=nb_replicates)
 
 
 def logsv_mc_chain_pricer(ttms: np.ndarray,
@@ -367,7 +394,8 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
                           seed=None,
                           dtype=jnp.float64,
                           engine: str = "scan",
-                          antithetic: bool = False
+                          antithetic: bool = False,
+                          qmc_replicates: int = 8
                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """chain MC with the terminal state carried across maturities
     (logsv_pricer.py:699-760).
@@ -383,9 +411,14 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
 
     ``engine='qmc'`` replaces the threefry normals with randomized Sobol
     points (ops/qmc.py): near-O(1/N) error on smooth payoffs, so far fewer
-    paths are needed per price.  One low-discrepancy sequence spans the
-    whole chain (dimensions continue across maturities); the reported stds
-    keep the iid formula and are an upper bound under QMC."""
+    paths are needed per price.  The path budget is split into
+    ``qmc_replicates`` independently-randomized copies of one Sobol point
+    set (digital shifts; one low-discrepancy sequence spans the whole
+    chain, dimensions continuing across maturities), and the reported stds
+    are the standard error over the replicate means — an HONEST RQMC error
+    estimate (the iid per-path formula would overstate it ~10-100x).  Set
+    ``qmc_replicates=0`` for one unreplicated sequence with upper-bound
+    stds."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
     if engine not in ("scan", "pallas", "qmc"):
@@ -396,6 +429,11 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
                                   "points are already stratified)")
     if antithetic and nb_path % 2:
         nb_path += 1
+    qmc_replicates = int(qmc_replicates) if engine == "qmc" else 0
+    if qmc_replicates == 1:
+        qmc_replicates = 0
+    if qmc_replicates and nb_path % qmc_replicates:
+        nb_path += qmc_replicates - nb_path % qmc_replicates
     if engine == "pallas":
         from stochvolmodels_tpu.ops.pallas_mc import (
             pallas_engine_setup, simulate_logsv_terminal_pallas)
@@ -441,7 +479,7 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
                 volvol=volvol, vol_backbone_eta=float(vol_backbone_etas[i]),
                 is_spot_measure=is_spot_measure,
                 nb_steps_per_year=nb_steps_per_year, dtype=dtype,
-                dim_offset=dim_offset)
+                dim_offset=dim_offset, nb_replicates=qmc_replicates)
             dim_offset += qmc_dims_per_slice(set_time_grid(
                 ttm=float(ttm - ttm0),
                 nb_steps_per_year=nb_steps_per_year)[0])
@@ -460,7 +498,8 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
             x0=x, sigma0=sigma, qvar0=qvar, ttm=ttm, forward=forwards[i],
             strikes_ttm=jnp.asarray(strikes_ttms[i]),
             optiontypes_ttm=optiontypes_ttms[i], discfactor=discfactors[i],
-            variable_type=variable_type, antithetic=antithetic)
+            variable_type=variable_type, antithetic=antithetic,
+            nb_replicates=qmc_replicates)
         option_prices_ttm.append(np.asarray(prices))
         option_std_ttm.append(np.asarray(stds))
     return option_prices_ttm, option_std_ttm

@@ -34,7 +34,8 @@ def compute_mc_vars_payoff(x0: Array,
                            optiontypes_ttm,
                            discfactor=1.0,
                            variable_type: VariableType = VariableType.LOG_RETURN,
-                           antithetic: bool = False
+                           antithetic: bool = False,
+                           nb_replicates: int = 0
                            ) -> Tuple[Array, Array]:
     """discounted mean payoff and standard error per strike for one slice.
 
@@ -51,9 +52,26 @@ def compute_mc_vars_payoff(x0: Array,
     maturities, delta-dominated); for vol-of-vol-dominated long maturities
     the intra-pair covariance can be positive and the honest stderr then
     shows little or no gain.
+
+    ``nb_replicates=R > 1`` declares the path axis to hold R contiguous
+    independently-randomized QMC replicate groups (see
+    ``ops.qmc``/``simulate_logsv_terminal_qmc``): forward recentring is
+    applied per replicate (each group is a self-contained unbiased
+    estimator), the price is the mean of the R replicate means and the
+    standard error is ``std(replicate means, ddof=1)/sqrt(R)`` — honest
+    under QMC, where the per-path iid formula overstates the error by
+    one-to-two orders of magnitude.  Mutually exclusive with
+    ``antithetic``.
     """
     del sigma0
     x0 = jnp.asarray(x0)
+    if antithetic and nb_replicates > 1:
+        raise NotImplementedError("antithetic pairing and QMC replicates "
+                                  "are mutually exclusive reductions")
+    if nb_replicates > 1:
+        return _mc_vars_payoff_replicates(
+            x0, jnp.asarray(qvar0), ttm, forward, strikes_ttm,
+            optiontypes_ttm, discfactor, variable_type, nb_replicates)
     spots_t = forward * jnp.exp(x0)
     correction = jnp.nanmean(spots_t) - forward
     spots_t = spots_t - correction
@@ -85,3 +103,40 @@ def compute_mc_vars_payoff(x0: Array,
     option_prices = discfactor * jnp.nanmean(payoff, axis=1)
     option_std = discfactor * jnp.nanstd(payoff, axis=1)
     return option_prices, option_std / jnp.sqrt(x0.shape[0])
+
+
+def _mc_vars_payoff_replicates(x0: Array, qvar0: Array, ttm, forward,
+                               strikes_ttm: Array, optiontypes_ttm,
+                               discfactor, variable_type: VariableType,
+                               nb_replicates: int) -> Tuple[Array, Array]:
+    """replicated-randomization reduction: per-replicate recentring and
+    means, stderr over the R iid replicate means (Owen's RQMC CI)."""
+    nb_path = x0.shape[0]
+    if nb_path % nb_replicates:
+        raise ValueError(f"nb_path={nb_path} not divisible by "
+                         f"nb_replicates={nb_replicates}")
+    spots = forward * jnp.exp(x0.reshape(nb_replicates, -1))   # (R, p)
+    spots = spots - (jnp.nanmean(spots, axis=1, keepdims=True) - forward)
+
+    if variable_type == VariableType.LOG_RETURN:
+        underlying = spots
+    elif variable_type == VariableType.Q_VAR:
+        underlying = qvar0.reshape(nb_replicates, -1) / ttm
+    else:
+        raise NotImplementedError(f"variable_type={variable_type}")
+
+    strikes = jnp.asarray(strikes_ttm)[:, None, None]          # (K, 1, 1)
+    codes = as_option_codes(optiontypes_ttm)[:, None, None]
+    is_call = (codes & 1).astype(bool)
+    is_inverse = (codes & 2).astype(bool)
+
+    u = underlying[None, :, :]                                  # (1, R, p)
+    call_pay = jnp.where(u > strikes, u - strikes, 0.0)
+    put_pay = jnp.where(u < strikes, strikes - u, 0.0)
+    payoff = jnp.where(is_call, call_pay, put_pay)
+    payoff = jnp.where(is_inverse, payoff / spots[None, :, :], payoff)
+
+    rep_means = jnp.nanmean(payoff, axis=2)                     # (K, R)
+    option_prices = discfactor * jnp.mean(rep_means, axis=1)
+    option_std = discfactor * jnp.std(rep_means, axis=1, ddof=1)
+    return option_prices, option_std / jnp.sqrt(nb_replicates)

@@ -25,9 +25,17 @@ marginally uniform — the estimator is unbiased and the whole sequence is
 reproducible from one jax key.  Shifts derive per-dimension via
 ``fold_in(key, dim)`` so any slicing of the dimension axis is consistent.
 
-NOTE on standard errors: Sobol paths are not independent, so the usual
-std/sqrt(N) reported by ``compute_mc_vars_payoff`` is only an upper bound
-for QMC (the true error is typically 10-100x smaller for smooth payoffs).
+Error estimation: Sobol paths are not independent, so the iid std/sqrt(N)
+formula is only an upper bound under QMC (typically 10-100x above the true
+error for smooth payoffs).  The honest estimator is REPLICATED
+randomization: split the path budget into R groups, give each group the
+same Sobol point set under an independent digital shift
+(``replicate_dimension_shifts``), and take the standard error of the R
+replicate means — each replicate mean is unbiased and the R means are iid,
+so classic confidence intervals apply (this is the standard randomized-QMC
+construction, Owen 2013 ch. 17).  The simulation engines accept
+``nb_replicates`` and the payoff reducer computes stderr over replicate
+means; see ``compute_mc_vars_payoff(nb_replicates=...)``.
 """
 from __future__ import annotations
 
@@ -74,6 +82,29 @@ def gray_codes(nb_points: int) -> jnp.ndarray:
     """gray codes of the point indices 0..n-1 as uint32 (device)."""
     idx = jnp.arange(nb_points, dtype=jnp.uint32)
     return idx ^ (idx >> 1)
+
+
+def replicated_gray_codes(nb_points: int, nb_replicates: int) -> jnp.ndarray:
+    """gray codes for R replicated Sobol point sets laid out contiguously
+    on one path axis: path p belongs to replicate ``p // (n/R)`` and is
+    Sobol point ``p % (n/R)`` of that replicate."""
+    per = nb_points // nb_replicates
+    if per * nb_replicates != nb_points:
+        raise ValueError(f"nb_points={nb_points} not divisible by "
+                         f"nb_replicates={nb_replicates}")
+    idx = jnp.arange(nb_points, dtype=jnp.uint32) % jnp.uint32(per)
+    return idx ^ (idx >> 1)
+
+
+def replicate_dimension_shifts(key: jax.Array, dim_lo: int, dim_hi: int,
+                               nb_replicates: int) -> jnp.ndarray:
+    """(dims, R) digital-shift words: independent per replicate AND
+    consistent per dimension across chained slices (replicate r derives
+    its own key by ``fold_in(key, r)`` and then shifts per dimension like
+    :func:`dimension_shifts`)."""
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+        jnp.arange(nb_replicates, dtype=jnp.uint32))
+    return jax.vmap(lambda k: dimension_shifts(k, dim_lo, dim_hi))(keys).T
 
 
 def dimension_shifts(key: jax.Array, dim_lo: int, dim_hi: int) -> jnp.ndarray:
@@ -167,7 +198,7 @@ def qmc_step_normals(gray: jnp.ndarray, v_step: jnp.ndarray,
 
 
 def qmc_scan_panels(key: jax.Array, nb_steps: int, per_step: int = 2,
-                    dim_offset: int = 0
+                    dim_offset: int = 0, nb_replicates: int = 0
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                jnp.ndarray]:
     """(v_tot, shift_tot, v_steps, shifts) xs-panels for a ``lax.scan`` QMC
@@ -180,10 +211,21 @@ def qmc_scan_panels(key: jax.Array, nb_steps: int, per_step: int = 2,
     ``shifts`` (nb_steps, per_step)).  ``dim_offset`` is the number of
     *dimensions* consumed by earlier slices of a chained run
     (``qmc_dims_per_slice`` per slice).
+
+    ``nb_replicates=R > 0`` appends a replicate axis to the shift panels
+    (``shift_tot`` (per_step, R), ``shifts`` (nb_steps, per_step, R)) with
+    independent shifts per replicate — pair with
+    :func:`replicated_gray_codes` so each contiguous path group is the
+    same Sobol point set under its own randomization.
     """
     lo = dim_offset
     hi = dim_offset + per_step * (nb_steps + 1)
     v = jnp.asarray(sobol_direction_numbers(hi)[lo:])
+    if nb_replicates:
+        shifts = replicate_dimension_shifts(key, lo, hi, nb_replicates)
+        return (v[:per_step], shifts[:per_step],
+                v[per_step:].reshape(nb_steps, per_step, SOBOL_BITS),
+                shifts[per_step:].reshape(nb_steps, per_step, nb_replicates))
     shifts = dimension_shifts(key, lo, hi)
     return (v[:per_step], shifts[:per_step],
             v[per_step:].reshape(nb_steps, per_step, SOBOL_BITS),

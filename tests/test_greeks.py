@@ -108,6 +108,33 @@ class TestLogSVGreeks:
         for i in range(len(chain.ttms)):
             np.testing.assert_allclose(out["price"][i], base[i], rtol=1e-12)
 
+    def test_calendar_theta_vs_finite_differences(self):
+        """theta_calendar (internal central FD at dt=1/365) validated
+        against an independent FD at a different step through manually
+        shifted chains (fixed rates, fixed forwards)."""
+        chain = small_chain()
+        from stochvolmodels_tpu.models.logsv.pricer import set_vol_scaler
+        vs = set_vol_scaler(sigma0=LOGSV.sigma0, ttm=float(np.min(chain.ttms)))
+        out = logsv_chain_greeks(chain, LOGSV, greeks=("theta_calendar",),
+                                 vol_scaler=vs, year_steps=self.YEAR_STEPS)
+        h = 0.5 / 365.0
+        rates = -np.log(chain.discfactors) / chain.ttms
+
+        def prices(shift):
+            c = small_chain()
+            c.ttms = c.ttms + shift
+            c.discfactors = np.exp(-rates * c.ttms)
+            return logsv_chain_greeks(c, LOGSV, greeks=(), vol_scaler=vs,
+                                      year_steps=self.YEAR_STEPS)["price"]
+
+        up, dn = prices(h), prices(-h)
+        for i in range(len(chain.ttms)):
+            fd = -(up[i] - dn[i]) / (2.0 * h)
+            np.testing.assert_allclose(out["theta_calendar"][i], fd,
+                                       rtol=5e-3, atol=5e-5)
+            # vanillas lose time value as the calendar advances (df ~ 1)
+            assert np.all(out["theta_calendar"][i] < 0.0)
+
 
 class TestIVSpaceGreeks:
     """in_vols=True: greeks expressed as implied-vol sensitivities via the
@@ -224,6 +251,28 @@ class TestHestonGreeks:
                     optiontype=ot, discfactor=df))
                 for k, ot in zip(strikes, codes)])
             np.testing.assert_allclose(out["delta"][i], ref, atol=2e-4)
+
+    def test_flat_vol_limit_matches_bsm_theta(self):
+        """volvol -> 0, v0 = theta, r = 0 (df = 1, so the spot-fixed BSM
+        theta convention coincides with the forward-fixed chain theta):
+        calendar theta must match the closed-form Black decay."""
+        from stochvolmodels_tpu.ops import bsm
+        sigma = 0.6
+        flat = HestonParams(v0=sigma ** 2, theta=sigma ** 2, kappa=2.0,
+                            rho=0.0, volvol=1e-4)
+        chain = small_chain()
+        chain.discfactors = np.ones_like(chain.discfactors)
+        out = heston_chain_greeks(chain, flat, greeks=("theta_calendar",))
+        for i, (ttm, f, strikes, codes) in enumerate(zip(
+                chain.ttms, chain.forwards,
+                chain.strikes_ttms, chain.optiontypes_ttms)):
+            ref = np.asarray([
+                float(bsm.compute_bsm_vanilla_theta(
+                    ttm=ttm, forward=f, strike=k, vol=sigma,
+                    optiontype=ot, discfactor=1.0, discount_rate=0.0))
+                for k, ot in zip(strikes, codes)])
+            np.testing.assert_allclose(out["theta_calendar"][i], ref,
+                                       atol=1e-3)
 
     def test_unknown_greek_raises(self):
         with pytest.raises(ValueError):

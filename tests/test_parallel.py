@@ -183,3 +183,43 @@ def test_heston_lm_sweep_matches_single():
         rtol=1e-6)
     # the 5%-scaled chain fits to a higher v0
     assert results[1][0].v0 > results[0][0].v0
+
+
+@requires_devices
+def test_sharded_cube_lm_matches_single():
+    """factor-HJM swaption-cube LM with the slice axis sharded over the
+    mesh equals the single-device joint fit (slices are independent, so
+    sharding changes only the layout, not the math)."""
+    from stochvolmodels_tpu.models.factor_hjm.fast_calibration import (
+        calibrate_rate_logsv_cube_lm_on_device)
+    from stochvolmodels_tpu.models.factor_hjm.rate_factor_basis import (
+        NelsonSiegel)
+    from stochvolmodels_tpu.models.factor_hjm.rate_logsv_params import (
+        MultiFactRateLogSvParams, TermStructure)
+
+    ts = np.array([0.0, 1.0, 2.0, 5.0])
+    params = MultiFactRateLogSvParams(
+        sigma0=1.0, theta=1.0, kappa1=1.0, kappa2=1.0,
+        beta=TermStructure(ts=ts, xs=np.array([[0.25, -0.1, 0.0],
+                                               [0.1, 0.05, -0.05],
+                                               [0.0, 0.0, 0.0]])),
+        volvol=TermStructure(ts=ts, xs=np.array([0.4, 0.3, 0.3])),
+        A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
+        basis=NelsonSiegel(meanrev=0.25, key_terms=np.array([1.0, 5.0, 10.0])),
+        ccy="USD")
+    slices = [(1.0, 1.0), (1.0, 5.0), (2.0, 1.0), (2.0, 5.0)]
+    strikes = [np.array([-0.01, 0.0, 0.01])] * 4
+    fwds = [0.0] * 4
+    ivols = [np.array([0.011, 0.010, 0.0105])] * 4
+
+    mesh = make_path_mesh()
+    fit_sharded, cost_sharded = calibrate_rate_logsv_cube_lm_on_device(
+        params, slices, fwds, strikes, ivols, nb_iters=4, year_steps=24,
+        mesh=mesh)
+    fit_single, cost_single = calibrate_rate_logsv_cube_lm_on_device(
+        params, slices, fwds, strikes, ivols, nb_iters=4, year_steps=24)
+    np.testing.assert_allclose(cost_sharded, cost_single, rtol=1e-9)
+    np.testing.assert_allclose(fit_sharded.beta.xs, fit_single.beta.xs,
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(fit_sharded.volvol.xs, fit_single.volvol.xs,
+                               rtol=1e-7, atol=1e-10)

@@ -83,13 +83,43 @@ class TestQmcEngines:
             ttm=float(TTMS[0]), forward=1.0, strikes=STRIKES[0],
             vols=np.full(5, vol), optiontypes=TYPES[0]))
         p_mc, _ = logsv_mc_chain_pricer(**kwargs)
-        p_qmc, _ = logsv_mc_chain_pricer(engine="qmc", **kwargs)
+        p_qmc, _ = logsv_mc_chain_pricer(engine="qmc", qmc_replicates=0,
+                                         **kwargs)
         err_mc = np.sqrt(np.mean((p_mc[0] - exact) ** 2))
         err_qmc = np.sqrt(np.mean((p_qmc[0] - exact) ** 2))
         # measured 44x at this seed (rms 1.1e-5 vs 4.8e-4); assert with 4x
         # headroom so the gate is robust to jax PRNG-detail changes
         assert err_qmc < 0.1 * err_mc, (err_qmc, err_mc)
         assert err_qmc < 5e-5
+
+    def test_rqmc_replicate_stderr_honest_on_gbm(self):
+        """R=8 independently digitally-shifted replicates: the reported
+        standard error must be an honest estimate of the realized QMC
+        error against the exact BSM oracle — same scale as the realized
+        RMS error (the iid per-path formula, by contrast, overstates the
+        QMC error by one-to-two orders of magnitude)."""
+        vol = 0.2
+        kwargs = dict(ttms=TTMS, forwards=FORWARDS, discfactors=DISCS,
+                      strikes_ttms=STRIKES, optiontypes_ttms=TYPES,
+                      v0=vol, theta=vol, kappa1=2.0, kappa2=2.0, beta=0.0,
+                      volvol=0.0, nb_path=8192, nb_steps_per_year=32, seed=17)
+        exact = np.asarray(bsm.compute_bsm_vanilla_slice_prices(
+            ttm=float(TTMS[0]), forward=1.0, strikes=STRIKES[0],
+            vols=np.full(5, vol), optiontypes=TYPES[0]))
+        p_rq, s_rq = logsv_mc_chain_pricer(engine="qmc", qmc_replicates=8,
+                                           **kwargs)
+        _, s_iid = logsv_mc_chain_pricer(engine="qmc", qmc_replicates=0,
+                                         **kwargs)
+        err = np.abs(p_rq[0] - exact)
+        # every realized error inside 4 reported stderrs (no silent bias)
+        assert np.all(err < 4.0 * s_rq[0] + 1e-8), (err, s_rq[0])
+        # scale match: realized rms error within ~3x of the mean reported
+        # stderr either way (chi-squared noise at R=8 over 5 strikes)
+        ratio = np.sqrt(np.mean(err ** 2)) / np.mean(s_rq[0])
+        assert 0.25 < ratio < 3.0, ratio
+        # and the honest stderr is far below the iid upper bound
+        assert np.mean(s_rq[0]) < 0.3 * np.mean(s_iid[0]), \
+            (np.mean(s_rq[0]), np.mean(s_iid[0]))
 
     def test_qmc_chain_continues_sequence(self):
         """a 2-maturity chain must consume disjoint dimensions: terminal
@@ -183,7 +213,7 @@ class TestQmcEngines:
             W0s=W0s, W1s=W1s, dts=dts, v0=0.8, **kwargs)
         p_qmc, _ = logsv_mc_chain_pricer(
             v0=0.8, nb_path=2048, nb_steps_per_year=120, seed=7,
-            engine="qmc", **kwargs)
+            engine="qmc", qmc_replicates=0, **kwargs)
         for a, b in zip(p_fixed, p_qmc):
             np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12)
 
