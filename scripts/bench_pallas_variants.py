@@ -47,7 +47,12 @@ def _normals(shape, variant):
     if variant == "no-normals":
         s = np.float32(np.sqrt(6.0))  # var(u1+u2-1)=1/6; NOT normal
         return s * (u1 + u2 - 1.0), s * (u2 - u1)
-    if variant in ("poly-bm", "poly-all"):
+    if variant in ("poly-bm", "poly-all",
+                   # panel-reduction variants MUST ride the same polynomial
+                   # ln/cospi path as the production poly-bm baseline —
+                   # otherwise the A/B confounds panel count with the
+                   # transcendental cost (advisor finding, ADVICE r02)
+                   "sigma-carry", "no-qvar", "sigma-carry-noqvar"):
         r = jnp.sqrt(-2.0 * _poly_log(u1))
         c = _poly_cospi(u2)
         sign = jnp.where((b2 & jnp.uint32(1)) == 0, jnp.float32(1.0),

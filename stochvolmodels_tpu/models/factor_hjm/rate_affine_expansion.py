@@ -142,6 +142,89 @@ def _ode_rhs(A: Cplx, M: Array, L: Cplx, H: Cplx) -> Cplx:
     return Cplx(quad_re + lin_re + H.re, quad_im + lin_im + H.im)
 
 
+def _rates_ode_templates(q: float, n: int):
+    """static structure tensors of the (M, L, H) panels.
+
+    Every entry of M, L0, L1 in :func:`_rates_ode_terms` is a LINEAR
+    combination of the per-stage scalars (kappa0, kappa1, kappa2,
+    vartheta2, a_prod_beta) with coefficients depending only on the static
+    q = theta: M = vartheta2 * TM(q), L0 = kappa0 K0 + kappa1 K1 +
+    kappa2 K2 + vartheta2 V(q), L1 = a_prod_beta * P(q), H-direction
+    h(q).  Precomputing the templates on host turns the per-RK4-stage
+    panel assembly from ~60 scatter updates into 5 scalar-times-constant
+    AXPYs — the difference between a latency-bound and a fused scan step
+    on TPU (scripts/bench_cube_reprice.py).
+    """
+    q2 = q * q
+    TM = np.zeros((n, n, n))
+    TM[0, 1, 1] = 0.5 * q2
+    TM[1, 1, 1] = q
+    TM[1, 1, 2] = TM[1, 2, 1] = q2
+    TM[2, 1, 1] = 0.5
+    TM[2, 2, 2] = 2.0 * q2
+    TM[2, 2, 1] = TM[2, 1, 2] = 2.0 * q
+    K0 = np.zeros((n, n)); K1 = np.zeros((n, n)); K2 = np.zeros((n, n))
+    V = np.zeros((n, n)); P = np.zeros((n, n))
+    K0[0, 1] = 1.0
+    V[0, 2] = q2
+    K1[1, 1] = -1.0
+    K0[1, 2] = 2.0; V[1, 2] = 2.0 * q
+    K2[2, 1] = -1.0
+    V[2, 2] = 1.0; K1[2, 2] = -2.0
+    P[0, 1] = -q2
+    P[1, 1] = -2.0 * q; P[1, 2] = -2.0 * q2
+    P[2, 1] = -1.0; P[2, 2] = -4.0 * q
+    if n == 5:
+        TM[2, 1, 3] = TM[2, 3, 1] = 1.5 * q2
+        TM[3, 2, 2] = 4.0 * q
+        TM[3, 1, 2] = TM[3, 2, 1] = 1.0
+        TM[3, 1, 3] = TM[3, 3, 1] = 3.0 * q
+        TM[3, 1, 4] = TM[3, 4, 1] = 2.0 * q2
+        TM[3, 2, 3] = TM[3, 3, 2] = 3.0 * q2
+        TM[4, 2, 2] = 2.0
+        TM[4, 3, 3] = 4.5 * q2
+        TM[4, 1, 3] = TM[4, 3, 1] = 1.5
+        TM[4, 1, 4] = TM[4, 4, 1] = 4.0 * q
+        TM[4, 2, 3] = TM[4, 3, 2] = 6.0 * q
+        TM[4, 2, 4] = TM[4, 4, 2] = 4.0 * q2
+        V[1, 3] = 3.0 * q2
+        K0[2, 3] = 3.0; V[2, 3] = 6.0 * q
+        V[2, 4] = 6.0 * q2
+        K2[3, 2] = -2.0
+        V[3, 3] = 3.0; K1[3, 3] = -3.0
+        V[3, 4] = 12.0 * q; K0[3, 4] = 4.0
+        K2[4, 3] = -3.0
+        V[4, 4] = 6.0; K1[4, 4] = -4.0
+        P[2, 3] = -3.0 * q2
+        P[3, 2] = -2.0; P[3, 3] = -6.0 * q; P[3, 4] = -4.0 * q2
+        P[4, 3] = -3.0; P[4, 4] = -8.0 * q
+    h = np.zeros(n)
+    h[0] = 0.5 * q2; h[1] = q; h[2] = 0.5
+    return tuple(jnp.asarray(t) for t in (TM, K0, K1, K2, V, P, h))
+
+
+def _ode_rhs_from_templates(A: Cplx, phi: Cplx, c, templates) -> Cplx:
+    """rhs of one RK4 stage directly from the 7 stage scalars ``c`` and the
+    static templates — mathematically identical to
+    ``_ode_rhs(A, *_rates_ode_terms(q, c, phi, n))`` (tested), but with no
+    scatters and only (N, n) x (n, n) matmuls inside the scan."""
+    TM, K0, K1, K2, V, P, h = templates
+    kappa0, kappa1, kappa2, vartheta2, apb, apa, b = (c[i] for i in range(7))
+    L0 = kappa0 * K0 + kappa1 * K1 + kappa2 * K2 + vartheta2 * V
+    L1 = apb * P
+    qr = (jnp.einsum('kij,ni,nj->nk', TM, A.re, A.re)
+          - jnp.einsum('kij,ni,nj->nk', TM, A.im, A.im))
+    qi = 2.0 * jnp.einsum('kij,ni,nj->nk', TM, A.re, A.im)
+    B_re = A.re @ L1.T
+    B_im = A.im @ L1.T
+    lin_re = A.re @ L0.T + phi.re[:, None] * B_re - phi.im[:, None] * B_im
+    lin_im = A.im @ L0.T + phi.re[:, None] * B_im + phi.im[:, None] * B_re
+    inner = phi * apa + 2.0 * b
+    hphi = phi * inner
+    return Cplx(vartheta2 * qr + lin_re + h[None, :] * hphi.re[:, None],
+                vartheta2 * qi + lin_im + h[None, :] * hphi.im[:, None])
+
+
 def solve_a_ode_grid(phi_grid: Cplx,
                      ttm: float,
                      q: float,
@@ -190,16 +273,18 @@ def solve_a_ode_grid(phi_grid: Cplx,
     CLAMP = 1.0e3
     DEAD_RE = -1.0e4
 
+    templates = _rates_ode_templates(q, n)
+
     def rk4_step(carry, c):
         a_re, a_im, dead = carry
         A = Cplx(a_re, a_im)
-        M0, L0_, H0 = _rates_ode_terms(q, c[:, 0], phi_grid, n)
-        Mh, Lh, Hh = _rates_ode_terms(q, c[:, 1], phi_grid, n)
-        M1, L1_, H1 = _rates_ode_terms(q, c[:, 2], phi_grid, n)
-        k1 = _ode_rhs(A, M0, L0_, H0)
-        k2 = _ode_rhs(A + k1 * (0.5 * dt), Mh, Lh, Hh)
-        k3 = _ode_rhs(A + k2 * (0.5 * dt), Mh, Lh, Hh)
-        k4 = _ode_rhs(A + k3 * dt, M1, L1_, H1)
+        k1 = _ode_rhs_from_templates(A, phi_grid, c[:, 0], templates)
+        k2 = _ode_rhs_from_templates(A + k1 * (0.5 * dt), phi_grid,
+                                     c[:, 1], templates)
+        k3 = _ode_rhs_from_templates(A + k2 * (0.5 * dt), phi_grid,
+                                     c[:, 1], templates)
+        k4 = _ode_rhs_from_templates(A + k3 * dt, phi_grid, c[:, 2],
+                                     templates)
         A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
         re = jnp.clip(A1.re, -CLAMP, CLAMP)
         im = jnp.clip(A1.im, -CLAMP, CLAMP)
@@ -216,7 +301,7 @@ def solve_a_ode_grid(phi_grid: Cplx,
 
     dead0 = jnp.zeros(n_grid, dtype=bool)
     (a_re, a_im, _), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im, dead0),
-                                      coeffs)
+                                      coeffs, unroll=8)
     return Cplx(a_re, a_im)
 
 
@@ -284,17 +369,19 @@ def solve_a_ode_grid_batch(phi_grid: Cplx,
     CLAMP = 1.0e3
     DEAD_RE = -1.0e4
 
+    templates = _rates_ode_templates(q, n)
+
     def solve_one(dt, coeffs):
         def rk4_step(carry, c):
             a_re, a_im, dead = carry
             A = Cplx(a_re, a_im)
-            M0, L0_, H0 = _rates_ode_terms(q, c[:, 0], phi_grid, n)
-            Mh, Lh, Hh = _rates_ode_terms(q, c[:, 1], phi_grid, n)
-            M1, L1_, H1 = _rates_ode_terms(q, c[:, 2], phi_grid, n)
-            k1 = _ode_rhs(A, M0, L0_, H0)
-            k2 = _ode_rhs(A + k1 * (0.5 * dt), Mh, Lh, Hh)
-            k3 = _ode_rhs(A + k2 * (0.5 * dt), Mh, Lh, Hh)
-            k4 = _ode_rhs(A + k3 * dt, M1, L1_, H1)
+            k1 = _ode_rhs_from_templates(A, phi_grid, c[:, 0], templates)
+            k2 = _ode_rhs_from_templates(A + k1 * (0.5 * dt), phi_grid,
+                                         c[:, 1], templates)
+            k3 = _ode_rhs_from_templates(A + k2 * (0.5 * dt), phi_grid,
+                                         c[:, 1], templates)
+            k4 = _ode_rhs_from_templates(A + k3 * dt, phi_grid, c[:, 2],
+                                         templates)
             A1 = A + (k1 + k2 * 2.0 + k3 * 2.0 + k4) * (dt / 6.0)
             re = jnp.clip(A1.re, -CLAMP, CLAMP)
             im = jnp.clip(A1.im, -CLAMP, CLAMP)
@@ -311,7 +398,7 @@ def solve_a_ode_grid_batch(phi_grid: Cplx,
 
         init = (jnp.zeros((n_grid, n)), jnp.zeros((n_grid, n)),
                 jnp.zeros(n_grid, dtype=bool))
-        (a_re, a_im, _), _ = jax.lax.scan(rk4_step, init, coeffs)
+        (a_re, a_im, _), _ = jax.lax.scan(rk4_step, init, coeffs, unroll=8)
         return a_re, a_im
 
     a_re, a_im = jax.vmap(solve_one)(jnp.asarray(dts), stage_coeffs)

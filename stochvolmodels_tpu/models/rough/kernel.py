@@ -221,16 +221,97 @@ def gaussian_rule(H: float, N: int, T: float, m: int = 1
     return np.concatenate(nodes), np.concatenate(weights)
 
 
+def harms_rule(H: float, N: int, T: float = 1.0, m: int = 1
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Harms (2019) rule (counterpart of RoughKernel.py:1014): level-m Gauss
+    quadrature of the kernel measure mu on an n-interval geometric partition
+    whose endpoints scale as powers of n chosen from the paper's error
+    exponents: with alpha = H + 1/2, beta = m - 1, gamma = 1/2 - H,
+    delta = H and r = delta m / (1 - alpha - beta + delta + m), the
+    partition spans [n^(-r/gamma), n^(r/delta)].  T does not enter the
+    construction (the rule targets the whole half-line) — one reason the
+    [0, T]-optimized ``european_rule`` dominates it at matched N on pricing
+    horizons.  Total node count is ``m * (N // m)``.
+    """
+    from scipy.special import roots_legendre
+
+    n = max(N // m, 1)
+    alpha, beta_, gamma_, delta_ = H + 0.5, m - 1.0, 0.5 - H, H
+    r = delta_ * m / (1.0 - alpha - beta_ + delta_ + m)
+    xi_0 = float(n) ** (-r / gamma_)
+    xi_n = float(n) ** (r / delta_)
+    edges = xi_0 * np.exp(np.log(xi_n / xi_0) * np.linspace(0.0, 1.0, n + 1))
+    c = _mu_norm(H)
+    t, w = roots_legendre(m)
+    nodes, weights = [], []
+    for i in range(n):
+        a, b = edges[i], edges[i + 1]
+        x = a + (b - a) * (1.0 + t) / 2.0
+        nodes.append(x)
+        weights.append(c * w * (b - a) / 2.0 * x ** (-alpha))
+    return np.concatenate(nodes), np.concatenate(weights)
+
+
+def kernel_l1_relative_error(H: float, nodes: np.ndarray, weights: np.ndarray,
+                             T: float, nb_pts: int = 4001) -> float:
+    """relative L1 error  int_delta^T |K - K_hat| dt / int_delta^T K dt  by
+    log-spaced trapezoid quadrature (no closed form exists; counterpart of
+    the reference's numeric error_l1, RoughKernel.py:~700)."""
+    t = np.geomspace(DELTA, T, nb_pts)
+    k = t ** (H - 0.5) / sp_gamma(H + 0.5)
+    k_hat = np.exp(-np.outer(t, nodes)) @ weights
+    num = np.trapezoid(np.abs(k - k_hat), t)
+    den = np.trapezoid(k, t)
+    return float(num / den)
+
+
+@lru_cache(maxsize=256)
+def _l1_rule_cached(H: float, N: int, T: float
+                    ) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    # start from the L2 optimum and polish nodes AND weights against the
+    # numeric L1 functional (2N free parameters; N <= 3 in production)
+    nodes0, weights0 = european_rule(H, N, T)
+    p0 = np.concatenate([np.log(nodes0), np.log(np.maximum(weights0, 1e-12))])
+    log_cap = np.log(MAX_NODE)
+
+    def objective(p: np.ndarray) -> float:
+        nodes = np.exp(np.minimum(p[:N], log_cap))
+        weights = np.exp(p[N:])
+        return (kernel_l1_relative_error(H, nodes, weights, T)
+                + np.sum(np.square(np.maximum(p[:N] - log_cap, 0.0))))
+
+    res = minimize(objective, p0, method='Nelder-Mead',
+                   options={'maxiter': 4000, 'xatol': 1e-9, 'fatol': 1e-12})
+    nodes = np.exp(np.minimum(res.x[:N], log_cap))
+    weights = np.exp(res.x[N:])
+    order = np.argsort(nodes)
+    return (tuple(nodes[order].tolist()), tuple(weights[order].tolist()))
+
+
+def l1_rule(H: float, N: int, T: float) -> Tuple[np.ndarray, np.ndarray]:
+    """L1-optimized rule (counterpart of the reference's optimize_error_l1
+    path, RoughKernel.py:746/1060): minimizes the relative L1 kernel error
+    on [DELTA, T] over nodes and weights jointly."""
+    nodes, weights = _l1_rule_cached(float(H), int(N), float(T))
+    return np.asarray(nodes), np.asarray(weights)
+
+
 def quadrature_rule(H: float, N: int, T: float, mode: str = "european"
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """dispatcher over the available rules (RoughKernel.py:1030)."""
     mode = mode.lower()
-    if mode == "european":
+    if mode in ("european", "bl2", "optimized l2", "ol2"):
+        # european_rule IS the L2 optimizer here: nodes free, weights the
+        # closed-form L2 optimum given nodes
         return european_rule(H, N, T)
-    if mode in ("abi-jaber", "abi_jaber", "aje"):
+    if mode in ("optimized l1", "ol1"):
+        return l1_rule(H, N, T)
+    if mode in ("abi-jaber", "abi_jaber", "aje", "ae"):
         return abi_jaber_el_euch_rule(H, N, T)
-    if mode in ("ak", "alfonsi-kebaier"):
+    if mode in ("ak", "alfonsi-kebaier", "alfonsi"):
         return ak_geometric_rule(H, N, T)
     if mode in ("gaussian", "gauss"):
         return gaussian_rule(H, N, T)
+    if mode == "harms":
+        return harms_rule(H, N, T)
     raise NotImplementedError(f"mode={mode}")

@@ -695,3 +695,37 @@ class TestDLNSkewMC:
         assert skew1 > skew0 + 1.5e-3
         assert skew2 > skew1 + 1.5e-3
         assert v1[1] > v0[1] and v2[1] > v1[1]
+
+
+class TestOdeTemplates:
+    """the template-based RK4 stage rhs (no scatters inside the scan) is
+    bit-equivalent to assembling (M, L, H) via _rates_ode_terms."""
+
+    def test_template_rhs_matches_scatter_rhs(self):
+        import jax.numpy as jnp
+
+        from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+            _ode_rhs, _ode_rhs_from_templates, _rates_ode_templates,
+            _rates_ode_terms)
+        from stochvolmodels_tpu.utils.cplx import Cplx
+
+        rng = np.random.default_rng(0)
+        scales = np.array([0.5, 1.0, 1.0, 0.3, 0.2, 0.1, 0.05])
+        for n in (3, 5):
+            q = 1.07
+            for _ in range(3):
+                c = jnp.asarray(rng.normal(size=7) * scales)
+                phi = Cplx(jnp.full(11, -0.5),
+                           jnp.asarray(np.linspace(0.0, 40.0, 11)))
+                A = Cplx(jnp.asarray(rng.normal(size=(11, n)) * 0.3),
+                         jnp.asarray(rng.normal(size=(11, n)) * 0.3))
+                M, L, H = _rates_ode_terms(q, c, phi, n)
+                r1 = _ode_rhs(A, M, L, H)
+                r2 = _ode_rhs_from_templates(A, phi, c,
+                                             _rates_ode_templates(q, n))
+                np.testing.assert_allclose(np.asarray(r1.re),
+                                           np.asarray(r2.re),
+                                           rtol=1e-13, atol=1e-14)
+                np.testing.assert_allclose(np.asarray(r1.im),
+                                           np.asarray(r2.im),
+                                           rtol=1e-13, atol=1e-14)

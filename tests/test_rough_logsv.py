@@ -188,7 +188,8 @@ class TestQuadratureRules:
         )
         H, T, N = 0.1, 1.0, 3
         errs = {}
-        for mode in ("european", "abi-jaber", "ak", "gaussian"):
+        for mode in ("european", "abi-jaber", "ak", "gaussian", "harms",
+                     "optimized l1"):
             nodes, w = quadrature_rule(H, N, T, mode=mode)
             assert np.all(np.asarray(nodes) >= 0.0)
             assert np.all(np.isfinite(w))
@@ -197,6 +198,51 @@ class TestQuadratureRules:
         assert errs["european"] <= min(errs.values()) + 1e-12
         assert errs["european"] < 0.05
         assert all(e < 1.0 for e in errs.values())
+
+    def test_l1_rule_beats_european_in_l1(self):
+        """the OL1 polish targets the L1 functional, so it must (weakly)
+        improve the L1 error over its L2-optimal starting point."""
+        from stochvolmodels_tpu.models.rough.kernel import (
+            european_rule,
+            kernel_l1_relative_error,
+            l1_rule,
+        )
+        H, N, T = 0.1, 3, 1.0
+        ne, we = european_rule(H, N, T)
+        nl, wl = l1_rule(H, N, T)
+        e_eur = kernel_l1_relative_error(H, ne, we, T)
+        e_l1 = kernel_l1_relative_error(H, nl, wl, T)
+        assert e_l1 <= e_eur + 1e-12, (e_l1, e_eur)
+
+    @pytest.mark.slow
+    def test_european_rule_dominates_production_grid(self):
+        """L2 dominance of the production european_rule over every research
+        rule (AJE uniform, AK hybrid, Gaussian-on-partition, Harms) across
+        the production (H, N(H), T) grid — the documented justification for
+        not porting the reference's full optimizer cascade
+        (RoughKernel.py:134,746,933,1014)."""
+        from stochvolmodels_tpu.models.rough.kernel import (
+            kernel_l2_relative_error,
+            quadrature_rule,
+        )
+        rows = []
+        for H in (0.05, 0.1, 0.2, 0.3, 0.45):
+            N = 2 if H > 0.4 else 3  # params.approximate_kernel selection
+            for T in (0.1, 0.5, 1.0, 2.0):
+                errs = {}
+                for mode in ("european", "abi-jaber", "ak", "gaussian",
+                             "harms"):
+                    nodes, w = quadrature_rule(H, N, T, mode=mode)
+                    errs[mode] = kernel_l2_relative_error(
+                        H, np.asarray(nodes), np.asarray(w), T)
+                rows.append((H, N, T, errs))
+                assert errs["european"] <= min(errs.values()) + 1e-12, \
+                    (H, N, T, errs)
+        # and not merely by a hair: on average the margin is substantial
+        margins = [min(e for m, e in errs.items() if m != "european")
+                   / max(errs["european"], 1e-12)
+                   for (_, _, _, errs) in rows]
+        assert np.median(margins) > 1.5, margins
 
     def test_dispatcher_unknown_mode(self):
         from stochvolmodels_tpu.models.rough.kernel import quadrature_rule
