@@ -48,7 +48,7 @@ def chain_to_cube(swaption_chain: SwOptionChain,
 
 def run_joint_cube_calibration(max_expiry: float = 5.0,
                                nb_iters: int = 24,
-                               year_steps: int = 360,
+                               year_steps: int = 48,
                                verbose: bool = True
                                ) -> Tuple[MultiFactRateLogSvParams, float,
                                           float, float]:
@@ -86,7 +86,7 @@ def run_joint_cube_calibration(max_expiry: float = 5.0,
 
 def evaluate_cube_fit(params: MultiFactRateLogSvParams,
                       slices, forwards, strikes_slices, ivols_slices,
-                      year_steps: int = 360) -> Tuple[float, float]:
+                      year_steps: int = 48) -> Tuple[float, float]:
     """(mean, max) |model - market| in bp of normal vol over the cube."""
     import jax.numpy as jnp
 
@@ -109,7 +109,7 @@ def evaluate_cube_fit(params: MultiFactRateLogSvParams,
 def run_from_scratch_calibration(max_expiry: float = 5.0,
                                  nb_rounds: int = 2,
                                  nb_iters_lm: int = 20,
-                                 year_steps: int = 360,
+                                 year_steps: int = 48,
                                  verbose: bool = True
                                  ) -> Tuple[MultiFactRateLogSvParams, float,
                                             float, float]:

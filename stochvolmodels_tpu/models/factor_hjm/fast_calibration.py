@@ -161,7 +161,7 @@ def calibrate_rate_logsv_cube_lm_on_device(
         nb_iters: int = 24,
         beta_bound: float = 2.0,
         volvol_bounds: Tuple[float, float] = (0.01, 2.0),
-        year_steps: int = 360,
+        year_steps: int = 48,
         nb_grid_pts: int = 31,
         mesh=None,
         **cube_kwargs,
@@ -284,7 +284,7 @@ def prefit_A_to_atm(params: MultiFactRateLogSvParams,
                     strikes_slices: Sequence[np.ndarray],
                     market_ivols_slices: Sequence[np.ndarray],
                     nb_outer: int = 4,
-                    year_steps: int = 360,
+                    year_steps: int = 48,
                     damping: float = 1.0,
                     ) -> Tuple[MultiFactRateLogSvParams, float]:
     """fix-point prefit of the per-segment factor-vol levels A to the ATM
@@ -356,7 +356,7 @@ def calibrate_rate_logsv_full(params0: MultiFactRateLogSvParams,
                               nb_rounds: int = 2,
                               nb_outer_atm: int = 4,
                               nb_iters_lm: int = 24,
-                              year_steps: int = 360,
+                              year_steps: int = 48,
                               **lm_kwargs,
                               ) -> Tuple[MultiFactRateLogSvParams, float]:
     """full two-stage cube calibration from scratch: alternate the ATM

@@ -157,9 +157,10 @@ def test_warm_hawkes_lm_calibration_under_5s(btc_chain):
 
 
 def test_warm_swaption_cube_reprice_under_1s():
-    """the batched USD swaption cube (12 slices, 108 quotes, 1800 shared RK4
-    steps) repriced warm in well under a second — the reference's host
-    DE-refinement loop needs minutes for the same cube."""
+    """the batched USD swaption cube (12 slices, 108 quotes, 240 shared RK4
+    steps at the default year_steps=48 — max|dP| 5.9e-12 vs a 600-step run,
+    scripts/bench_cube_breakdown.py) repriced warm in under a second — the
+    reference's host DE-refinement loop needs minutes for the same cube."""
     from papers.sv_for_factor_hjm.calibration_fig_5_6_7 import (
         get_calib_rate_logsv_params,
         get_swaption_data,
@@ -172,8 +173,7 @@ def test_warm_swaption_cube_reprice_under_1s():
     chain = get_swaption_data("USD")
     params = get_calib_rate_logsv_params()["USD"]
     slices, fwds, strikes, _ = swaption_chain_to_cube(chain, max_expiry=5.0)
-    fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes,
-                                  year_steps=360)
+    fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes)
     args = (jnp.asarray(params.sigma0), jnp.asarray(params.beta.xs),
             jnp.asarray(params.volvol.xs))
     float(jnp.sum(fn(*args)))  # compile + first run
