@@ -12,11 +12,14 @@ Experiment: (a) our prices at year_steps 720/1440/2880 (self-convergence),
 Run (CPU): python scripts/hawkes_parity_floor.py
 """
 import functools
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, "tests")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 import stochvolmodels_tpu  # noqa: F401
 import jax
 jax.config.update("jax_platforms", "cpu")

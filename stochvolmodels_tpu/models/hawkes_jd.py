@@ -190,12 +190,14 @@ def compute_hawkes_a_mgf_grid(ttm: float,
                               model_params: HawkesJDParams,
                               psi_grid: Optional[Cplx] = None,
                               a_t0: Optional[Cplx] = None,
+                              year_steps: int = 1440,
                               **kwargs
                               ) -> Tuple[Cplx, Cplx]:
     """(A(tau), log MGF = A0 + A1 lambda_p + A2 lambda_m)
     (hawkes_jd_pricer.py:521-549)."""
     a_t1 = solve_a_ode_grid(phi_grid=phi_grid, psi_grid=psi_grid, ttm=ttm,
-                            model_params=model_params, a_t0=a_t0)
+                            model_params=model_params, a_t0=a_t0,
+                            year_steps=year_steps)
     log_mgf = Cplx(a_t1.re[:, 0] + a_t1.re[:, 1] * model_params.lambda_p
                    + a_t1.re[:, 2] * model_params.lambda_m,
                    a_t1.im[:, 0] + a_t1.im[:, 1] * model_params.lambda_p
@@ -216,6 +218,7 @@ def hawkesjd_chain_pricer(model_params: HawkesJDParams,
                           is_spot_measure: bool = True,
                           variable_type: VariableType = VariableType.LOG_RETURN,
                           vol_scaler: Optional[float] = None,
+                          year_steps: int = 1440,
                           **kwargs) -> List[np.ndarray]:
     """Fourier chain pricing with chained ODE state (hawkes_jd_pricer.py:368-420)."""
     if variable_type != VariableType.LOG_RETURN:
@@ -235,7 +238,8 @@ def hawkesjd_chain_pricer(model_params: HawkesJDParams,
         a_t0, log_mgf = compute_hawkes_a_mgf_grid(ttm=float(ttm - ttm0),
                                                   phi_grid=phi_grid,
                                                   model_params=model_params,
-                                                  a_t0=a_t0)
+                                                  a_t0=a_t0,
+                                                  year_steps=year_steps)
         prices = mgf.vanilla_prices_with_mgf_grid(
             log_mgf_grid=log_mgf, phi_grid=phi_grid, forwards=float(forward),
             strikes=np.asarray(strikes), optiontypes=types,
@@ -276,6 +280,7 @@ def hawkesjd_chain_pricer_with_risk_premia(model_params: HawkesJDParams,
                                            is_spot_measure: bool = True,
                                            variable_type: VariableType = VariableType.LOG_RETURN,
                                            vol_scaler: Optional[float] = None,
+                                           year_steps: int = 1440,
                                            **kwargs) -> List[np.ndarray]:
     """risk-premia-gamma chain pricing (hawkes_jd_pricer.py:423-487).
 
@@ -305,7 +310,8 @@ def hawkesjd_chain_pricer_with_risk_premia(model_params: HawkesJDParams,
         a_t0, log_mgf = compute_hawkes_a_mgf_grid(ttm=float(ttm - ttm0),
                                                   phi_grid=phi_grid,
                                                   model_params=model_params,
-                                                  a_t0=a_t0)
+                                                  a_t0=a_t0,
+                                                  year_steps=year_steps)
         prices = mgf.slice_pricer_with_mgf_grid_with_gamma(
             log_mgf_grid=log_mgf, phi_grid=phi_grid, risk_premia_gamma=gamma,
             ttm=float(ttm), forward=float(forward), normalizer=float(normalizer),

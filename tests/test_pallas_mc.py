@@ -16,6 +16,16 @@ import pytest
 requires_tpu = pytest.mark.skipif(
     jax.devices()[0].platform == "cpu", reason="Mosaic lowering needs a TPU")
 
+# interpret-mode kernels exist for CPU CI coverage.  With the axon TPU
+# backend primary, interpret=True executes the kernel op-by-op THROUGH the
+# remote tunnel — pathologically slow (>20 min per test) and observed to
+# abort the tunnel worker, poisoning every later test in the process.  The
+# real-Mosaic (@requires_tpu) variants are the hardware check.
+cpu_only_interpret = pytest.mark.skipif(
+    jax.devices()[0].platform != "cpu",
+    reason="interpret-mode Pallas is CPU-CI coverage; through the TPU "
+           "tunnel it is pathological and can crash the worker")
+
 NB_PATH = 1 << 15
 
 
@@ -64,10 +74,12 @@ def _check_heston(x, var, qvar, tol):
     assert abs(float(jnp.mean(qvar)) - 0.04) < tol
 
 
+@cpu_only_interpret
 def test_logsv_pallas_interpret_moments_match_scan():
     _check_logsv(*_logsv_moments(interpret=True), tol=0.02)
 
 
+@cpu_only_interpret
 def test_heston_pallas_interpret_moments():
     _check_heston(*_heston_moments(interpret=True), tol=0.005)
 
@@ -83,6 +95,7 @@ def test_heston_pallas_moments():
                   tol=0.003)
 
 
+@cpu_only_interpret
 def test_poly_log_and_cospi_accuracy():
     """the PRODUCTION ALU-polynomial ln and cos(pi x) used by the poly
     Box-Muller match libm to the documented bounds (2e-6 / 6e-6 max abs
@@ -141,6 +154,7 @@ def _check_rough(pallas_out, scan_out, tol):
     assert abs(float(jnp.mean(yp)) - float(jnp.mean(ys))) < tol
 
 
+@cpu_only_interpret
 def test_rough_pallas_interpret_moments_match_scan():
     _check_rough(*_rough_moments(interpret=True), tol=0.03)
 
@@ -252,6 +266,7 @@ def _check_hawkes(pallas_out, scan_out, tol):
     assert abs(float(jnp.mean(jnp.exp(xp))) - 1.0) < 4.0 * tol
 
 
+@cpu_only_interpret
 def test_hawkes_pallas_interpret_moments_match_scan():
     _check_hawkes(*_hawkes_moments(interpret=True), tol=0.03)
 

@@ -317,6 +317,55 @@ class TestHawkesParity:
         np.testing.assert_allclose(np.asarray(o_prices), np.asarray(r_prices[0]),
                                    rtol=1e-4, atol=1e-7)
 
+    @pytest.mark.slow
+    def test_parity_floor_is_reference_tolerance(self):
+        """attribution of the residual Hawkes parity gap (VERDICT r02 weak
+        item 5): our batched RK4 is fully converged (self-convergence
+        ~4e-13 between 720 and 1440 steps/yr) and matches the reference's
+        solve_ivp at TIGHTENED tolerances to ~6e-13 — the entire ~8e-7 gap
+        at defaults is the reference's own rtol=1e-3 RK45 tolerance
+        (hawkes_jd_pricer.py:585-643 uses scipy defaults).  Full study:
+        scripts/hawkes_parity_floor.py."""
+        import functools
+
+        from _ref_stochvolmodels.pricers import hawkes_jd_pricer as ref_hawkes
+        params_r = ref_hawkes.HawkesJDParams()
+
+        def ref_prices(rtol=None, atol=None):
+            orig = ref_hawkes.solve_ivp
+            if rtol is not None:
+                ref_hawkes.solve_ivp = functools.partial(orig, rtol=rtol,
+                                                         atol=atol)
+            try:
+                return np.asarray(ref_hawkes.hawkesjd_chain_pricer(
+                    model_params=params_r, ttms=np.array([0.25]),
+                    forwards=np.array([1.0]), discfactors=np.array([1.0]),
+                    strikes_ttms=(STRIKES,), optiontypes_ttms=(TYPES,))[0])
+            finally:
+                ref_hawkes.solve_ivp = orig
+
+        chain = ours.OptionChain(
+            ttms=np.array([0.25]), forwards=np.array([1.0]),
+            discfactors=np.array([1.0]), strikes_ttms=[STRIKES],
+            optiontypes_ttms=[TYPES])
+        pricer = ours.HawkesJDPricer()
+        p720 = np.asarray(pricer.price_chain(
+            option_chain=chain, params=ours.HawkesJDParams(),
+            year_steps=720)[0])
+        p1440 = np.asarray(pricer.price_chain(
+            option_chain=chain, params=ours.HawkesJDParams(),
+            year_steps=1440)[0])
+        # our discretization is converged far below the parity floor ...
+        assert np.max(np.abs(p1440 - p720)) < 1e-10
+        r_tight = ref_prices(rtol=1e-10, atol=1e-12)
+        r_def = ref_prices()
+        # ... matches the tight-tolerance reference at near machine level ...
+        assert np.max(np.abs(p1440 - r_tight)) < 1e-10
+        # ... and the default-tolerance gap is the reference's, not ours
+        gap_def = np.max(np.abs(p1440 - r_def))
+        tol_ref = np.max(np.abs(r_tight - r_def))
+        assert gap_def < tol_ref + 1e-10
+
 
 class TestQvarPricerParity:
     def test_qvar_slice_with_analytic_mgf(self):
