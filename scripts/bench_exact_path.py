@@ -53,9 +53,12 @@ def timeit(fn, n=5):
 
 
 base_t, base_p = timeit(make_fn(720, 4))
-print(f"720/yr unroll=4 (current exact): {base_t*1e3:7.1f} ms  [baseline]")
-for ys, ur in [(720, 16), (720, 32), (360, 4), (360, 16), (240, 16),
-               (180, 16), (120, 16)]:
+print(f"720/yr unroll=4 (current exact): {base_t*1e3:7.1f} ms  [baseline]", flush=True)
+# unroll measured irrelevant (720/yr unroll=16: 1146 vs 1118 ms baseline —
+# the scan is op-latency-bound, same as the cube study); ablate steps only.
+for ys, ur in [(360, 4), (240, 4), (180, 4), (120, 4)]:
     t, p = timeit(make_fn(ys, ur))
     err = np.nanmax(np.abs(p - base_p))
-    print(f"{ys}/yr unroll={ur:2d}: {t*1e3:7.1f} ms  max|dP| vs base = {err:.2e}")
+    rel = np.nanmax(np.abs(p - base_p) / np.maximum(np.abs(base_p), 1e-30))
+    print(f"{ys}/yr unroll={ur:2d}: {t*1e3:7.1f} ms  max|dP| vs base = {err:.2e}"
+          f"  max rel = {rel:.2e}", flush=True)

@@ -216,7 +216,7 @@ def logsv_chain_greeks(option_chain: OptionChain,
                        vol_scaler: Optional[float] = None,
                        is_spot_measure: bool = True,
                        expansion_order=None,
-                       year_steps: int = 720,
+                       year_steps: int = 240,
                        in_vols: bool = False,
                        ) -> Dict[str, List[np.ndarray]]:
     """model-consistent greeks of the LogSV analytic chain prices.

@@ -769,15 +769,23 @@ class LogSVPricer(ModelPricer):
                     vol_scaler: Optional[float] = None,
                     precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
-        """``precision='exact'`` (default) runs the ODE grid in float64 at 720
-        steps/yr for 1e-8 reference parity; ``'fast'`` runs float32 at 360
-        steps/yr (the on-device-LM configuration: ~1e-4 relative price
-        accuracy, well inside market bid-ask, and several times faster on a
-        v5e chip, which has no native f64).  360 — not 180 — because the f32
-        RK4 sits right on its stability boundary at 180 steps/yr for
-        low-kappa params (observed: kappa1~2.2 at ttm 0.43 diverges in f32
-        at dt=1/180 while f64 at the same dt is fine; f32 at 1/360 is
-        stable with margin)."""
+        """``precision='exact'`` (default) runs the ODE grid in float64 at 240
+        steps/yr; ``'fast'`` runs float32 at 360 steps/yr (the on-device-LM
+        configuration: ~1e-4 relative price accuracy, well inside market
+        bid-ask, and several times faster on a v5e chip, which has no native
+        f64).  360 — not 180 — because the f32 RK4 sits right on its
+        stability boundary at 180 steps/yr for low-kappa params (observed:
+        kappa1~2.2 at ttm 0.43 diverges in f32 at dt=1/180 while f64 at the
+        same dt is fine; f32 at 1/360 is stable with margin).
+
+        Exact-path step count (measured, scripts/bench_exact_path.py +
+        tests/test_logsv.py::TestExactStepConvergence): the f64 RK4 is deep
+        in its convergence plateau — 240 steps/yr agrees with 2880 steps/yr
+        to 4e-9 rel at the reference-parity params and 2e-7 at an extreme
+        (volvol=3, kappa=5, 2y) corner, while the warm TPU reprice drops
+        1116 -> 419 ms (the scan is per-step-latency-bound, so wall-clock
+        is linear in steps).  720 steps/yr before this study; pass
+        ``year_steps=`` to override."""
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))
@@ -786,11 +794,11 @@ class LogSVPricer(ModelPricer):
         import contextlib
         if precision == "fast":
             grid = _grid_to_f32(grid)
-            year_steps = 360
+            year_steps = kwargs.pop("year_steps", 360)
             cast = np.float32
             ctx = jax.enable_x64(False)  # f32 trace, as in the LM fast path
         elif precision == "exact":
-            year_steps = 720
+            year_steps = kwargs.pop("year_steps", 240)
             cast = float
             ctx = contextlib.nullcontext()
         else:

@@ -500,3 +500,44 @@ class TestLmStressStability:
         errs = np.concatenate([np.abs(np.asarray(v) - np.asarray(m))
                                for v, m in zip(vols, mids)])
         assert np.nanmean(errs) < 0.03, f"mean IV err {np.nanmean(errs):.4f}"
+
+
+class TestExactStepConvergence:
+    """the precision='exact' default dropped 720 -> 240 steps/yr after a
+    step-refinement study (scripts/bench_exact_path.py; the TPU scan is
+    per-step-latency-bound so wall-clock is linear in steps, 1116 -> 419 ms
+    warm).  These pin the convergence facts the new default rests on."""
+
+    def test_btc_chain_default_matches_refined(self, chain):
+        """BTC chain at the 240/yr default vs 1440/yr: the residual is the
+        shortest slice's 16-step floor (identical for every year_steps in
+        [120, 720]), ~7e-8 relative — 2.5 orders under the 2e-5 ref-parity
+        gate."""
+        pricer = LogSVPricer()
+        p_def = pricer.price_chain(option_chain=chain, params=PARAMS)
+        p_ref = pricer.price_chain(option_chain=chain, params=PARAMS,
+                                   year_steps=1440)
+        for a, b in zip(p_def, p_ref):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.nanmax(np.abs(a - b) / np.maximum(np.abs(b), 1e-30))
+            assert rel < 1e-6, f"exact-default step error {rel:.2e}"
+
+    def test_harsh_params_slice_converged(self):
+        """kappa=4/volvol=1.7 (the reference-parity regime): 240/yr agrees
+        with 1440/yr to ~4e-9 relative on a 0.25y slice (measured 3.65e-9
+        vs a 2880/yr anchor in the study)."""
+        from stochvolmodels_tpu.data.option_chain import OptionChain
+        strikes = np.linspace(0.6, 1.6, 21)
+        oc = OptionChain(ttms=np.array([0.25]), forwards=np.array([1.0]),
+                         discfactors=np.array([1.0]), strikes_ttms=[strikes],
+                         optiontypes_ttms=[np.where(strikes < 1.0, 'P', 'C')])
+        params = LogSvParams(sigma0=0.8, theta=1.0, kappa1=4.0, kappa2=4.0,
+                             beta=0.2, volvol=1.7)
+        pricer = LogSVPricer()
+        p_def = np.asarray(pricer.price_chain(option_chain=oc,
+                                              params=params)[0])
+        p_ref = np.asarray(pricer.price_chain(option_chain=oc, params=params,
+                                              year_steps=1440)[0])
+        rel = np.nanmax(np.abs(p_def - p_ref) / np.maximum(np.abs(p_ref),
+                                                           1e-30))
+        assert rel < 1e-7, f"harsh-params step error {rel:.2e}"

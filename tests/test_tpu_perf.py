@@ -80,6 +80,33 @@ def test_warm_analytic_chain_reprice_under_200ms(btc_chain):
     assert np.isfinite(p00) and p00 > 0.0
 
 
+def test_warm_exact_chain_reprice_under_700ms(btc_chain):
+    """the f64 reference-parity default path.  The round-2 verdict flagged
+    it at 1164 ms warm; the step-refinement study (scripts/
+    bench_exact_path.py — the scan is per-step-latency-bound, error flat
+    down to 120 steps/yr) cut the default to 240 steps/yr, measured 419 ms
+    warm.  700 ms bound absorbs tunnel variance."""
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+    pricer = LogSVPricer()
+    params = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                         beta=0.15, volvol=1.85)
+
+    def reprice():
+        prices = pricer.price_chain(option_chain=btc_chain, params=params)
+        return float(np.asarray(prices[0])[0])
+
+    p00 = reprice()  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reprice()
+        best = min(best, time.perf_counter() - t0)
+    assert best < 0.7, f"warm exact reprice took {best * 1e3:.0f}ms (target < 700ms)"
+    assert np.isfinite(p00) and p00 > 0.0
+
+
 def test_warm_fast_chain_ivols_under_500ms(btc_chain):
     """fused price + IV inversion, one device program (measured 61 ms warm;
     bound at 500 ms for tunnel-latency spikes)."""
