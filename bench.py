@@ -118,9 +118,14 @@ def bench_calibration_and_reprice() -> dict:
             option_chain=chain, params=params, precision="fast")
         return float(np.asarray(vols[0])[0])
 
+    def reprice_exact():
+        prices = pricer.price_chain(option_chain=chain, params=params)
+        return float(np.asarray(prices[0])[0])
+
     reprice()
     ivols()
-    reprice_best = ivols_best = float("inf")
+    reprice_exact()
+    reprice_best = ivols_best = exact_best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         reprice()
@@ -128,12 +133,16 @@ def bench_calibration_and_reprice() -> dict:
         t0 = time.perf_counter()
         ivols()
         ivols_best = min(ivols_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        reprice_exact()
+        exact_best = min(exact_best, time.perf_counter() - t0)
 
     return {
         "calib_warm_s": round(calib_best, 4),
         "calib_cost": round(cost_f, 6),
         "fast_reprice_ms": round(reprice_best * 1e3, 2),
         "fast_ivols_ms": round(ivols_best * 1e3, 2),
+        "exact_reprice_ms": round(exact_best * 1e3, 2),
     }
 
 
