@@ -27,17 +27,19 @@ if not os.environ.get("SVMTPU_NO_X64"):
 
 # persistent compilation cache: TPU compiles go through a remote helper in
 # this environment (~20-200s per program); cache them across processes.
-# Skipped for forced-CPU runs: CPU AOT artifacts cached by the remote
-# compile service carry that machine's feature set and loading them on the
-# local host risks SIGILL (observed "machine features mismatch" warnings).
-# Limitation: the skip keys on the JAX_PLATFORMS env var at import; a
-# process that forces CPU only via jax.config.update after import keeps the
-# cache (every in-repo CPU entry point — conftest, scripts — sets the env
-# var too, so the exposed path is external callers only).
-if not os.environ.get("SVMTPU_NO_COMPILE_CACHE") \
-        and not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    _cache_dir = os.environ.get("SVMTPU_COMPILE_CACHE_DIR",
-                                os.path.expanduser("~/.cache/svmtpu_jax"))
+# Forced-CPU runs (conftest, the multichip dryrun child) get their OWN local
+# cache dir: sharing one dir with the remote compile service is unsafe (its
+# CPU AOT artifacts carry that machine's feature set — loading them locally
+# risks SIGILL), but a local-only dir is written and read by this host alone,
+# and it cuts the dryrun's per-round XLA recompiles (the round-3 MULTICHIP
+# timeout was almost pure repeated CPU compile on the 1-core box).
+if not os.environ.get("SVMTPU_NO_COMPILE_CACHE"):
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        _cache_dir = os.environ.get("SVMTPU_CPU_COMPILE_CACHE_DIR",
+                                    os.path.expanduser("~/.cache/svmtpu_jax_cpu"))
+    else:
+        _cache_dir = os.environ.get("SVMTPU_COMPILE_CACHE_DIR",
+                                    os.path.expanduser("~/.cache/svmtpu_jax"))
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

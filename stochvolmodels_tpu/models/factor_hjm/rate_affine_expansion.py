@@ -300,8 +300,12 @@ def solve_a_ode_grid(phi_grid: Cplx,
         return (re, im, dead), None
 
     dead0 = jnp.zeros(n_grid, dtype=bool)
+    # no unroll: the axon backend is per-step latency-bound and unroll
+    # measures ZERO gain (scripts/bench_scan_floor.py) while multiplying
+    # XLA compile time — the round-3 MULTICHIP timeout was one 2m41s CPU
+    # compile of this scan's consumer
     (a_re, a_im, _), _ = jax.lax.scan(rk4_step, (a_t0.re, a_t0.im, dead0),
-                                      coeffs, unroll=8)
+                                      coeffs)
     return Cplx(a_re, a_im)
 
 
@@ -398,7 +402,10 @@ def solve_a_ode_grid_batch(phi_grid: Cplx,
 
         init = (jnp.zeros((n_grid, n)), jnp.zeros((n_grid, n)),
                 jnp.zeros(n_grid, dtype=bool))
-        (a_re, a_im, _), _ = jax.lax.scan(rk4_step, init, coeffs, unroll=8)
+        # unroll dropped: zero measured gain on the latency-bound backend,
+        # ~8x compile-surface inflation (see the note on the single-slice
+        # solver above)
+        (a_re, a_im, _), _ = jax.lax.scan(rk4_step, init, coeffs)
         return a_re, a_im
 
     a_re, a_im = jax.vmap(solve_one)(jnp.asarray(dts), stage_coeffs)

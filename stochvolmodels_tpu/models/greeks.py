@@ -71,10 +71,19 @@ def _chain_atm0(option_chain: OptionChain, fallback: float) -> float:
     """first-maturity ATM vol of the chain, falling back to a param-implied
     level only when the chain carries no usable vols.  Used for DEFAULT
     vol_scaler values so the greeks program cache key does not move with
-    the params being differentiated."""
+    the params being differentiated.
+
+    Note this makes the default-vol_scaler greeks program use a *market*
+    -derived transform-grid span where ``LogSVPricer.price_chain`` at
+    defaults derives it from ``params.sigma0`` — so ``greeks()['price']``
+    can differ from ``price_chain`` at the quadrature-truncation level
+    (~1e-10 on the BTC chain, far below MC/market noise).  Pass an explicit
+    ``vol_scaler`` to both for bitwise agreement."""
     try:
         atm0 = float(option_chain.get_chain_atm_vols()[0])
-    except Exception:
+    except (ValueError, TypeError, AttributeError, IndexError, KeyError):
+        # chains without usable bid/ask vols: missing arrays (Attribute/
+        # TypeError), empty slices (IndexError), non-numeric entries
         atm0 = float("nan")
     if not np.isfinite(atm0) or atm0 <= 0.0:
         atm0 = float(fallback)

@@ -335,7 +335,9 @@ def heston_mc_chain_pricer(ttms: np.ndarray,
     ``qmc_replicates`` independently-randomized replicate groups and the
     reported stds are the standard error over replicate means (honest
     RQMC error; ``qmc_replicates=0`` keeps one unreplicated sequence with
-    upper-bound iid stds).
+    upper-bound iid stds).  ``nb_path`` is silently padded up to a multiple
+    of ``qmc_replicates``; each replicate is a shorter Sobol set, trading a
+    little point-estimate accuracy for the honest confidence interval.
     ``antithetic=True`` (scan engine only) couples path i with i + P/2 by
     mirrored Brownian increments; stderr is over pair averages."""
     if engine not in ("scan", "pallas", "qmc"):

@@ -418,7 +418,11 @@ def logsv_mc_chain_pricer(ttms: np.ndarray,
     are the standard error over the replicate means — an HONEST RQMC error
     estimate (the iid per-path formula would overstate it ~10-100x).  Set
     ``qmc_replicates=0`` for one unreplicated sequence with upper-bound
-    stds."""
+    stds.  Like the antithetic case, ``nb_path`` is silently padded up to a
+    multiple of ``qmc_replicates``.  Tradeoff of the replicated default:
+    each replicate is a shorter Sobol set, so the point estimate carries
+    slightly more QMC error than one unreplicated run at the same budget —
+    the price of an honest confidence interval."""
     if vol_backbone_etas is None:
         vol_backbone_etas = np.ones_like(np.asarray(ttms))
     if engine not in ("scan", "pallas", "qmc"):

@@ -63,12 +63,18 @@ def l2_error_and_weights(nodes: np.ndarray, H: float, T: float
 
 
 @lru_cache(maxsize=256)
-def _european_rule_cached(H: float, N: int, T: float
-                          ) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+def _l2_node_search_cached(H: float, N: int, T: float, max_node: float,
+                           require_pos_weights: bool
+                           ) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    """Nelder-Mead over the N log-nodes with the closed-form optimal weights
+    (the numeric problem is N-dimensional, not 2N).  ``max_node`` caps the
+    fastest node; ``require_pos_weights`` penalizes negative weights (the
+    split simulation needs w_i > 0; the reference's unbounded OL2 optimum
+    does not)."""
     # geometric initial nodes spanning [1/T, fast] decades
-    x0 = np.geomspace(0.5 / T, min(20.0 ** (N - 1) / T, 0.5 * MAX_NODE)
+    x0 = np.geomspace(0.5 / T, min(20.0 ** (N - 1) / T, 0.5 * max_node)
                       if N > 1 else 5.0 / T, N)
-    log_cap = np.log(MAX_NODE)
+    log_cap = np.log(max_node)
 
     def objective(log_nodes: np.ndarray) -> float:
         nodes = np.exp(np.minimum(log_nodes, log_cap))
@@ -76,10 +82,10 @@ def _european_rule_cached(H: float, N: int, T: float
             err2, w = l2_error_and_weights(nodes, H, T)
         except np.linalg.LinAlgError:
             return 1e10
-        # penalize negative weights (the simulation needs w_i > 0) and
-        # capped nodes (keeps the optimizer inside the stable region)
-        penalty = (np.sum(np.square(np.minimum(w, 0.0)))
-                   + np.sum(np.square(np.maximum(log_nodes - log_cap, 0.0))))
+        # penalize capped nodes (keeps the optimizer inside the stable region)
+        penalty = np.sum(np.square(np.maximum(log_nodes - log_cap, 0.0)))
+        if require_pos_weights:
+            penalty += np.sum(np.square(np.minimum(w, 0.0)))
         return err2 + 1e3 * penalty
 
     best = None
@@ -91,8 +97,15 @@ def _european_rule_cached(H: float, N: int, T: float
     nodes = np.exp(np.minimum(best.x, log_cap))
     _, weights = l2_error_and_weights(nodes, H, T)
     order = np.argsort(nodes)
-    nodes, weights = nodes[order], np.maximum(weights[order], 1e-12)
+    nodes, weights = nodes[order], weights[order]
+    if require_pos_weights:
+        weights = np.maximum(weights, 1e-12)
     return tuple(nodes.tolist()), tuple(weights.tolist())
+
+
+def _european_rule_cached(H: float, N: int, T: float
+                          ) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
+    return _l2_node_search_cached(H, N, T, MAX_NODE, True)
 
 
 def european_rule(H: float, N: int, T: float) -> Tuple[np.ndarray, np.ndarray]:
@@ -100,6 +113,20 @@ def european_rule(H: float, N: int, T: float) -> Tuple[np.ndarray, np.ndarray]:
     over [DELTA, T] with nodes capped for simulation stability
     (counterpart of RoughKernel.py:933-1011)."""
     nodes, weights = _european_rule_cached(float(H), int(N), float(T))
+    return np.asarray(nodes), np.asarray(weights)
+
+
+def optimized_l2_rule(H: float, N: int, T: float) -> Tuple[np.ndarray, np.ndarray]:
+    """true unbounded L2 optimum (counterpart of the reference's OL2 path,
+    ``optimize_error_l2`` with bound=1e100, RoughKernel.py:746-871): nodes
+    unconstrained, weights the closed-form optimum — which may be NEGATIVE,
+    so this rule is for error studies, not for the split simulation (use
+    :func:`european_rule` there; its cap keeps the RK4 drift half-step
+    stable).  Never weaker than european_rule on L2 error by construction."""
+    # 1e8 is "unbounded" at float precision of the Gram integrals: e^{-x t}
+    # underflows on [DELTA, T] long before the node hits the cap
+    nodes, weights = _l2_node_search_cached(float(H), int(N), float(T),
+                                            1e8, False)
     return np.asarray(nodes), np.asarray(weights)
 
 
@@ -300,18 +327,148 @@ def quadrature_rule(H: float, N: int, T: float, mode: str = "european"
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """dispatcher over the available rules (RoughKernel.py:1030)."""
     mode = mode.lower()
-    if mode in ("european", "bl2", "optimized l2", "ol2"):
-        # european_rule IS the L2 optimizer here: nodes free, weights the
-        # closed-form L2 optimum given nodes
+    if mode in ("european", "bl2"):
+        # bounded L2: nodes capped for simulation stability, weights the
+        # closed-form L2 optimum given nodes, clamped positive
         return european_rule(H, N, T)
+    if mode in ("optimized l2", "ol2"):
+        # unbounded L2 optimum (weights may be negative) — matches the
+        # reference's OL2/BL2 distinction (RoughKernel.py:1056-1061)
+        return optimized_l2_rule(H, N, T)
     if mode in ("optimized l1", "ol1"):
         return l1_rule(H, N, T)
     if mode in ("abi-jaber", "abi_jaber", "aje", "ae"):
         return abi_jaber_el_euch_rule(H, N, T)
-    if mode in ("ak", "alfonsi-kebaier", "alfonsi"):
+    if mode in ("ak", "ak_improved", "alfonsi-kebaier", "alfonsi"):
         return ak_geometric_rule(H, N, T)
     if mode in ("gaussian", "gauss"):
         return gaussian_rule(H, N, T)
     if mode == "harms":
         return harms_rule(H, N, T)
     raise NotImplementedError(f"mode={mode}")
+
+
+# ----------------------------------------------------------------------------
+# discrete-kernel helper classes for HQE-style simulation schemes
+# (counterparts of RoughKernel.py:1080 ``kernel_frac`` and :1121
+# ``kernel_rheston``).  The reference's versions are vendored research code
+# that is partly non-functional (``kernel_rheston._k`` references an
+# undefined ``mittag_leffler``); these are working re-implementations with a
+# real Mittag-Leffler evaluator.  Host-side numpy/scipy by design: they feed
+# per-step kernel constants into a simulation setup, not the hot path.
+# ----------------------------------------------------------------------------
+
+def mittag_leffler(z, alpha: float, beta: float = 1.0):
+    """E_{alpha,beta}(z) = sum_k z^k / Gamma(alpha k + beta), vectorized.
+
+    The power series alternates catastrophically for negative z (terms grow
+    to ~e^{|z|} before decaying), so it is summed in 50-digit arithmetic via
+    mpmath for |z| <= 80; beyond that, for negative real z and
+    0 < alpha < 2, the algebraic asymptotic expansion
+    E ~ -sum_{k>=1} z^{-k} / Gamma(beta - alpha k) applies.  Host-side
+    research code (rHeston kernel setup) — precision over speed.  Validated
+    against E_{1,1} = exp and E_{1/2,1}(z) = e^{z^2} erfc(-z).
+    """
+    import mpmath
+
+    z = np.asarray(z, dtype=float)
+    scalar = z.ndim == 0
+    z = np.atleast_1d(z)
+    out = np.empty_like(z)
+    small = np.abs(z) <= 80.0
+    if np.any(small):
+        # the alternating sum's peak term is ~exp(alpha |z|^(1/alpha)):
+        # budget digits for it plus 40 for the answer
+        zmax = float(np.max(np.abs(z[small])))
+        dps = 40 + int(0.5 * alpha * zmax ** (1.0 / alpha)) if zmax > 0 else 40
+        with mpmath.workdps(dps):
+            for i in np.nonzero(small)[0]:
+                zi = mpmath.mpf(float(z[i]))
+                acc = mpmath.mpf(0)
+                term_bound = mpmath.mpf(1)
+                k = 0
+                while True:
+                    acc += zi ** k / mpmath.gamma(alpha * k + beta)
+                    k += 1
+                    term_bound = abs(zi) ** k / mpmath.gamma(alpha * k + beta)
+                    if k > 8 and term_bound < mpmath.mpf(10) ** (-40):
+                        break
+                out[i] = float(acc)
+    if np.any(~small):
+        zl = z[~small]
+        if np.any(zl > 0):
+            raise NotImplementedError("mittag_leffler: large positive z")
+        if not 0.0 < alpha < 2.0:
+            raise NotImplementedError("asymptotic branch needs 0 < alpha < 2")
+        acc = np.zeros_like(zl)
+        for k in range(1, 30):
+            g = sp_gamma(beta - alpha * k)  # inf at non-positive integers -> term 0
+            with np.errstate(divide='ignore', over='ignore'):
+                acc -= np.where(np.isfinite(g), zl ** (-k) / g, 0.0)
+        out[~small] = acc
+    return out[0] if scalar else out
+
+
+class kernel_frac:
+    """Riemann-Liouville kernel K(t) = eta_tilde t^{H-1/2} discrete
+    convolution constants for HQE-type schemes (ref RoughKernel.py:1080):
+    K_0(dt) = int_0^dt K and the diagonal  calK_jj = int_{j dt}^{(j+1) dt} K^2
+    — both closed-form for a power kernel."""
+
+    def __init__(self, H: float, eta: float):
+        self.H = float(H)
+        self.eta = float(eta)
+        self.eta_tilde = np.sqrt(2.0 * H) * eta
+
+    def K_0(self, Delta: float) -> float:
+        return self.eta_tilde * Delta ** (self.H + 0.5) / (self.H + 0.5)
+
+    def K_diag(self, Delta: float, N: int) -> np.ndarray:
+        i = np.arange(N + 1, dtype=float)
+        return self.eta ** 2 * Delta ** (2.0 * self.H) * (
+            i[1:] ** (2.0 * self.H) - i[:-1] ** (2.0 * self.H))
+
+
+class kernel_rheston:
+    """rough-Heston resolvent kernel k(r) = zeta r^{a-1} E_{a,a}(-lam r^a),
+    a = H + 1/2, as a forward-variance-model kernel (ref RoughKernel.py:1121,
+    there non-functional).  K_0/K_diag by adaptive quadrature; ``xi`` builds
+    the forward-variance curve xi_t = v0 + lam (theta - v0) int_0^t k/zeta."""
+
+    def __init__(self, H: float, lam: float, zeta: float, eps: float = 1e-3):
+        self.alpha = float(H) + 0.5
+        self.H = float(H)
+        self.lam = float(lam)
+        self.zeta = float(zeta)
+        self.eps = float(eps)
+
+    def _k(self, r):
+        r = np.asarray(r, dtype=float)
+        return (self.zeta * r ** (self.alpha - 1.0)
+                * mittag_leffler(-self.lam * r ** self.alpha,
+                                 self.alpha, self.alpha))
+
+    def K_0(self, Delta: float) -> float:
+        from scipy.integrate import quad
+        return quad(lambda r: float(self._k(r)), 0.0, Delta,
+                    epsabs=self.eps, epsrel=self.eps)[0]
+
+    def K_diag(self, Delta: float, N: int) -> np.ndarray:
+        from scipy.integrate import quad
+        return np.array([quad(lambda r: float(self._k(r + i * Delta)) ** 2,
+                              0.0, Delta, epsabs=self.eps, epsrel=self.eps)[0]
+                         for i in range(N)])
+
+    def xi(self, t_grid, v0: float, lam: float, theta: float,
+           eps: float = 1e-6) -> np.ndarray:
+        from scipy.integrate import quad
+        t_grid = np.asarray(t_grid, dtype=float)
+        if np.isclose(v0, theta, rtol=eps):
+            return np.full_like(t_grid, v0)
+        t = np.unique(np.append(0.0, t_grid))
+        int_k = np.array([quad(lambda r: float(self._k(r)), t[i], t[i + 1],
+                               epsabs=eps, epsrel=eps)[0]
+                          for i in range(len(t) - 1)])
+        cum = np.concatenate([[0.0], np.cumsum(int_k)])  # at every t incl. 0
+        xi_at = v0 + self.lam * (theta - v0) * cum / self.zeta
+        return np.interp(t_grid, t, xi_at)

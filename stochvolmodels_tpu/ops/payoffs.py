@@ -137,6 +137,10 @@ def _mc_vars_payoff_replicates(x0: Array, qvar0: Array, ttm, forward,
     payoff = jnp.where(is_inverse, payoff / spots[None, :, :], payoff)
 
     rep_means = jnp.nanmean(payoff, axis=2)                     # (K, R)
-    option_prices = discfactor * jnp.mean(rep_means, axis=1)
-    option_std = discfactor * jnp.std(rep_means, axis=1, ddof=1)
+    # nan-aware over the replicate axis too: a replicate whose paths are ALL
+    # NaN yields a NaN mean and must be dropped, matching the unreplicated
+    # reducer's nanmean/nanstd semantics (a partial-NaN replicate is already
+    # handled by the per-replicate nanmean above)
+    option_prices = discfactor * jnp.nanmean(rep_means, axis=1)
+    option_std = discfactor * jnp.nanstd(rep_means, axis=1, ddof=1)
     return option_prices, option_std / jnp.sqrt(nb_replicates)

@@ -2,6 +2,7 @@
 Option-chain containers and bundled sample data.
 """
 import numpy as np
+import pandas as pd
 import pytest
 
 from stochvolmodels_tpu.data.option_chain import OptionChain
@@ -95,3 +96,95 @@ def test_varswap_strikes():
     vs = chain.get_slice_varswap_strikes()
     assert np.all(vs.to_numpy() > 0.5)
     assert np.all(vs.to_numpy() < 2.0)
+
+
+# ---------------------------------------------------------------------------
+# generate_vol_chain_np: chain construction from in-memory frames
+# (reference fetch_option_chain.py:31-74 semantics, dependency-free)
+# ---------------------------------------------------------------------------
+
+def _synthetic_expiry_slice(expiry_id, ttm, forward):
+    """raw per-option frame for one expiry: OTM+ITM quotes on both sides,
+    far wings with tiny |delta|, one strike with a dead (NaN/zero) market."""
+    from stochvolmodels_tpu.data.fetch_option_chain import ExpirySlice
+
+    strikes = np.array([50.0, 70.0, 90.0, 100.0, 110.0, 130.0, 160.0])
+    put_deltas = {50.0: -0.02, 70.0: -0.10, 90.0: -0.25, 100.0: -0.45,
+                  110.0: -0.65, 130.0: -0.85, 160.0: -0.95}
+    rows = []
+    for k in strikes:
+        for ot, delta in (('P', put_deltas[k]), ('C', 1.0 + put_deltas[k])):
+            iv = 0.5 + 0.3 * abs(np.log(k / forward))
+            rows.append(dict(strike=k, optiontype=ot, delta=delta,
+                             bid_iv=iv - 0.02, ask_iv=iv + 0.02,
+                             bid_price=1.0, ask_price=1.2))
+    df = pd.DataFrame(rows)
+    # kill the two-sided market at strike 130 call (bid_iv NaN) -> filtered
+    df.loc[(df.strike == 130.0) & (df.optiontype == 'C'), 'bid_iv'] = np.nan
+    return ExpirySlice(expiry_id=expiry_id, ttm=ttm, future_price=forward, df=df)
+
+
+def _synthetic_chain(value_time):
+    from stochvolmodels_tpu.data.fetch_option_chain import SlicesChain
+
+    return SlicesChain(expiry_slices={
+        value_time + pd.DateOffset(days=9): _synthetic_expiry_slice('09NOV', 9 / 365, 100.0),
+        value_time + pd.DateOffset(days=23): _synthetic_expiry_slice('23NOV', 23 / 365, 101.0),
+    })
+
+
+def test_generate_vol_chain_np_from_synthetic_frames():
+    from stochvolmodels_tpu.data.fetch_option_chain import generate_vol_chain_np
+
+    value_time = pd.Timestamp('2021-11-01 08:00:00+00:00')
+    chain = _synthetic_chain(value_time)
+    oc = generate_vol_chain_np(chain, value_time,
+                               days_map={'1w': 7, '1m': 21},
+                               delta_bounds=(-0.1, 0.1), is_filtered=True)
+    # days_map horizons 7d/21d pick the 9d and 23d expiries
+    assert list(oc.ids) == ['1w: 09NOV', '1m: 23NOV']
+    np.testing.assert_allclose(oc.ttms, [9 / 365, 23 / 365])
+    np.testing.assert_allclose(oc.forwards, [100.0, 101.0])
+    np.testing.assert_allclose(oc.discfactors, [1.0, 1.0])
+    s0, t0 = oc.strikes_ttms[0], oc.optiontypes_ttms[0]
+    # OTM joint smile: puts strictly below the forward, calls at/above
+    assert np.all((t0 == 'P') == (s0 < 100.0))
+    assert np.all(np.diff(s0) > 0)
+    # delta-bounds dropped the |delta| < 0.1 far wings (50 put, 160 call)
+    assert 50.0 not in s0 and 160.0 not in s0
+    # is_filtered dropped the NaN-bid 130 call
+    assert 130.0 not in s0
+    np.testing.assert_allclose(s0, [70.0, 90.0, 100.0, 110.0])
+    # ivs are the OTM side's quotes
+    k90 = int(np.searchsorted(s0, 90.0))
+    assert t0[k90] == 'P'
+    iv90 = 0.5 + 0.3 * abs(np.log(90.0 / 100.0))
+    np.testing.assert_allclose(oc.bid_ivs[0][k90], iv90 - 0.02)
+    np.testing.assert_allclose(oc.ask_ivs[0][k90], iv90 + 0.02)
+    # the result is a fully functional calibration chain
+    grid = oc.to_grid()
+    assert grid.mask.sum() == sum(len(s) for s in oc.strikes_ttms)
+
+
+def test_generate_vol_chain_np_overlapping_horizons():
+    """horizons that resolve past the last expiry collapse onto it (reference
+    comment fetch_option_chain.py:48), deduplicated to one slice."""
+    from stochvolmodels_tpu.data.fetch_option_chain import generate_vol_chain_np
+
+    value_time = pd.Timestamp('2021-11-01 08:00:00+00:00')
+    chain = _synthetic_chain(value_time)
+    oc = generate_vol_chain_np(chain, value_time,
+                               days_map={'1m': 21, '3m': 90, '6m': 180})
+    assert list(oc.ids) == ['1m: 23NOV']
+
+
+def test_make_joint_slice_df_no_delta_filter():
+    from stochvolmodels_tpu.data.fetch_option_chain import make_joint_slice_df
+
+    sl = _synthetic_expiry_slice('X', 0.1, 100.0)
+    df = make_joint_slice_df(sl.df, forward=100.0, delta_bounds=None,
+                             is_filtered=False)
+    # no filtering: every strike once, OTM side selected
+    assert len(df) == 7
+    assert df.loc[100.0, 'optiontype'] == 'C'
+    assert df.loc[90.0, 'optiontype'] == 'P'

@@ -295,3 +295,85 @@ class TestReferenceCrossParity:
             np.testing.assert_allclose(ours, theirs, rtol=1.5e-2,
                                        atol=1e-5 * float(chain.forwards[i]))
             assert np.max(np.abs(ours - theirs) / np.maximum(sd, 1e-8)) < 0.2
+
+
+class TestKernelResearchInventory:
+    """rounds out the RoughKernel research-code inventory: the unbounded OL2
+    optimum (RoughKernel.py:746-871, dispatched at :1056), and the HQE-style
+    discrete-kernel classes kernel_frac/kernel_rheston (:1080/:1121 — the
+    reference's kernel_rheston is non-functional, referencing an undefined
+    mittag_leffler)."""
+
+    def test_ol2_beats_or_matches_bounded_rule(self):
+        from stochvolmodels_tpu.models.rough.kernel import (
+            european_rule,
+            kernel_l2_relative_error,
+            optimized_l2_rule,
+            quadrature_rule,
+        )
+        H, N, T = 0.1, 3, 1.0
+        nb, wb = european_rule(H, N, T)
+        no, wo = optimized_l2_rule(H, N, T)
+        e_b = kernel_l2_relative_error(H, nb, wb, T)
+        e_o = kernel_l2_relative_error(H, no, wo, T)
+        # the unconstrained optimum can only be (weakly) better
+        assert e_o <= e_b + 1e-12, (e_o, e_b)
+        # dispatcher routes OL2 to the unbounded rule, BL2 to the bounded one
+        n1, _ = quadrature_rule(H, N, T, mode="OL2")
+        np.testing.assert_allclose(n1, no)
+        n2, _ = quadrature_rule(H, N, T, mode="BL2")
+        np.testing.assert_allclose(n2, nb)
+
+    def test_mittag_leffler_identities(self):
+        from scipy.special import erfc
+
+        from stochvolmodels_tpu.models.rough.kernel import mittag_leffler
+
+        z = np.linspace(-25.0, 3.0, 29)
+        np.testing.assert_allclose(mittag_leffler(z, 1.0, 1.0), np.exp(z),
+                                   rtol=1e-10)
+        # E_{1/2,1}(z) = e^{z^2} erfc(-z)
+        z = np.linspace(-5.0, 2.0, 15)
+        np.testing.assert_allclose(mittag_leffler(z, 0.5, 1.0),
+                                   np.exp(z ** 2) * erfc(-z), rtol=1e-8)
+        # both branches at the series/asymptotic switch vs 300-digit ground
+        # truth (the function itself moves ~0.5% between the two points)
+        a = 0.75
+        lo = mittag_leffler(np.array([-79.9]), a, a)   # series branch
+        hi = mittag_leffler(np.array([-80.1]), a, a)   # asymptotic branch
+        np.testing.assert_allclose(lo[0], 3.324672515137835e-05, rtol=1e-10)
+        np.testing.assert_allclose(hi[0], 3.3078775645068957e-05, rtol=1e-10)
+
+    def test_kernel_frac_closed_forms(self):
+        from scipy.integrate import quad
+
+        from stochvolmodels_tpu.models.rough.kernel import kernel_frac
+
+        H, eta, dt = 0.15, 1.3, 1.0 / 250.0
+        k = kernel_frac(H=H, eta=eta)
+        # K_0 = int_0^dt eta_tilde t^{H-1/2} dt
+        eta_tilde = np.sqrt(2 * H) * eta
+        ref0 = quad(lambda t: eta_tilde * t ** (H - 0.5), 0.0, dt)[0]
+        np.testing.assert_allclose(k.K_0(dt), ref0, rtol=1e-10)
+        # K_diag[j] = int_{j dt}^{(j+1) dt} (eta_tilde t^{H-1/2})^2 dt
+        diag = k.K_diag(dt, 4)
+        for j in range(4):
+            ref = quad(lambda t: (eta_tilde * t ** (H - 0.5)) ** 2,
+                       j * dt, (j + 1) * dt)[0]
+            np.testing.assert_allclose(diag[j], ref, rtol=1e-9)
+
+    def test_kernel_rheston_basics(self):
+        from stochvolmodels_tpu.models.rough.kernel import kernel_rheston
+
+        k = kernel_rheston(H=0.1, lam=0.3, zeta=0.4)
+        # flat forward variance when v0 == theta
+        t = np.array([0.0, 0.5, 1.0])
+        np.testing.assert_allclose(k.xi(t, v0=0.04, lam=0.3, theta=0.04),
+                                   np.full(3, 0.04))
+        # v0 < theta: curve rises monotonically from v0 toward theta
+        xi = k.xi(t, v0=0.04, lam=0.3, theta=0.09)
+        assert xi[0] == 0.04 and np.all(np.diff(xi) > 0.0)
+        # discrete kernel constants are positive and decreasing in the lag
+        assert k.K_0(1.0 / 52.0) > 0.0
+        d = k.K_diag(1.0 / 52.0, 3)
+        assert np.all(d > 0.0) and d[0] > d[1] > d[2]
