@@ -35,6 +35,7 @@ from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (  # noqa: F4
     futures_conv_adj,
     logsv_chain_de_pricer,
     make_swaption_cube_fn,
+    make_swaption_cube_fn_traced,
     make_swaption_slice_fn,
     simulate_logsv_MF,
 )

@@ -164,6 +164,8 @@ def calibrate_rate_logsv_cube_lm_on_device(
         year_steps: int = 48,
         nb_grid_pts: int = 31,
         mesh=None,
+        fit_A: bool = False,
+        A_bounds: Tuple[float, float] = (1e-5, 0.2),
         **cube_kwargs,
 ) -> Tuple[MultiFactRateLogSvParams, float]:
     """JOINT fit of the (beta, volvol) term structure to a whole swaption
@@ -185,6 +187,14 @@ def calibrate_rate_logsv_cube_lm_on_device(
     normal-equation reductions become ICI psums inserted by XLA.  Slice
     results are mathematically independent, so the sharded fit equals the
     single-device fit to float tolerance (tests/test_parallel.py).
+
+    ``fit_A=True`` extends the free vector with the per-segment factor-vol
+    levels ``A`` (bounded by ``A_bounds``) and prices through the TRACED
+    cube (``make_swaption_cube_fn_traced``): the QA structural panels
+    depend on A, so the LM Jacobian is exact through the structure — a
+    true one-stage cube calibration, where the reference's paper procedure
+    (and ``calibrate_rate_logsv_full``) alternates an ATM A-prefit with a
+    (beta, volvol) fit on frozen panels.
     """
     d = params.basis.get_nb_factors()
     n_seg = params.beta.xs.shape[0]
@@ -195,9 +205,19 @@ def calibrate_rate_logsv_cube_lm_on_device(
     segments = list(segments)
     n_free = len(segments)
 
-    price_fn, mask = make_swaption_cube_fn(
-        params, slices, forwards, strikes_slices, year_steps=year_steps,
-        nb_grid_pts=nb_grid_pts, mesh=mesh, **cube_kwargs)
+    if fit_A:
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn_traced)
+        traced_fn, mask = make_swaption_cube_fn_traced(
+            params, slices, forwards, strikes_slices, year_steps=year_steps,
+            nb_grid_pts=nb_grid_pts, mesh=mesh, **cube_kwargs)
+        A0_full = jnp.asarray(params.A, dtype=jnp.float64)
+        k1_j = jnp.asarray(params.kappa1)
+        k2_j = jnp.asarray(params.kappa2)
+    else:
+        price_fn, mask = make_swaption_cube_fn(
+            params, slices, forwards, strikes_slices, year_steps=year_steps,
+            nb_grid_pts=nb_grid_pts, mesh=mesh, **cube_kwargs)
     K_max = mask.shape[1]
     market = np.zeros((len(slices), K_max))
     weights = np.zeros((len(slices), K_max))
@@ -229,24 +249,38 @@ def calibrate_rate_logsv_cube_lm_on_device(
 
     def unpack(pars):
         beta_free = pars[:n_free * d].reshape(n_free, d)
-        volvol_free = pars[n_free * d:]
+        volvol_free = pars[n_free * d:n_free * d + n_free]
         beta_xs = beta0.at[seg_idx].set(beta_free)
         volvol_xs = volvol0.at[seg_idx].set(volvol_free)
-        return beta_xs, volvol_xs
+        if fit_A:
+            A_free = pars[n_free * d + n_free:].reshape(n_free, d)
+            A_xs = A0_full.at[seg_idx].set(A_free)
+            return beta_xs, volvol_xs, A_xs
+        return beta_xs, volvol_xs, None
 
     def residuals(pars):
-        beta_xs, volvol_xs = unpack(pars)
-        prices = price_fn(sigma0, beta_xs, volvol_xs)
+        beta_xs, volvol_xs, A_xs = unpack(pars)
+        if fit_A:
+            prices = traced_fn(sigma0, A_xs, beta_xs, volvol_xs, k1_j, k2_j)
+        else:
+            prices = price_fn(sigma0, beta_xs, volvol_xs)
         ivols = infer_normal_implied_vol_fast(
             forward=fwd_j, ttm=safe_ttm, strike=strike_j, given_price=prices)
         clean = jnp.where(jnp.isnan(ivols), market_j, ivols)
         return (weights_j * (clean - market_j)).ravel()
 
-    p0 = jnp.concatenate([beta0[seg_idx].ravel(), volvol0[seg_idx]])
-    lower = jnp.concatenate([jnp.full(n_free * d, -beta_bound),
-                             jnp.full(n_free, volvol_bounds[0])])
-    upper = jnp.concatenate([jnp.full(n_free * d, beta_bound),
-                             jnp.full(n_free, volvol_bounds[1])])
+    p0_parts = [beta0[seg_idx].ravel(), volvol0[seg_idx]]
+    lower_parts = [jnp.full(n_free * d, -beta_bound),
+                   jnp.full(n_free, volvol_bounds[0])]
+    upper_parts = [jnp.full(n_free * d, beta_bound),
+                   jnp.full(n_free, volvol_bounds[1])]
+    if fit_A:
+        p0_parts.append(A0_full[seg_idx].ravel())
+        lower_parts.append(jnp.full(n_free * d, A_bounds[0]))
+        upper_parts.append(jnp.full(n_free * d, A_bounds[1]))
+    p0 = jnp.concatenate(p0_parts)
+    lower = jnp.concatenate(lower_parts)
+    upper = jnp.concatenate(upper_parts)
     run = jax.jit(lambda q0: lm_minimize(residuals, q0, lower, upper,
                                          nb_iters=nb_iters))
     best, best_cost = run(p0)
@@ -254,9 +288,12 @@ def calibrate_rate_logsv_cube_lm_on_device(
 
     fitted = copy.deepcopy(params)
     for j, seg in enumerate(segments):
-        fitted.update_params(idx=int(seg),
-                             beta_idx=best[j * d:(j + 1) * d],
-                             volvol_idx=float(best[n_free * d + j]))
+        fitted.update_params(
+            idx=int(seg),
+            beta_idx=best[j * d:(j + 1) * d],
+            volvol_idx=float(best[n_free * d + j]),
+            A_idx=(best[n_free * (d + 1) + j * d:
+                        n_free * (d + 1) + (j + 1) * d] if fit_A else None))
     return fitted, float(best_cost)
 
 
@@ -286,18 +323,24 @@ def prefit_A_to_atm(params: MultiFactRateLogSvParams,
                     nb_outer: int = 4,
                     year_steps: int = 48,
                     damping: float = 1.0,
+                    traced: bool = True,
                     ) -> Tuple[MultiFactRateLogSvParams, float]:
     """fix-point prefit of the per-segment factor-vol levels A to the ATM
     normal vols of the cube (the paper's stage-1 calibration; its result is
     embedded as ``A_idx`` in calibration_fig_5_6_7.py:171-215).
 
     Each tenor maps to its nearest basis key term, and each outer iteration
-    reprices the cube once (batched ``make_swaption_cube_fn``) and scales
-    ``A[seg][j] *= (mkt_atm / model_atm)`` for the latest segment covering
-    that expiry — ATM normal vol is near-linear in the local vol level, so
-    3-5 iterations converge to sub-bp.  A enters the frozen QA structural
-    panels, so each iteration re-freezes them (host) and re-traces the cube
-    program.  Returns ``(updated params copy, max ATM error in bp)``.
+    reprices the cube once and scales ``A[seg][j] *= (mkt_atm / model_atm)``
+    for the latest segment covering that expiry — ATM normal vol is
+    near-linear in the local vol level, so 3-5 iterations converge to
+    sub-bp.
+
+    With ``traced=True`` (default) the cube prices through
+    ``make_swaption_cube_fn_traced``: A enters the program as a traced
+    input, so ALL outer iterations reuse ONE compiled program.  The legacy
+    ``traced=False`` path freezes A into the structural panels and must
+    re-freeze (host scipy) and re-trace the cube every iteration.
+    Returns ``(updated params copy, max ATM error in bp)``.
     """
     from stochvolmodels_tpu.ops.bachelier import infer_normal_implied_vol
 
@@ -315,13 +358,33 @@ def prefit_A_to_atm(params: MultiFactRateLogSvParams,
         atm_strike.append(k)
         atm_mkt.append(float(np.asarray(ivs)[k]))
 
+    traced_fn = None
+    if traced:
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn_traced)
+        traced_fn, _ = make_swaption_cube_fn_traced(
+            params, slices, forwards, strikes_slices, year_steps=year_steps)
+        beta_j = jnp.asarray(params.beta.xs)
+        volvol_j = jnp.asarray(params.volvol.xs)
+        sigma0_j = jnp.asarray(params.sigma0)
+        k1_j = jnp.asarray(params.kappa1)
+        k2_j = jnp.asarray(params.kappa2)
+    A = params.A.copy()
+
     max_err_bp = np.inf
     for _ in range(nb_outer):
-        fn, _ = make_swaption_cube_fn(params, slices, forwards,
-                                      strikes_slices, year_steps=year_steps)
-        px = np.asarray(fn(jnp.asarray(params.sigma0),
-                           jnp.asarray(params.beta.xs),
-                           jnp.asarray(params.volvol.xs)))
+        if traced:
+            px = np.asarray(traced_fn(sigma0_j, jnp.asarray(A), beta_j,
+                                      volvol_j, k1_j, k2_j))
+        else:
+            for seg in range(A.shape[0]):
+                params.update_params(idx=seg, A_idx=A[seg])
+            fn, _ = make_swaption_cube_fn(params, slices, forwards,
+                                          strikes_slices,
+                                          year_steps=year_steps)
+            px = np.asarray(fn(jnp.asarray(params.sigma0),
+                               jnp.asarray(params.beta.xs),
+                               jnp.asarray(params.volvol.xs)))
         # per (segment, key-term) multiplicative updates, averaged over the
         # slices that inform them
         ratios = {}
@@ -339,12 +402,13 @@ def prefit_A_to_atm(params: MultiFactRateLogSvParams,
             ratios.setdefault(key, []).append(atm_mkt[p] / model_atm)
             errs.append(abs(model_atm - atm_mkt[p]) * 1e4)
         max_err_bp = float(np.max(errs)) if errs else np.inf
-        new_A = params.A.copy()
+        new_A = A.copy()
         for (seg, j), rs in ratios.items():
             r = float(np.mean(rs)) ** damping
-            new_A[seg, j] = params.A[seg, j] * r
-        for seg in range(new_A.shape[0]):
-            params.update_params(idx=seg, A_idx=new_A[seg])
+            new_A[seg, j] = A[seg, j] * r
+        A = new_A
+    for seg in range(A.shape[0]):
+        params.update_params(idx=seg, A_idx=A[seg])
     return params, max_err_bp
 
 

@@ -253,9 +253,15 @@ class MultiFactRateLogSvParams(ModelParams):
     # annuity-measure analytics (swaptions)
     # ------------------------------------------------------------------
     def calc_QA_mean_states(self, expiry: float, tenor: float,
-                            t_grid: np.ndarray, x0: np.ndarray, y0: np.ndarray
+                            t_grid: np.ndarray, x0: np.ndarray, y0: np.ndarray,
+                            rtol: float = 1e-3, atol: float = 1e-6,
                             ) -> Tuple[np.ndarray, np.ndarray]:
-        """annuity-measure means of (X, Y) by the frozen-drift ODE."""
+        """annuity-measure means of (X, Y) by the frozen-drift ODE.
+
+        ``rtol``/``atol`` default to scipy's solve_ivp defaults (what the
+        reference uses implicitly, rate_logsv_params.py:431); tighten them
+        to build high-accuracy oracles for the traced on-device panel path
+        (models/factor_hjm/qa_traced.py)."""
         ts_sw = get_default_swap_term_structure(expiry=expiry, tenor=tenor)
         sz_X = self.basis.nb_factors
         sz_Y = self.basis.nb_aux_factors
@@ -279,13 +285,15 @@ class MultiFactRateLogSvParams(ModelParams):
             return res
 
         init = np.concatenate((x0, y0, np.array([self.sigma0])))
-        sol = solve_ivp(fun=rhs, t_span=(0, expiry), t_eval=t_grid, y0=init)
+        sol = solve_ivp(fun=rhs, t_span=(0, expiry), t_eval=t_grid, y0=init,
+                        rtol=rtol, atol=atol)
         return sol.y[:sz_X, :].T, sol.y[sz_X:sz_X + sz_Y, :].T
 
     def qa_structural_panels(self, expiry: float, tenor: float,
                              t_grid: np.ndarray,
                              x0: Optional[np.ndarray] = None,
-                             y0: Optional[np.ndarray] = None):
+                             y0: Optional[np.ndarray] = None,
+                             rtol: float = 1e-3, atol: float = 1e-6):
         """frozen structural panels of the annuity-measure transform.
 
         Everything here depends on the basis, the factor-vol matrices C and
@@ -307,7 +315,8 @@ class MultiFactRateLogSvParams(ModelParams):
         t_grid = t_grid[:idx_ttm + 1]
 
         mx_grid, my_grid = self.calc_QA_mean_states(expiry=expiry, tenor=tenor,
-                                                    t_grid=t_grid, x0=x0, y0=y0)
+                                                    t_grid=t_grid, x0=x0, y0=y0,
+                                                    rtol=rtol, atol=atol)
         d = self.basis.nb_factors
         swap_gr = np.full((t_grid.size, d), np.nan)
         loga_der = np.full((t_grid.size, d), np.nan)
@@ -323,12 +332,14 @@ class MultiFactRateLogSvParams(ModelParams):
     def transform_QA_params(self, expiry: float, tenor: float,
                             t_grid: np.ndarray,
                             x0: Optional[np.ndarray] = None,
-                            y0: Optional[np.ndarray] = None):
+                            y0: Optional[np.ndarray] = None,
+                            rtol: float = 1e-3, atol: float = 1e-6):
         """annuity-measure coefficient time series for the MGF ODE."""
         self.q = self.theta
         t_grid, ts_sw, idx_t, swap_gr, loga_der, C_panel = \
             self.qa_structural_panels(expiry=expiry, tenor=tenor,
-                                      t_grid=t_grid, x0=x0, y0=y0)
+                                      t_grid=t_grid, x0=x0, y0=y0,
+                                      rtol=rtol, atol=atol)
         beta_interp = self.beta.xs[idx_t]
         volvol_interp = self.volvol.xs[idx_t]
         a_interp = np.einsum('td,tde->te', swap_gr, C_panel)

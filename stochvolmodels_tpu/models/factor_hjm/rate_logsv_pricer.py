@@ -364,9 +364,15 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
                           x_max: float = 2.75,
                           x0: Optional[np.ndarray] = None,
                           y0: Optional[np.ndarray] = None,
-                          mesh=None):
+                          mesh=None,
+                          panel_rtol: float = 1e-3,
+                          panel_atol: float = 1e-6):
     """jitted whole-cube swaption pricer: every (expiry, tenor) slice in ONE
     device program.
+
+    ``panel_rtol``/``panel_atol`` control the host solve_ivp that freezes
+    the QA structural panels (defaults = scipy defaults, like the
+    reference); tighten for high-accuracy oracles.
 
     ``year_steps`` defaults to 48: the Riccati coefficients are piecewise-
     linear interpolations of a ~31-point panel, so the shared-step RK4 is
@@ -429,7 +435,8 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
         t_grid_cut, _, idx_t, swap_gr, loga_der, C_panel = \
             params.qa_structural_panels(expiry=float(expiry),
                                         tenor=float(tenor),
-                                        t_grid=t_grid, x0=x0, y0=y0)
+                                        t_grid=t_grid, x0=x0, y0=y0,
+                                        rtol=panel_rtol, atol=panel_atol)
         CT_loga = jnp.asarray(np.einsum('tde,td->te', C_panel, loga_der))
         a_interp = jnp.asarray(np.einsum('td,tde->te', swap_gr, C_panel))
         dt = float(expiry) / S
@@ -496,6 +503,148 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
         p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)     # 1/(pi phi^2)
         z_re = (moneyness_j[:, None, :] * phi.re[None, :, None]
                 + mgf_re[:, :, None])                        # (P, N, K)
+        z_im = (moneyness_j[:, None, :] * phi.im[None, :, None]
+                + mgf_im[:, :, None])
+        e = jnp.exp(z_re)
+        integrand = e * (p_payoff.re[None, :, None] * jnp.cos(z_im)
+                         - p_payoff.im[None, :, None] * jnp.sin(z_im))
+        out = jnp.einsum('n,pnk->pk', w_nodes_j, integrand)
+        if slice_sharding is not None:
+            out = jax.lax.with_sharding_constraint(out, slice_sharding)
+        return out
+
+    return price, jnp.asarray(mask)
+
+
+def make_swaption_cube_fn_traced(params: MultiFactRateLogSvParams,
+                                 slices,
+                                 forwards,
+                                 strikes_slices,
+                                 expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                                 nb_grid_pts: int = 31,
+                                 year_steps: int = 48,
+                                 h: float = 0.125,
+                                 x_max: float = 2.75,
+                                 x0: Optional[np.ndarray] = None,
+                                 y0: Optional[np.ndarray] = None,
+                                 mesh=None,
+                                 n_sub: int = 2):
+    """whole-cube swaption pricer with the QA structural panels TRACED.
+
+    Same inversion engine as :func:`make_swaption_cube_fn`, but the
+    annuity-measure structural pipeline — factor vols C(A), the frozen-drift
+    mean-state ODE, swap gradient / annuity log-derivative panels — runs on
+    device through :mod:`.qa_traced` instead of being frozen host constants
+    (reference construction: rate_logsv_params.py:390-503 on scipy
+    solve_ivp).  Consequences:
+
+    * ``A_xs``, ``kappa1``, ``kappa2`` and ``sigma0`` are CALIBRATABLE
+      inputs: gradients flow through the structure (exact A-greeks), and
+      an A-prefit iterates ONE cached program instead of re-freezing and
+      re-tracing the cube per outer step
+      (fast_calibration.prefit_A_to_atm).
+    * panel accuracy is the fixed-step RK4 of the mean ODE (n_sub
+      substeps per grid interval, ~1e-9 vs a tight solve_ivp at n_sub=2),
+      where the host path inherits scipy defaults (rtol 1e-3).
+
+    Returns ``(price, mask)`` with
+    ``price(sigma0, A_xs, beta_xs, volvol_xs, kappa1, kappa2) -> (P, K_max)``.
+    """
+    from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import (
+        tanh_sinh_nodes,
+    )
+    from stochvolmodels_tpu.models.factor_hjm.qa_traced import (
+        build_qa_geometry,
+        qa_panels_traced,
+    )
+    from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+        get_expansion_n,
+        solve_a_ode_grid_batch,
+    )
+
+    P = len(slices)
+    assert len(forwards) == P and len(strikes_slices) == P
+    p_nodes, w_nodes = tanh_sinh_nodes(h=h, x_max=x_max)
+    theta = float(params.theta)          # static: the ODE templates fix q
+    n = get_expansion_n(expansion_order)
+
+    geom = build_qa_geometry(params, slices, nb_grid_pts=nb_grid_pts,
+                             n_sub=n_sub)
+    x0_j = None if x0 is None else jnp.asarray(np.asarray(x0, dtype=float))
+    y0_j = None if y0 is None else jnp.asarray(np.asarray(y0, dtype=float))
+
+    # shared RK4 step count for the Riccati stage (same policy as the
+    # frozen-panel cube fn)
+    ttms = np.array([float(e) for e, _ in slices])
+    S = max(int(np.ceil(year_steps * float(np.max(ttms)))), 16)
+    t_eval = np.zeros((P, S, 3))
+    dts = np.zeros(P)
+    for p, expiry in enumerate(ttms):
+        dt = float(expiry) / S
+        tau0 = np.arange(S) * dt
+        stage_taus = np.stack([tau0, tau0 + 0.5 * dt, tau0 + dt], axis=1)
+        t_eval[p] = float(expiry) - stage_taus
+        dts[p] = dt
+    t_eval_j = jnp.asarray(t_eval.reshape(P, S * 3))
+    times_j = jnp.asarray(geom.t_grids)                       # (P, T)
+    dts_j = jnp.asarray(dts)
+
+    K_max = max(len(s) for s in strikes_slices)
+    moneyness = np.zeros((P, K_max))
+    mask = np.zeros((P, K_max), dtype=bool)
+    for p, (strikes, fwd) in enumerate(zip(strikes_slices, forwards)):
+        k = len(strikes)
+        moneyness[p, :k] = np.asarray(strikes, dtype=float) - float(fwd)
+        mask[p, :k] = True
+    moneyness_j = jnp.asarray(moneyness)
+    p_nodes_j = jnp.asarray(p_nodes)
+    w_nodes_j = jnp.asarray(w_nodes)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PSpec
+        slice_sharding = NamedSharding(mesh, PSpec(mesh.axis_names[0]))
+    else:
+        slice_sharding = None
+
+    @jax.jit
+    def price(sigma0, A_xs, beta_xs, volvol_xs, kappa1, kappa2):
+        a_p, k0_p, k1_p, k2_p, beta_p, volvol_p = qa_panels_traced(
+            geom, jnp.asarray(A_xs), jnp.asarray(kappa1),
+            jnp.asarray(kappa2), theta, jnp.asarray(sigma0),
+            jnp.asarray(beta_xs), jnp.asarray(volvol_xs),
+            x0=x0_j, y0=y0_j)
+        # seven scalar Riccati series per slice (rate_affine_expansion
+        # _scalar_series, batched over P)
+        vartheta2 = jnp.einsum('ptd,ptd->pt', beta_p, beta_p) + volvol_p ** 2
+        apb = jnp.einsum('ptd,ptd->pt', a_p, beta_p)
+        apa = jnp.einsum('ptd,ptd->pt', a_p, a_p)
+        zeros = jnp.zeros_like(k0_p)
+        series = jnp.stack([k0_p, k1_p, k2_p, vartheta2, apb, apa, zeros],
+                           axis=1)                            # (P, 7, T)
+        coeffs = jax.vmap(                                    # over slices
+            lambda te, tf, sr: jax.vmap(
+                lambda s: jnp.interp(te, tf, s))(sr)
+        )(t_eval_j, times_j, series)                          # (P, 7, S*3)
+        stage_coeffs = jnp.moveaxis(
+            coeffs.reshape(P, 7, S, 3), 1, 2)                 # (P, S, 7, 3)
+        if slice_sharding is not None:
+            stage_coeffs = jax.lax.with_sharding_constraint(
+                stage_coeffs, slice_sharding)
+
+        phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
+        a_t1 = solve_a_ode_grid_batch(phi, dts_j, stage_coeffs, q=theta,
+                                      expansion_order=expansion_order)
+        y = sigma0 - theta
+        if n == 3:
+            ys = jnp.stack([jnp.ones_like(y), y, y * y])
+        else:
+            y2 = y * y
+            ys = jnp.stack([jnp.ones_like(y), y, y2, y2 * y, y2 * y2])
+        mgf_re = a_t1.re @ ys
+        mgf_im = a_t1.im @ ys
+        p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)      # 1/(pi phi^2)
+        z_re = (moneyness_j[:, None, :] * phi.re[None, :, None]
+                + mgf_re[:, :, None])
         z_im = (moneyness_j[:, None, :] * phi.im[None, :, None]
                 + mgf_im[:, :, None])
         e = jnp.exp(z_re)

@@ -387,6 +387,7 @@ def swaption_cube_greeks(params,
                          strikes_slices,
                          greeks: Tuple[str, ...] = ("vega", "beta_shift",
                                                     "volvol_shift"),
+                         traced: bool = False,
                          **cube_kwargs):
     """model-consistent swaption-cube sensitivities for the factor-HJM
     rate LogSV model, by jvp over the batched differentiable cube pricer
@@ -407,29 +408,68 @@ def swaption_cube_greeks(params,
     warm repricing across parameter moves costs one call each.  The
     reference has no rate greeks at all (its factor-HJM pricer is a host
     scipy loop, rate_logsv_pricer.py:148-244, not differentiable).
-    """
-    from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
-        make_swaption_cube_fn)
 
+    ``traced=True`` routes through ``make_swaption_cube_fn_traced``
+    instead: the QA structural panels (mean-state ODE, swap gradient,
+    annuity log-derivative, factor vols C) are INSIDE the trace, so every
+    greek is exact through the structure rather than a jvp around frozen
+    panels, and three additional greeks become available:
+
+    - ``'A_shift'``      dP/d(parallel shift of the factor-vol levels A);
+    - ``'kappa1'``       dP/d(kappa1);
+    - ``'kappa2'``       dP/d(kappa2).
+    """
     allowed = ("vega", "beta_shift", "volvol_shift")
+    allowed_traced = allowed + ("A_shift", "kappa1", "kappa2")
     for g in greeks:
-        if g not in allowed:
-            raise ValueError(f"unknown greek {g!r}; expected one of {allowed}")
-    cube_fn, mask = make_swaption_cube_fn(params, slices, forwards,
-                                          strikes_slices, **cube_kwargs)
+        if g not in (allowed_traced if traced else allowed):
+            raise ValueError(
+                f"unknown greek {g!r}; expected one of "
+                f"{allowed_traced if traced else allowed}"
+                + ("" if traced else " (A_shift/kappa1/kappa2 need traced=True)"))
     sigma0 = jnp.asarray(float(params.sigma0))
     beta_xs = jnp.asarray(params.beta.xs)
     volvol_xs = jnp.asarray(params.volvol.xs)
+    zero_s = jnp.zeros_like(sigma0)
     zero_b = jnp.zeros_like(beta_xs)
     zero_v = jnp.zeros_like(volvol_xs)
-    tangents = {
-        "vega": (jnp.ones_like(sigma0), zero_b, zero_v),
-        "beta_shift": (jnp.zeros_like(sigma0), jnp.ones_like(beta_xs), zero_v),
-        "volvol_shift": (jnp.zeros_like(sigma0), zero_b,
-                         jnp.ones_like(volvol_xs)),
-    }
+    if traced:
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn_traced)
+        cube_fn, mask = make_swaption_cube_fn_traced(
+            params, slices, forwards, strikes_slices, **cube_kwargs)
+        A_xs = jnp.asarray(params.A)
+        kappa1 = jnp.asarray(float(params.kappa1))
+        kappa2 = jnp.asarray(float(params.kappa2))
+        zero_a = jnp.zeros_like(A_xs)
+        zero_k = jnp.zeros_like(kappa1)
+        primals = (sigma0, A_xs, beta_xs, volvol_xs, kappa1, kappa2)
+        tangents = {
+            "vega": (jnp.ones_like(sigma0), zero_a, zero_b, zero_v,
+                     zero_k, zero_k),
+            "A_shift": (zero_s, jnp.ones_like(A_xs), zero_b, zero_v,
+                        zero_k, zero_k),
+            "beta_shift": (zero_s, zero_a, jnp.ones_like(beta_xs), zero_v,
+                           zero_k, zero_k),
+            "volvol_shift": (zero_s, zero_a, zero_b,
+                             jnp.ones_like(volvol_xs), zero_k, zero_k),
+            "kappa1": (zero_s, zero_a, zero_b, zero_v,
+                       jnp.ones_like(kappa1), zero_k),
+            "kappa2": (zero_s, zero_a, zero_b, zero_v, zero_k,
+                       jnp.ones_like(kappa2)),
+        }
+    else:
+        from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
+            make_swaption_cube_fn)
+        cube_fn, mask = make_swaption_cube_fn(params, slices, forwards,
+                                              strikes_slices, **cube_kwargs)
+        primals = (sigma0, beta_xs, volvol_xs)
+        tangents = {
+            "vega": (jnp.ones_like(sigma0), zero_b, zero_v),
+            "beta_shift": (zero_s, jnp.ones_like(beta_xs), zero_v),
+            "volvol_shift": (zero_s, zero_b, jnp.ones_like(volvol_xs)),
+        }
     panels: Dict[str, np.ndarray] = {}
-    primals = (sigma0, beta_xs, volvol_xs)
     for g in greeks:
         price, sens = jax.jvp(cube_fn, primals, tangents[g])
         panels.setdefault("price", np.asarray(price))
