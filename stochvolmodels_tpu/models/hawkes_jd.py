@@ -28,7 +28,7 @@ from stochvolmodels_tpu.models.model_pricer import ModelParams, ModelPricer
 from stochvolmodels_tpu.ops import bsm, mgf
 from stochvolmodels_tpu.ops.payoffs import compute_mc_vars_payoff
 from stochvolmodels_tpu.ops.random import key_from_seed
-from stochvolmodels_tpu.utils.cplx import Cplx, cexp
+from stochvolmodels_tpu.utils.cplx import Cplx, cexp, cexpm1
 from stochvolmodels_tpu.utils.funcs import set_time_grid, timer, to_flat_np_array
 
 Array = jnp.ndarray
@@ -118,7 +118,14 @@ def _hawkes_rhs(A: Cplx, phi: Cplx, psi: Cplx, p: Dict[str, float]) -> Cplx:
     a2 = Cplx(A.re[:, 2], A.im[:, 2])
 
     def jump_mgf_minus_one(shift, mean, arg: Cplx) -> Cplx:
-        return cexp(arg * (-shift)) / (arg * mean + 1.0) - 1.0
+        # e^{-s a}/(1 + m a) - 1 = (expm1(-s a) - m a)/(1 + m a): the
+        # cancellation-free form.  In f32 the naive cexp(.)/(1+ma) - 1
+        # loses ~5e-5 absolute near the arg~0 lanes, which integrates to a
+        # ~8e-5 relative price error over the Riccati solve; this form
+        # cuts the fast path's solve error to ~1e-5 at identical op count
+        # (scripts/hawkes_fast_floor.py, PARITY.md "Hawkes fast floor").
+        ma = arg * mean
+        return (cexpm1(arg * (-shift)) - ma) / (ma + 1.0)
 
     arg_p = phi - a1 * p['beta1_p'] - a2 * p['beta1_m']
     arg_m = phi - a1 * p['beta2_p'] - a2 * p['beta2_m']
@@ -464,9 +471,11 @@ class HawkesJDPricer(ModelPricer):
 
     def price_chain(self, option_chain: OptionChain, params: HawkesJDParams,
                     is_spot_measure: bool = True, **kwargs) -> List[np.ndarray]:
-        """``precision='fast'`` (kwargs) runs the whole chain — Riccati
-        solves at 720 steps/yr, Fourier quadrature — as one f32 device
-        program; only for the standard measure (no risk-premia gamma)."""
+        """``precision='fast'`` (kwargs) runs the whole chain as one
+        mixed-precision device program — f32 Riccati scans at 720
+        steps/yr, f64 Fourier quadrature (~1e-5 relative accuracy, see
+        PARITY.md "Hawkes fast floor"); only for the standard measure (no
+        risk-premia gamma)."""
         precision = kwargs.pop('precision', 'exact')
         if precision == 'fast' and params.risk_premia_gamma is None:
             return _hawkes_fast_call(option_chain, params,
@@ -494,8 +503,9 @@ class HawkesJDPricer(ModelPricer):
                                       params: HawkesJDParams,
                                       precision: str = "exact",
                                       **kwargs) -> List[np.ndarray]:
-        """``precision='fast'``: f32 chain reprice + bisect/Newton BSM
-        inversion fused into ONE device program (standard measure only)."""
+        """``precision='fast'``: mixed-precision chain reprice (f32
+        Riccati scans, f64 quadrature) + f64 bisect/Newton BSM inversion
+        fused into ONE device program (standard measure only)."""
         if precision == "fast" and params.risk_premia_gamma is None:
             return _hawkes_fast_call(option_chain, params,
                                      vol_scaler=kwargs.pop('vol_scaler', None),
@@ -685,26 +695,46 @@ def _pars8_to_dict(pars, shift_p, shift_m):
 
 
 def _hawkes_chain_price_panel(p, grid: ChainGrid, *, ttms_static,
-                              lambda_p, lambda_m, vol_scaler, year_steps):
+                              lambda_p, lambda_m, vol_scaler, year_steps,
+                              solve_f32: bool = False):
     """padded price panel from a (possibly traced) params dict ``p`` — the
-    13 dynamics values + compensators, as consumed by _solve_a_ode_grid_p."""
+    13 dynamics values + compensators, as consumed by _solve_a_ode_grid_p.
+
+    ``solve_f32=True`` is the mixed-precision fast mode: the Riccati scans
+    (the ~720·ttm-step hot loop) run f32 while the Fourier quadrature and
+    everything after it stay f64.  The f32 quadrature was the whole fast-
+    path error (4.8e-4 rel price, step-/Kahan-independent); with the f64
+    quadrature + expm1 jump MGF the fast path lands ~1e-5
+    (scripts/hawkes_fast_floor.py, PARITY.md "Hawkes fast floor").  Under
+    an x64-disabled trace the f64 lift degrades to a no-op (all-f32, the
+    pre-study behavior), which is what the f32 LM path uses.
+    """
     phi_grid, _, _ = mgf.get_transform_var_grid(
         variable_type=VariableType.LOG_RETURN, max_phi=MAX_PHI,
         vol_scaler=vol_scaler)
     n_grid = phi_grid.shape[0]
-    psi_grid = Cplx(jnp.zeros(n_grid), jnp.zeros(n_grid))
-    a_t = Cplx(jnp.zeros((n_grid, 3)), jnp.zeros((n_grid, 3)))
+    if solve_f32:
+        f32 = jnp.float32
+        phi_s = Cplx(phi_grid.re.astype(f32), phi_grid.im.astype(f32))
+        p_s = {k: jnp.asarray(v, f32) for k, v in p.items()}
+    else:
+        phi_s, p_s = phi_grid, p
+    dt_s = phi_s.re.dtype
+    psi_grid = Cplx(jnp.zeros(n_grid, dt_s), jnp.zeros(n_grid, dt_s))
+    a_t = Cplx(jnp.zeros((n_grid, 3), dt_s), jnp.zeros((n_grid, 3), dt_s))
     ttm0 = 0.0
     prices = []
     for i, ttm in enumerate(ttms_static):
         dttm = ttm - ttm0
         nb_steps = max(int(np.ceil(year_steps * dttm)), 16)
-        a_t = _solve_a_ode_grid_p(phi_grid, psi_grid, a_t, nb_steps,
-                                  dttm / nb_steps, p)
-        log_mgf = Cplx(a_t.re[:, 0] + a_t.re[:, 1] * lambda_p
-                       + a_t.re[:, 2] * lambda_m,
-                       a_t.im[:, 0] + a_t.im[:, 1] * lambda_p
-                       + a_t.im[:, 2] * lambda_m)
+        a_t = _solve_a_ode_grid_p(phi_s, psi_grid, a_t, nb_steps,
+                                  dttm / nb_steps, p_s)
+        dt_q = phi_grid.re.dtype
+        a_q = Cplx(a_t.re.astype(dt_q), a_t.im.astype(dt_q))
+        log_mgf = Cplx(a_q.re[:, 0] + a_q.re[:, 1] * lambda_p
+                       + a_q.re[:, 2] * lambda_m,
+                       a_q.im[:, 0] + a_q.im[:, 1] * lambda_p
+                       + a_q.im[:, 2] * lambda_m)
         prices.append(mgf.vanilla_prices_with_mgf_grid(
             log_mgf_grid=log_mgf, phi_grid=phi_grid,
             forwards=grid.forwards[i], strikes=grid.strikes[i],
@@ -828,11 +858,12 @@ _PKEYS = ('sigma', 'shift_p', 'mean_p', 'shift_m', 'mean_m', 'kappa_p',
 @partial(jax.jit, static_argnames=("ttms_static", "year_steps", "fused"))
 def _hawkes_chain_fast_jit(pvec, grid, lambda_p, lambda_m, vol_scaler, *,
                            ttms_static, year_steps, fused):
-    """f32-traceable chain panel: prices, or fused implied vols (one
-    device program).  ``pvec`` is the 15-vector of _PKEYS values."""
+    """mixed-precision chain panel: f32 Riccati scans, f64 quadrature +
+    BSM inversion; prices, or fused implied vols (one device program).
+    ``pvec`` is the 15-vector of _PKEYS values."""
     p = dict(zip(_PKEYS, [pvec[i] for i in range(len(_PKEYS))]))
     kw = dict(ttms_static=ttms_static, lambda_p=lambda_p, lambda_m=lambda_m,
-              vol_scaler=vol_scaler, year_steps=year_steps)
+              vol_scaler=vol_scaler, year_steps=year_steps, solve_f32=True)
     if fused:
         return grid.masked(_hawkes_chain_vols_panel(p, grid, **kw))
     return _hawkes_chain_price_panel(p, grid, **kw)
@@ -840,20 +871,17 @@ def _hawkes_chain_fast_jit(pvec, grid, lambda_p, lambda_m, vol_scaler, *,
 
 def _hawkes_fast_call(option_chain: OptionChain, params: HawkesJDParams,
                       vol_scaler, year_steps: int, fused: bool):
-    from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
-
     if vol_scaler is None:
         vol_scaler = set_vol_scaler(sigma0=params.sigma,
                                     ttm=np.min(option_chain.ttms))
     d = params.to_dict()
     d['compensator_p'] = params.compensator_p
     d['compensator_m'] = params.compensator_m
-    pvec = np.asarray([d[k] for k in _PKEYS], dtype=np.float32)
-    grid = _grid_to_f32(option_chain.to_grid())
-    with jax.enable_x64(False):
-        panel = _hawkes_chain_fast_jit(
-            jnp.asarray(pvec), grid, np.float32(params.lambda_p),
-            np.float32(params.lambda_m), np.float32(vol_scaler),
-            ttms_static=tuple(float(t) for t in option_chain.ttms),
-            year_steps=year_steps, fused=fused)
+    pvec = np.asarray([d[k] for k in _PKEYS], dtype=np.float64)
+    grid = option_chain.to_grid()
+    panel = _hawkes_chain_fast_jit(
+        jnp.asarray(pvec), grid, float(params.lambda_p),
+        float(params.lambda_m), float(vol_scaler),
+        ttms_static=tuple(float(t) for t in option_chain.ttms),
+        year_steps=year_steps, fused=fused)
     return option_chain.unpad_panel(panel)

@@ -108,6 +108,20 @@ def cexp(z: Cplx) -> Cplx:
     return Cplx(e * jnp.cos(z.im), e * jnp.sin(z.im))
 
 
+def cexpm1(z: Cplx) -> Cplx:
+    """exp(z) - 1, accurate for small |z| (no 1-ulp cancellation).
+
+    re = expm1(u) cos(v) - (1 - cos(v)),  im = (expm1(u) + 1) sin(v): each
+    term is O(|z|), so the f32 absolute error stays ~eps*|z| where the
+    naive cexp(z) - 1 loses all relative accuracy below |z| ~ 1e-3.  Used
+    by jump-MGF evaluations of the form e^{sa}/(1+ma) - 1 whose argument
+    crosses zero inside the transform grid (models/hawkes_jd.py).
+    """
+    em = jnp.expm1(z.re)
+    cos_v = jnp.cos(z.im)
+    return Cplx(em * cos_v - (1.0 - cos_v), (em + 1.0) * jnp.sin(z.im))
+
+
 def clog(z: Cplx) -> Cplx:
     """principal branch log(z)."""
     return Cplx(0.5 * jnp.log(z.abs2()), jnp.arctan2(z.im, z.re))

@@ -169,8 +169,10 @@ class TestOnDeviceLm:
 
 class TestFastPrecision:
     def test_fast_mode_matches_exact(self, chain):
-        """f32 one-program chain reprice agrees with the f64 host-loop path
-        (720 vs 1440 steps/yr + f32: ~1e-3 relative on BTC-scale prices)."""
+        """mixed-precision one-program chain reprice (f32 Riccati scans,
+        f64 quadrature, expm1 jump MGF) agrees with the f64 host-loop path
+        to ~1e-5 relative — the f32-quadrature floor was 4.8e-4
+        (PARITY.md "Hawkes fast floor", scripts/hawkes_fast_floor.py)."""
         pricer = HawkesJDPricer()
         params = HawkesJDParams()
         exact = pricer.price_chain(option_chain=chain, params=params)
@@ -178,7 +180,7 @@ class TestFastPrecision:
                                   precision="fast")
         for f, e in zip(fast, exact):
             np.testing.assert_allclose(np.asarray(f), np.asarray(e),
-                                       rtol=2e-3, atol=1e-4)
+                                       rtol=1e-4, atol=1e-7)
 
     def test_fast_fused_ivols_match_exact(self, chain):
         pricer = HawkesJDPricer()
@@ -191,4 +193,4 @@ class TestFastPrecision:
         for f, e in zip(fast, exact):
             f, e = np.asarray(f), np.asarray(e)
             assert np.isnan(f).sum() == np.isnan(e).sum()
-            np.testing.assert_allclose(f, e, rtol=1e-2, atol=5e-3)
+            np.testing.assert_allclose(f, e, rtol=1e-4, atol=1e-5)
