@@ -103,13 +103,20 @@ def heston_chain_price_grid(grid: ChainGrid,
                             vol_scaler=None,
                             variable_type: VariableType = VariableType.LOG_RETURN,
                             is_spot_measure: bool = True,
-                            is_simpson: bool = True
+                            is_simpson: bool = True,
+                            solve_f32: bool = False
                             ) -> Array:
     """price the padded chain panel; returns (n_ttm, max_strikes) prices.
 
     Jit-compatible: params and vol_scaler may be traced; the maturity loop
     unrolls at trace time carrying the chained (a, b) state
     (heston_pricer.py:203-262).
+
+    ``solve_f32=True`` is the mixed-precision fast mode: the closed-form
+    Riccati MGF evaluates f32 while the Fourier quadrature stays f64
+    (~8e-6 relative vs 2.8e-5 all-f32 — the quadrature sum dominates the
+    f32 error here too; PARITY.md "Fourier fast floors").  Under an
+    x64-disabled trace the lift degrades to a no-op (all-f32).
     """
     if vol_scaler is None:
         vol_scaler = jnp.minimum(0.3, jnp.sqrt(v0 * grid.ttms[0]))
@@ -117,15 +124,32 @@ def heston_chain_price_grid(grid: ChainGrid,
         variable_type=variable_type, is_spot_measure=is_spot_measure,
         vol_scaler=vol_scaler)
 
+    if solve_f32:
+        f32 = jnp.float32
+
+        def _c32(c: Cplx) -> Cplx:
+            return Cplx(c.re.astype(f32), c.im.astype(f32))
+
+        phi_s, psi_s = _c32(phi_grid), _c32(psi_grid)
+        v0_p, theta_p, kappa_p, volvol_p, rho_p = (
+            jnp.asarray(v0, f32), jnp.asarray(theta, f32),
+            jnp.asarray(kappa, f32), jnp.asarray(volvol, f32),
+            jnp.asarray(rho, f32))
+    else:
+        phi_s, psi_s = phi_grid, psi_grid
+        v0_p, theta_p, kappa_p, volvol_p, rho_p = v0, theta, kappa, volvol, rho
+    dt_q = phi_grid.re.dtype
+
     a_t, b_t = None, None
     ttm0 = 0.0
     prices = []
     for i in range(grid.n_ttms):
         ttm = grid.ttms[i]
         log_mgf, a_t, b_t = compute_heston_mgf_grid(
-            v0=v0, theta=theta, kappa=kappa, volvol=volvol, rho=rho,
-            ttm=ttm - ttm0, phi_grid=phi_grid, psi_grid=psi_grid,
-            a_t0=a_t, b_t0=b_t)
+            v0=v0_p, theta=theta_p, kappa=kappa_p, volvol=volvol_p, rho=rho_p,
+            ttm=(ttm - ttm0).astype(f32) if solve_f32 else ttm - ttm0,
+            phi_grid=phi_s, psi_grid=psi_s, a_t0=a_t, b_t0=b_t)
+        log_mgf = Cplx(log_mgf.re.astype(dt_q), log_mgf.im.astype(dt_q))
         if variable_type == VariableType.LOG_RETURN:
             slice_prices = mgf.vanilla_prices_with_mgf_grid(
                 log_mgf_grid=log_mgf, phi_grid=phi_grid,
@@ -435,22 +459,18 @@ class HestonPricer(ModelPricer):
                     vol_scaler: Optional[float] = None,
                     precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
-        """``precision='fast'`` traces the closed-form MGF quadrature in
-        float32 (no ODE here, so no step-count trade-off — ~1e-4 relative
-        accuracy from the f32 quadrature alone); 'exact' (default) is the
+        """``precision='fast'`` evaluates the closed-form Riccati MGF in
+        float32 with the Fourier quadrature kept f64 (~8e-6 relative — the
+        all-f32 path's 2.8e-5 error was dominated by the f32 quadrature
+        sum, PARITY.md "Fourier fast floors"); 'exact' (default) is the
         f64 reference-parity path."""
         grid = option_chain.to_grid()
         if vol_scaler is None:
             vol_scaler = float(np.minimum(0.3, np.sqrt(params.v0 * float(grid.ttms[0]))))
         if precision == "fast":
-            from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
-            grid = _grid_to_f32(grid)
-            with jax.enable_x64(False):
-                prices = _heston_chain_price_grid_jit(
-                    grid, np.float32(params.v0), np.float32(params.theta),
-                    np.float32(params.kappa), np.float32(params.volvol),
-                    np.float32(params.rho), np.float32(vol_scaler),
-                    variable_type)
+            prices = _heston_chain_price_grid_jit(
+                grid, params.v0, params.theta, params.kappa, params.volvol,
+                params.rho, vol_scaler, variable_type, True)
         elif precision == "exact":
             prices = _heston_chain_price_grid_jit(
                 grid, params.v0, params.theta, params.kappa, params.volvol,
@@ -463,26 +483,23 @@ class HestonPricer(ModelPricer):
                                       params: HestonParams,
                                       precision: str = "exact",
                                       **kwargs) -> List[np.ndarray]:
-        """``precision='fast'`` fuses the f32 chain reprice and the
-        bisect+Newton BSM inversion into ONE device program (single
-        dispatch + host fetch — the latency-optimal form on a remote
-        TPU); 'exact' keeps the generic price-then-invert path."""
+        """``precision='fast'`` fuses the mixed-precision chain reprice
+        (f32 MGF, f64 quadrature) and the f64 bisect+Newton BSM inversion
+        into ONE device program (single dispatch + host fetch — the
+        latency-optimal form on a remote TPU); 'exact' keeps the generic
+        price-then-invert path."""
         if precision != "fast":
             return super().compute_model_ivols_for_chain(
                 option_chain=option_chain, params=params,
                 precision=precision, **kwargs)
         variable_type = kwargs.pop("variable_type", VariableType.LOG_RETURN)
         vol_scaler = kwargs.pop("vol_scaler", None)
-        from stochvolmodels_tpu.models.logsv.pricer import _grid_to_f32
         grid = option_chain.to_grid()
         if vol_scaler is None:
             vol_scaler = float(np.minimum(0.3, np.sqrt(params.v0 * float(grid.ttms[0]))))
-        grid = _grid_to_f32(grid)
-        with jax.enable_x64(False):
-            vols = _heston_chain_ivols_grid_jit(
-                grid, np.float32(params.v0), np.float32(params.theta),
-                np.float32(params.kappa), np.float32(params.volvol),
-                np.float32(params.rho), np.float32(vol_scaler), variable_type)
+        vols = _heston_chain_ivols_grid_jit(
+            grid, params.v0, params.theta, params.kappa, params.volvol,
+            params.rho, vol_scaler, variable_type, True)
         return option_chain.unpad_panel(vols)
 
     def model_mc_price_chain(self, option_chain: OptionChain, params: HestonParams,
@@ -661,23 +678,25 @@ def _heston_calibration_objective(pars: Array, grid: ChainGrid,
     return jnp.sum(jnp.where(nan_mask, 0.0, resid))
 
 
-@partial(jax.jit, static_argnums=(7,))
+@partial(jax.jit, static_argnums=(7, 8))
 def _heston_chain_price_grid_jit(grid, v0, theta, kappa, volvol, rho,
-                                 vol_scaler, variable_type):
+                                 vol_scaler, variable_type, solve_f32=False):
     return heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
                                    volvol=volvol, rho=rho, vol_scaler=vol_scaler,
-                                   variable_type=variable_type)
+                                   variable_type=variable_type,
+                                   solve_f32=solve_f32)
 
 
-@partial(jax.jit, static_argnums=(7,))
+@partial(jax.jit, static_argnums=(7, 8))
 def _heston_chain_ivols_grid_jit(grid, v0, theta, kappa, volvol, rho,
-                                 vol_scaler, variable_type):
+                                 vol_scaler, variable_type, solve_f32=False):
     """fused chain reprice + BSM implied-vol inversion, one device program
     (the short bisect+Newton solver, ops/bsm.py infer_bsm_implied_vol_fast)."""
     prices = heston_chain_price_grid(grid, v0=v0, theta=theta, kappa=kappa,
                                      volvol=volvol, rho=rho,
                                      vol_scaler=vol_scaler,
-                                     variable_type=variable_type)
+                                     variable_type=variable_type,
+                                     solve_f32=solve_f32)
     vols = bsm.infer_bsm_implied_vol_fast(
         forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
         strike=grid.strikes, given_price=prices,

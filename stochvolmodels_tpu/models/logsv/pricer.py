@@ -112,7 +112,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
                            is_spot_measure: bool = True,
                            is_simpson: bool = True,
                            year_steps: int = 720,
-                           unroll: int = 4
+                           unroll: int = 4,
+                           solve_f32: bool = False
                            ) -> Array:
     """price the padded chain panel; returns (n_ttm, max_strikes) prices.
 
@@ -120,6 +121,13 @@ def logsv_chain_price_grid(grid: ChainGrid,
     (logsv_pricer.py:588-632).  ``ttms_static`` must be the concrete maturities
     (they fix the per-slice ODE step counts at trace time); params and
     vol_scaler may be traced for gradient-based calibration.
+
+    ``solve_f32=True`` is the mixed-precision fast mode: the A(tau) RK4
+    scans (the hot loop) run f32, the quadrature stays f64.  The all-f32
+    path's 5.1e-5 relative price error is ENTIRELY the f32 quadrature sum
+    (the f32 solve contributes 7e-7; scripts/logsv_fast_floor.py, PARITY.md
+    "Fourier fast floors").  Under an x64-disabled trace the f64 lift
+    degrades to a no-op (all-f32 — what the f32 LM path uses).
     """
     if ttms_static is None:
         ttms_static = tuple(float(t) for t in np.asarray(grid.ttms))
@@ -129,27 +137,47 @@ def logsv_chain_price_grid(grid: ChainGrid,
         variable_type=variable_type, is_spot_measure=is_spot_measure,
         vol_scaler=vol_scaler if vol_scaler is not None else 0.28)
 
+    if solve_f32:
+        f32 = jnp.float32
+
+        def _c32(c: Cplx) -> Cplx:
+            return Cplx(c.re.astype(f32), c.im.astype(f32))
+
+        phi_s, psi_s, theta_s = _c32(phi_grid), _c32(psi_grid), _c32(theta_grid)
+        theta_p, kappa1_p, kappa2_p, beta_p, volvol_p = (
+            jnp.asarray(theta, f32), jnp.asarray(kappa1, f32),
+            jnp.asarray(kappa2, f32), jnp.asarray(beta, f32),
+            jnp.asarray(volvol, f32))
+        etas_p = np.asarray(vol_backbone_etas, np.float32)
+    else:
+        phi_s, psi_s, theta_s = phi_grid, psi_grid, theta_grid
+        theta_p, kappa1_p, kappa2_p, beta_p, volvol_p = (
+            theta, kappa1, kappa2, beta, volvol)
+        etas_p = vol_backbone_etas
+    dt_q = phi_grid.re.dtype
+
     n_terms = afe.get_expansion_n(expansion_order)
-    a_t = afe.get_init_conditions_a(phi_grid=phi_grid, psi_grid=psi_grid,
-                                    theta_grid=theta_grid, n_terms=n_terms,
+    a_t = afe.get_init_conditions_a(phi_grid=phi_s, psi_grid=psi_s,
+                                    theta_grid=theta_s, n_terms=n_terms,
                                     variable_type=variable_type)
     ttm0 = 0.0
     prices = []
     for i, ttm in enumerate(ttms_static):
         a_t = afe.solve_a_ode_grid(
-            ttm=ttm - ttm0, theta=theta, kappa1=kappa1, kappa2=kappa2,
-            beta=beta, volvol=volvol, phi_grid=phi_grid, psi_grid=psi_grid,
+            ttm=ttm - ttm0, theta=theta_p, kappa1=kappa1_p, kappa2=kappa2_p,
+            beta=beta_p, volvol=volvol_p, phi_grid=phi_s, psi_grid=psi_s,
             a_t0=a_t, is_spot_measure=is_spot_measure,
             expansion_order=expansion_order,
-            vol_backbone_eta=vol_backbone_etas[i], year_steps=year_steps,
+            vol_backbone_eta=etas_p[i], year_steps=year_steps,
             unroll=unroll)
+        a_q = Cplx(a_t.re.astype(dt_q), a_t.im.astype(dt_q))
         y = sigma0 - theta
         y2 = y * y
         if expansion_order == ExpansionOrder.FIRST:
             ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y2])
         else:
             ys = jnp.stack([jnp.ones_like(jnp.asarray(y)), y, y2, y2 * y, y2 * y2])
-        log_mgf = Cplx(a_t.re @ ys, a_t.im @ ys)
+        log_mgf = Cplx(a_q.re @ ys, a_q.im @ ys)
 
         if variable_type == VariableType.LOG_RETURN:
             slice_prices = mgf.vanilla_prices_with_mgf_grid(
@@ -774,13 +802,16 @@ class LogSVPricer(ModelPricer):
                     precision: str = "exact",
                     **kwargs) -> List[np.ndarray]:
         """``precision='exact'`` (default) runs the ODE grid in float64 at 240
-        steps/yr; ``'fast'`` runs float32 at 360 steps/yr (the on-device-LM
-        configuration: ~1e-4 relative price accuracy, well inside market
-        bid-ask, and several times faster on a v5e chip, which has no native
-        f64).  360 — not 180 — because the f32 RK4 sits right on its
-        stability boundary at 180 steps/yr for low-kappa params (observed:
-        kappa1~2.2 at ttm 0.43 diverges in f32 at dt=1/180 while f64 at the
-        same dt is fine; f32 at 1/360 is stable with margin).
+        steps/yr; ``'fast'`` is mixed precision at 360 steps/yr — f32 A(tau)
+        RK4 scans (the hot loop; several times faster on a v5e chip, which
+        has no native f64) with the Fourier quadrature kept f64, ~7e-7
+        relative price accuracy (the former all-f32 path's 5.1e-5 error was
+        entirely the f32 quadrature sum; scripts/logsv_fast_floor.py,
+        PARITY.md "Fourier fast floors").  360 — not 180 — because the f32
+        RK4 sits right on its stability boundary at 180 steps/yr for
+        low-kappa params (observed: kappa1~2.2 at ttm 0.43 diverges in f32
+        at dt=1/180 while f64 at the same dt is fine; f32 at 1/360 is
+        stable with margin).
 
         Exact-path step count (measured, scripts/bench_exact_path.py +
         tests/test_logsv.py::TestExactStepConvergence): the f64 RK4 is deep
@@ -795,25 +826,21 @@ class LogSVPricer(ModelPricer):
                                         ttm=np.min(option_chain.ttms))
         grid = option_chain.to_grid()
         etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
-        import contextlib
         if precision == "fast":
-            grid = _grid_to_f32(grid)
             year_steps = kwargs.pop("year_steps", 360)
-            cast = np.float32
-            ctx = jax.enable_x64(False)  # f32 trace, as in the LM fast path
+            solve_f32 = True
         elif precision == "exact":
             year_steps = kwargs.pop("year_steps", 240)
-            cast = float
-            ctx = contextlib.nullcontext()
+            solve_f32 = False
         else:
             raise NotImplementedError(f"precision={precision}")
-        with ctx:
-            prices = _logsv_chain_price_grid_jit(
-                grid, cast(params.sigma0), cast(params.theta), cast(params.kappa1),
-                cast(params.kappa2), cast(params.beta), cast(params.volvol),
-                tuple(float(e) for e in etas),
-                cast(vol_scaler), tuple(float(t) for t in option_chain.ttms),
-                variable_type, expansion_order, is_spot_measure, year_steps)
+        prices = _logsv_chain_price_grid_jit(
+            grid, float(params.sigma0), float(params.theta), float(params.kappa1),
+            float(params.kappa2), float(params.beta), float(params.volvol),
+            tuple(float(e) for e in etas),
+            float(vol_scaler), tuple(float(t) for t in option_chain.ttms),
+            variable_type, expansion_order, is_spot_measure, year_steps,
+            solve_f32)
         return option_chain.unpad_panel(prices)
 
     def compute_model_ivols_for_chain(self, option_chain: OptionChain,
@@ -822,12 +849,13 @@ class LogSVPricer(ModelPricer):
                                       **kwargs) -> List[np.ndarray]:
         """model implied vols for the chain.
 
-        ``precision='fast'`` fuses pricing and BSM inversion into ONE f32
-        device program (single dispatch, single host fetch) — on a remote
-        TPU the generic price-then-invert path pays two extra host<->device
-        roundtrips plus an emulated-f64 bisection (v5e has no native f64),
-        ~15x slower end-to-end.  'exact' keeps the generic reference-parity
-        path (f64 prices, 200-iteration bisection)."""
+        ``precision='fast'`` fuses pricing (f32 ODE scans, f64 quadrature)
+        and the f64 bisect+Newton BSM inversion into ONE device program
+        (single dispatch, single host fetch) — on a remote TPU the generic
+        price-then-invert path pays two extra host<->device roundtrips
+        plus a 200-iteration emulated-f64 bisection, ~15x slower
+        end-to-end.  'exact' keeps the generic reference-parity path
+        (f64 prices, 200-iteration bisection)."""
         if precision != "fast":
             return super().compute_model_ivols_for_chain(
                 option_chain=option_chain, params=params,
@@ -839,16 +867,15 @@ class LogSVPricer(ModelPricer):
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))
-        grid = _grid_to_f32(option_chain.to_grid())
+        grid = option_chain.to_grid()
         etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
-        with jax.enable_x64(False):
-            vols = _logsv_chain_ivols_grid_jit(
-                grid, np.float32(params.sigma0), np.float32(params.theta),
-                np.float32(params.kappa1), np.float32(params.kappa2),
-                np.float32(params.beta), np.float32(params.volvol),
-                tuple(float(e) for e in etas), np.float32(vol_scaler),
-                tuple(float(t) for t in option_chain.ttms),
-                variable_type, expansion_order, is_spot_measure, 360)
+        vols = _logsv_chain_ivols_grid_jit(
+            grid, float(params.sigma0), float(params.theta),
+            float(params.kappa1), float(params.kappa2),
+            float(params.beta), float(params.volvol),
+            tuple(float(e) for e in etas), float(vol_scaler),
+            tuple(float(t) for t in option_chain.ttms),
+            variable_type, expansion_order, is_spot_measure, 360, True)
         return option_chain.unpad_panel(vols)
 
     @timer
@@ -1345,16 +1372,17 @@ def _backbone_etas_jnp(sigma0, theta, kappa1, kappa2, beta, volvol,
     return etas
 
 
-@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13, 14))
 def _logsv_chain_ivols_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                 volvol, vol_backbone_etas, vol_scaler,
                                 ttms_static, variable_type, expansion_order,
-                                is_spot_measure, year_steps=360):
+                                is_spot_measure, year_steps=360,
+                                solve_f32=False):
     """fused chain reprice + BSM implied-vol inversion, one device program.
 
     The inversion is the short bisect+Newton solver (the LM fast-path one,
     ops/bsm.py infer_bsm_implied_vol_fast) — ~1e-6 vol accuracy, plenty for
-    the f32 fast mode, and 7x fewer sequential stages than the reference's
+    the fast mode, and 7x fewer sequential stages than the reference's
     200-iteration bisection."""
     prices = logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
                                     kappa1=kappa1, kappa2=kappa2, beta=beta,
@@ -1365,7 +1393,8 @@ def _logsv_chain_ivols_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                     variable_type=variable_type,
                                     expansion_order=expansion_order,
                                     is_spot_measure=is_spot_measure,
-                                    year_steps=year_steps)
+                                    year_steps=year_steps,
+                                    solve_f32=solve_f32)
     vols = bsm.infer_bsm_implied_vol_fast(
         forward=grid.forwards[:, None], ttm=grid.ttms[:, None],
         strike=grid.strikes, given_price=prices,
@@ -1373,11 +1402,12 @@ def _logsv_chain_ivols_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
     return grid.masked(vols)
 
 
-@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13, 14))
 def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                 volvol, vol_backbone_etas, vol_scaler,
                                 ttms_static, variable_type, expansion_order,
-                                is_spot_measure, year_steps=720):
+                                is_spot_measure, year_steps=720,
+                                solve_f32=False):
     return logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
                                   kappa1=kappa1, kappa2=kappa2, beta=beta,
                                   volvol=volvol,
@@ -1387,4 +1417,5 @@ def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                   variable_type=variable_type,
                                   expansion_order=expansion_order,
                                   is_spot_measure=is_spot_measure,
-                                  year_steps=year_steps)
+                                  year_steps=year_steps,
+                                  solve_f32=solve_f32)

@@ -172,15 +172,16 @@ class TestOnDeviceCalibration:
 
 class TestFastPrecision:
     def test_fast_mode_matches_exact(self, chain):
-        """precision='fast' (f32 closed-form MGF quadrature) agrees with the
-        exact f64 pricer to ~1e-4 relative."""
+        """precision='fast' (mixed: f32 closed-form MGF, f64 quadrature)
+        agrees with the exact f64 pricer to ~1e-5 relative (PARITY.md
+        "Fourier fast floors")."""
         pricer = HestonPricer()
         exact = pricer.price_chain(option_chain=chain, params=PARAMS)
         fast = pricer.price_chain(option_chain=chain, params=PARAMS,
                                   precision="fast")
         for f, e in zip(fast, exact):
             np.testing.assert_allclose(np.asarray(f), np.asarray(e),
-                                       rtol=5e-4, atol=1e-5)
+                                       rtol=5e-5, atol=1e-7)
 
     def test_fast_fused_ivols_match_exact(self, chain):
         pricer = HestonPricer()
@@ -192,7 +193,7 @@ class TestFastPrecision:
         for f, e in zip(fast, exact):
             f, e = np.asarray(f), np.asarray(e)
             assert np.isnan(f).sum() == np.isnan(e).sum()
-            np.testing.assert_allclose(f, e, rtol=5e-3, atol=2e-3)
+            np.testing.assert_allclose(f, e, rtol=1e-4, atol=1e-5)
 
     def test_unknown_precision_raises(self, chain):
         import pytest as _pytest

@@ -427,15 +427,16 @@ class TestOnDeviceCalibration:
 
 class TestFastPrecision:
     def test_fast_mode_matches_exact(self, chain):
-        """precision='fast' (f32, 180 steps/yr — the on-device-LM config)
-        agrees with the exact f64 pricer to ~1e-4 relative."""
+        """precision='fast' (mixed: f32 ODE scans at 360 steps/yr, f64
+        quadrature) agrees with the exact f64 pricer to ~1e-6 relative
+        (PARITY.md "Fourier fast floors")."""
         pricer = LogSVPricer()
         exact = pricer.price_chain(option_chain=chain, params=PARAMS)
         fast = pricer.price_chain(option_chain=chain, params=PARAMS,
                                   precision="fast")
         for f, e in zip(fast, exact):
             np.testing.assert_allclose(np.asarray(f), np.asarray(e),
-                                       rtol=5e-4, atol=1e-5)
+                                       rtol=2e-5, atol=1e-7)
 
     def test_unknown_precision_raises(self, chain):
         with pytest.raises(NotImplementedError):
@@ -456,11 +457,12 @@ class TestFastPrecision:
                                   precision="fast")
         for f, e in zip(fast, exact):
             np.testing.assert_allclose(np.asarray(f), np.asarray(e),
-                                       rtol=5e-4, atol=1e-5)
+                                       rtol=5e-5, atol=1e-7)
 
     def test_fast_fused_ivols_match_exact(self, chain):
-        """the fused f32 price+IV program agrees with the exact
-        price-then-invert path to ~1e-3 vol points, with no spurious NaNs."""
+        """the fused mixed-precision price+IV program agrees with the exact
+        price-then-invert path to the fused inverter's ~1e-6 vol accuracy,
+        with no spurious NaNs."""
         stress = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
                              beta=0.15, volvol=1.85)
         pricer = LogSVPricer()
@@ -472,7 +474,7 @@ class TestFastPrecision:
         for f, e in zip(fast, exact):
             f, e = np.asarray(f), np.asarray(e)
             assert np.isnan(f).sum() == np.isnan(e).sum()
-            np.testing.assert_allclose(f, e, rtol=5e-3, atol=2e-3)
+            np.testing.assert_allclose(f, e, rtol=1e-4, atol=1e-5)
 
 
 class TestLmStressStability:
