@@ -33,7 +33,8 @@ from stochvolmodels_tpu.ops import bsm, mgf  # noqa: E402
 from stochvolmodels_tpu.utils.cplx import Cplx  # noqa: E402
 
 
-def chain_prices(chain, params, year_steps, solve_dtype, quad_dtype):
+def chain_prices(chain, params, year_steps, solve_dtype, quad_dtype,
+                 mixed_quad=False):
     vol_scaler = set_vol_scaler(sigma0=params.sigma0, ttm=np.min(chain.ttms))
     phi_grid, psi_grid, _ = mgf.get_transform_var_grid(
         variable_type=VariableType.LOG_RETURN, vol_scaler=float(vol_scaler))
@@ -73,7 +74,8 @@ def chain_prices(chain, params, year_steps, solve_dtype, quad_dtype):
                 strikes=jnp.asarray(np.asarray(chain.strikes_ttms[i], float),
                                     quad_dtype),
                 optiontypes=chain.optiontypes_ttms[i],
-                discfactors=quad_dtype(chain.discfactors[i]))
+                discfactors=quad_dtype(chain.discfactors[i]),
+                mixed_quad=mixed_quad)
         out.append(np.asarray(px, np.float64))
         ttm0 = float(ttm)
     return out
@@ -107,15 +109,17 @@ def main():
     f64, f32 = jnp.float64, jnp.float32
     anchor = chain_prices(chain, params, 1440, f64, f64)
     variants = [
-        ("B  f64 @ 360 (discretization only)", (360, f64, f64)),
-        ("C  f32 @ 360 (shipping fast path)", (360, f32, f32)),
-        ("E  f32 solve -> f64 quadrature", (360, f32, f64)),
-        ("F  f64 solve -> f32 quadrature", (360, f64, f32)),
+        ("B  f64 @ 360 (discretization only)", (360, f64, f64, False)),
+        ("C  f32 @ 360 (all-f32 fast path)", (360, f32, f32, False)),
+        ("E  f32 solve -> f64 quadrature", (360, f32, f64, False)),
+        ("F  f64 solve -> f32 quadrature", (360, f64, f32, False)),
+        ("G  f32 solve -> mixed quadrature", (360, f32, f64, True)),
+        ("H  f64 solve -> mixed quadrature", (360, f64, f64, True)),
     ]
     print("| variant | max rel price err | max abs IV err |")
     print("|---|---|---|")
-    for name, (ys, sd, qd) in variants:
-        px = chain_prices(chain, params, ys, sd, qd)
+    for name, (ys, sd, qd, mq) in variants:
+        px = chain_prices(chain, params, ys, sd, qd, mixed_quad=mq)
         rel, iv = max_errors(px, anchor, chain)
         print(f"| {name} | {rel:.2e} | {iv:.2e} |", flush=True)
 

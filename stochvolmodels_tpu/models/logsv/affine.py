@@ -99,8 +99,15 @@ def func_a_ode_quadratic_terms(theta,
         kappa2_p = kappa2 - beta * eta
         kappa_p = kappa1 + kappa2 * theta - 2.0 * beta * theta * eta
 
-    z = jnp.zeros(())
-    M = jnp.zeros((n, n, n))
+    # build the tensors in the params' dtype: under an x64 trace with f32
+    # params (the mixed-precision fast path) a bare jnp.zeros here would be
+    # f64 and silently promote the whole RK4 scan body to f64 — on the
+    # axon backend f64 scans execute per-op-latency-bound (~6 us/op), which
+    # turned the 32 ms warm fast reprice into 575 ms (PARITY.md "Tunnel
+    # health and the f64-scan regression")
+    dt_p = jnp.result_type(theta, kappa1, kappa2, beta, volvol)
+    z = jnp.zeros((), dt_p)
+    M = jnp.zeros((n, n, n), dt_p)
     M = M.at[0, 1, 1].set(0.5 * qv2)
     M = M.at[1, 1, 1].set(qv)
     M = M.at[1, 1, 2].set(qv2).at[1, 2, 1].set(qv2)
@@ -119,8 +126,8 @@ def func_a_ode_quadratic_terms(theta,
         M = M.at[4, 2, 3].set(6.0 * qv).at[4, 3, 2].set(6.0 * qv)
         M = M.at[4, 2, 4].set(4.0 * qv2).at[4, 4, 2].set(4.0 * qv2)
 
-    L0 = jnp.zeros((n, n))
-    L1 = jnp.zeros((n, n))
+    L0 = jnp.zeros((n, n), dt_p)
+    L1 = jnp.zeros((n, n), dt_p)
     L0 = L0.at[0, 1].set(lamda).at[0, 2].set(qv2)
     L1 = L1.at[0, 1].set(-theta2 * bb)
     L0 = L0.at[1, 1].set(-kappa_p).at[1, 2].set(2.0 * (lamda + qv))
@@ -136,7 +143,7 @@ def func_a_ode_quadratic_terms(theta,
         L0 = L0.at[4, 3].set(-3.0 * kappa2_p).at[4, 4].set(2.0 * (vartheta2 - 2.0 * kappa_p))
         L1 = L1.at[4, 3].set(-3.0 * bb).at[4, 4].set(-8.0 * theta * bb)
 
-    h = jnp.zeros(n)
+    h = jnp.zeros(n, dt_p)
     h = h.at[0].set(0.5 * theta2 * eta2).at[1].set(theta * eta2).at[2].set(0.5 * eta2)
     return M, L0, L1, h
 
@@ -647,8 +654,10 @@ def get_init_conditions_a(phi_grid: Cplx,
         n_grid = theta_grid.shape[0]
     else:
         raise NotImplementedError
-    re = jnp.zeros((n_grid, n_terms))
-    im = jnp.zeros((n_grid, n_terms))
+    # grid-dtype zeros: a bare f64 A(0) under an x64 trace makes the f32
+    # fast path's scan carry f64 and the whole RK4 scan f64-emulated
+    re = jnp.zeros((n_grid, n_terms), phi_grid.re.dtype)
+    im = jnp.zeros((n_grid, n_terms), phi_grid.re.dtype)
     if variable_type == VariableType.SIGMA:
         re = re.at[:, 1].set(-theta_grid.re)
         im = im.at[:, 1].set(-theta_grid.im)

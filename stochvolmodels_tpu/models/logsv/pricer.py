@@ -113,7 +113,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
                            is_simpson: bool = True,
                            year_steps: int = 720,
                            unroll: int = 4,
-                           solve_f32: bool = False
+                           solve_f32: bool = False,
+                           mixed_quad: bool = False
                            ) -> Array:
     """price the padded chain panel; returns (n_ttm, max_strikes) prices.
 
@@ -123,11 +124,17 @@ def logsv_chain_price_grid(grid: ChainGrid,
     vol_scaler may be traced for gradient-based calibration.
 
     ``solve_f32=True`` is the mixed-precision fast mode: the A(tau) RK4
-    scans (the hot loop) run f32, the quadrature stays f64.  The all-f32
-    path's 5.1e-5 relative price error is ENTIRELY the f32 quadrature sum
-    (the f32 solve contributes 7e-7; scripts/logsv_fast_floor.py, PARITY.md
-    "Fourier fast floors").  Under an x64-disabled trace the f64 lift
-    degrades to a no-op (all-f32 — what the f32 LM path uses).
+    scans (the hot loop) run f32.  The all-f32 path's 5.1e-5 relative price
+    error is ENTIRELY the f32 quadrature sum (the f32 solve contributes
+    7e-7; scripts/logsv_fast_floor.py, PARITY.md "Fourier fast floors"), so
+    the fast path keeps the quadrature out of f32 — but a FULL f64
+    quadrature is ~10x slower warm on a chip with no native f64 (every
+    emulated transcendental counts on the latency-bound axon backend):
+    ``mixed_quad=True`` selects the f64-phase / f32-transcendental / f64-sum
+    reduction (:func:`stochvolmodels_tpu.ops.mgf._nansum_re_mixed`, ~3e-6
+    relative) instead of the all-f64 one (7e-7, slow).  Under an
+    x64-disabled trace the lifts degrade to no-ops (all-f32 — what the f32
+    LM path uses).
     """
     if ttms_static is None:
         ttms_static = tuple(float(t) for t in np.asarray(grid.ttms))
@@ -184,7 +191,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
                 log_mgf_grid=log_mgf, phi_grid=phi_grid,
                 forwards=grid.forwards[i], strikes=grid.strikes[i],
                 optiontypes=grid.optioncodes[i], discfactors=grid.discfactors[i],
-                is_spot_measure=is_spot_measure, is_simpson=is_simpson)
+                is_spot_measure=is_spot_measure, is_simpson=is_simpson,
+                mixed_quad=mixed_quad)
         elif variable_type == VariableType.Q_VAR:
             slice_prices = mgf.qvar_prices_with_mgf_grid(
                 log_mgf_grid=log_mgf, psi_grid=psi_grid, ttms=grid.ttms[i],

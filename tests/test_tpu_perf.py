@@ -11,6 +11,14 @@ path-steps/sec") with executable checks.  The CI suite always runs on CPU
 
 Timing fetches a scalar to host after each device call: through the axon
 tunnel `block_until_ready` does not reliably block, fetching does.
+
+The warm-latency gates depend on tunnel health: scan bodies dispatch at a
+per-op cost that varies >10x between tunnel periods (0.5 us/op healthy,
+~6 us/op degraded — PARITY.md "Tunnel health and the warm-latency gates"),
+so the same binary measures 32 ms or 575 ms for the same warm reprice.
+The ``healthy_tunnel`` fixture probes the current cost once per module and
+SKIPS the absolute wall-clock gates (with the measured number) when the
+tunnel is degraded — a red gate must mean a code regression, not weather.
 """
 import time
 
@@ -31,7 +39,22 @@ def btc_chain():
     return get_btc_test_chain_data()
 
 
-def test_warm_lm_calibration_under_1s(btc_chain):
+@pytest.fixture(scope="module")
+def healthy_tunnel():
+    from stochvolmodels_tpu.utils.tunnel import (
+        HEALTHY_US_PER_OP,
+        measure_tunnel_us_per_op,
+    )
+    us_per_op = measure_tunnel_us_per_op()
+    if us_per_op > HEALTHY_US_PER_OP:
+        pytest.skip(
+            f"axon tunnel degraded: scan dispatch {us_per_op:.1f} us/op "
+            f"(healthy ~0.5, threshold {HEALTHY_US_PER_OP}) — absolute "
+            "wall-clock gates are meaningless in this period")
+    return us_per_op
+
+
+def test_warm_lm_calibration_under_1s(btc_chain, healthy_tunnel):
     """BASELINE.md target: full BTC chain calibration < 1 s (warm).
 
     Reference baseline: scipy SLSQP with FD gradients, ~10 s
@@ -52,7 +75,7 @@ def test_warm_lm_calibration_under_1s(btc_chain):
     assert np.isfinite(cost) and cost < 0.01, f"LM fit cost {cost}"
 
 
-def test_warm_analytic_chain_reprice_under_200ms(btc_chain):
+def test_warm_analytic_chain_reprice_under_200ms(btc_chain, healthy_tunnel):
     """fast-precision analytic chain reprice should be tens of ms warm
     (measured 36 ms; the 200 ms bound absorbs tunnel-latency variance).
 
@@ -80,7 +103,7 @@ def test_warm_analytic_chain_reprice_under_200ms(btc_chain):
     assert np.isfinite(p00) and p00 > 0.0
 
 
-def test_warm_exact_chain_reprice_under_700ms(btc_chain):
+def test_warm_exact_chain_reprice_under_700ms(btc_chain, healthy_tunnel):
     """the f64 reference-parity default path.  The round-2 verdict flagged
     it at 1164 ms warm; the step-refinement study (scripts/
     bench_exact_path.py — the scan is per-step-latency-bound, error flat
@@ -107,7 +130,7 @@ def test_warm_exact_chain_reprice_under_700ms(btc_chain):
     assert np.isfinite(p00) and p00 > 0.0
 
 
-def test_warm_fast_chain_ivols_under_500ms(btc_chain):
+def test_warm_fast_chain_ivols_under_500ms(btc_chain, healthy_tunnel):
     """fused price + IV inversion, one device program (measured 61 ms warm;
     bound at 500 ms for tunnel-latency spikes)."""
     from stochvolmodels_tpu.models.logsv.params import LogSvParams
@@ -160,7 +183,7 @@ def test_pallas_mc_throughput_above_1e9():
     assert rate > 1e9, f"MC throughput {rate:.2e} path-steps/s (target > 1e9)"
 
 
-def test_warm_hawkes_lm_calibration_under_5s(btc_chain):
+def test_warm_hawkes_lm_calibration_under_5s(btc_chain, healthy_tunnel):
     """the 8-param Hawkes LM (chained Riccati + pricing + IV inversion
     differentiated end-to-end) should be a few hundred ms warm on chip;
     bound at 5 s for tunnel variance.  The FD-SLSQP reference path costs
@@ -183,7 +206,7 @@ def test_warm_hawkes_lm_calibration_under_5s(btc_chain):
     assert np.isfinite(cost) and cost < 0.05
 
 
-def test_warm_swaption_cube_reprice_under_1s():
+def test_warm_swaption_cube_reprice_under_1s(healthy_tunnel):
     """the batched USD swaption cube (12 slices, 108 quotes, 240 shared RK4
     steps at the default year_steps=48 — max|dP| 5.9e-12 vs a 600-step run,
     scripts/bench_cube_breakdown.py) repriced warm in under a second — the
