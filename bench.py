@@ -137,21 +137,21 @@ def bench_calibration_and_reprice() -> dict:
         reprice_exact()
         exact_best = min(exact_best, time.perf_counter() - t0)
 
-    # tunnel health context: the warm wall-clocks above are scan-bound and
-    # scale with the tunnel's per-op scan-dispatch cost, which varies >10x
-    # between periods (0.5 us/op healthy -> fast_reprice ~32 ms; ~6 us/op
-    # degraded -> ~575 ms for the SAME binary; PARITY.md "Tunnel health and
-    # the warm-latency gates").  Recording it makes round-over-round
-    # comparisons of the wall-clock fields honest.
-    from stochvolmodels_tpu.utils.tunnel import measure_tunnel_us_per_op
+    # tunnel health context: warm wall-clocks swing ~±20% between processes
+    # and balloon when the tunnel worker is sick; recording the roundtrip
+    # makes round-over-round comparisons of the wall-clock fields honest
+    # (PARITY.md "Tunnel health and the f64-scan regression").
+    from stochvolmodels_tpu.utils.tunnel import measure_tunnel_health
 
+    health = measure_tunnel_health()
     return {
         "calib_warm_s": round(calib_best, 4),
         "calib_cost": round(cost_f, 6),
         "fast_reprice_ms": round(reprice_best * 1e3, 2),
         "fast_ivols_ms": round(ivols_best * 1e3, 2),
         "exact_reprice_ms": round(exact_best * 1e3, 2),
-        "tunnel_us_per_op": round(measure_tunnel_us_per_op(), 2),
+        "tunnel_roundtrip_ms": round(health["roundtrip_ms"], 1),
+        "tunnel_scan_us_per_op": round(health["scan_us_per_op"], 2),
     }
 
 

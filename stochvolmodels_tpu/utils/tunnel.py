@@ -1,37 +1,47 @@
 """
 Axon-tunnel health probe.
 
-On the axon TPU backend, ``lax.scan`` bodies execute at a per-elementary-op
-PER-STEP dispatch cost, and that cost varies more than 10x with tunnel load:
-~0.5 us/op in healthy periods (the r03 perf transcript: warm fast BTC chain
-reprice 32 ms) vs ~6 us/op degraded (same binary, same chip: 575 ms;
-PARITY.md "Tunnel health and the warm-latency gates").  Wall-clock numbers
-for scan-bound programs are therefore only comparable at similar health,
-and absolute wall-clock gates must be skipped (not failed) when the tunnel
-is degraded.
+Two stable facts about the axon TPU backend (measured r03 and re-measured
+r04, identical): f32 ``lax.scan`` bodies compile to fused loops and run
+fast, while f64 scan bodies execute per-op-latency-bound at ~6 us per
+elementary op PER STEP (PARITY.md "Tunnel health and the f64-scan
+regression", "Swaption-cube latency study").  Those are constant physics,
+not weather — the r04 fast-path regression (32 -> 575 ms) was an
+accidental f64 promotion, not tunnel load.
 
-``measure_tunnel_us_per_op`` times a canonical mid-size scan body against a
-trivial-program baseline (to remove the fixed per-call roundtrip, ~27 ms)
-and returns the implied us-per-elementary-op.  It compiles two tiny
-programs (~seconds) and runs in well under a second warm.
+What DOES vary is tunnel health: warm wall-clocks swing ~±20% between
+processes, and in sick periods (e.g. after a "TPU worker process crashed"
+event) the per-call roundtrip and dispatch balloon by much more.  The
+wall-clock perf gates in tests/test_tpu_perf.py assert absolute bounds
+that assume a functioning tunnel; ``measure_tunnel_health`` gives them a
+cheap basis to SKIP (with numbers) instead of failing when the tunnel
+itself is sick:
+
+* ``roundtrip_ms`` — warm best of a trivial jitted program including the
+  host fetch (~27 ms normal; a sick worker shows hundreds of ms).
+* ``scan_us_per_op`` — implied per-op cost of a canonical mid-size f32
+  scan body over the roundtrip baseline (~0-1 us normal; genuine
+  dispatch degradation shows up here).
 """
 from __future__ import annotations
 
 import time
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: empirical scan-dispatch cost thresholds (us per elementary op)
-HEALTHY_US_PER_OP = 2.0
+#: skip thresholds for the wall-clock gates
+MAX_ROUNDTRIP_MS = 150.0
+MAX_SCAN_US_PER_OP = 2.0
 
 
-def measure_tunnel_us_per_op(n_steps: int = 512, reps: int = 3) -> float:
-    """per-elementary-op scan-dispatch cost through the tunnel, in us.
+def measure_tunnel_health(n_steps: int = 512, reps: int = 3) -> Dict[str, float]:
+    """warm roundtrip and f32-scan dispatch cost through the tunnel.
 
-    ~0.5 when healthy, ~6 when degraded (measured 2026-08-20); values are
-    meaningless on CPU (returns ~0).
+    Compiles two tiny programs (seconds); runs in well under a second
+    warm.  Values are ~0 on CPU.
     """
 
     def body(c, _):
@@ -59,4 +69,12 @@ def measure_tunnel_us_per_op(n_steps: int = 512, reps: int = 3) -> float:
 
     base_s = best_of(base)
     probe_s = best_of(probe)
-    return max(probe_s - base_s, 0.0) * 1e6 / ops
+    return {
+        "roundtrip_ms": base_s * 1e3,
+        "scan_us_per_op": max(probe_s - base_s, 0.0) * 1e6 / ops,
+    }
+
+
+def tunnel_degraded(health: Dict[str, float]) -> bool:
+    return (health["roundtrip_ms"] > MAX_ROUNDTRIP_MS
+            or health["scan_us_per_op"] > MAX_SCAN_US_PER_OP)

@@ -12,13 +12,15 @@ path-steps/sec") with executable checks.  The CI suite always runs on CPU
 Timing fetches a scalar to host after each device call: through the axon
 tunnel `block_until_ready` does not reliably block, fetching does.
 
-The warm-latency gates depend on tunnel health: scan bodies dispatch at a
-per-op cost that varies >10x between tunnel periods (0.5 us/op healthy,
-~6 us/op degraded — PARITY.md "Tunnel health and the warm-latency gates"),
-so the same binary measures 32 ms or 575 ms for the same warm reprice.
-The ``healthy_tunnel`` fixture probes the current cost once per module and
-SKIPS the absolute wall-clock gates (with the measured number) when the
-tunnel is degraded — a red gate must mean a code regression, not weather.
+The warm-latency gates assert absolute bounds that assume a functioning
+tunnel; warm wall-clocks swing ~±20% between processes normally, and in
+sick periods (e.g. after a "TPU worker process crashed" event) the
+per-call roundtrip balloons far beyond that.  The ``healthy_tunnel``
+fixture probes roundtrip + f32-scan dispatch cost once per module and
+SKIPS the wall-clock gates (with the measured numbers) when the tunnel
+itself is sick — a red gate must mean a code regression, not weather.
+(The f64-scan ~6 us/op cost is constant backend physics, not weather —
+see PARITY.md "Tunnel health and the f64-scan regression".)
 """
 import time
 
@@ -42,16 +44,16 @@ def btc_chain():
 @pytest.fixture(scope="module")
 def healthy_tunnel():
     from stochvolmodels_tpu.utils.tunnel import (
-        HEALTHY_US_PER_OP,
-        measure_tunnel_us_per_op,
+        measure_tunnel_health,
+        tunnel_degraded,
     )
-    us_per_op = measure_tunnel_us_per_op()
-    if us_per_op > HEALTHY_US_PER_OP:
+    health = measure_tunnel_health()
+    if tunnel_degraded(health):
         pytest.skip(
-            f"axon tunnel degraded: scan dispatch {us_per_op:.1f} us/op "
-            f"(healthy ~0.5, threshold {HEALTHY_US_PER_OP}) — absolute "
+            f"axon tunnel degraded (roundtrip {health['roundtrip_ms']:.0f} ms, "
+            f"scan dispatch {health['scan_us_per_op']:.1f} us/op) — absolute "
             "wall-clock gates are meaningless in this period")
-    return us_per_op
+    return health
 
 
 def test_warm_lm_calibration_under_1s(btc_chain, healthy_tunnel):
