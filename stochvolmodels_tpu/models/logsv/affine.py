@@ -345,6 +345,156 @@ def _solve_a_ode_grid_dts(dts: np.ndarray, theta, kappa1, kappa2, beta,
 
 
 # ----------------------------------------------------------------------------
+# double-float32 RK4 (f64-class accuracy on the fast f32 scan path)
+# ----------------------------------------------------------------------------
+
+def _df_rhs(ar, ai, Mdf, Ldf, Hdf, n: int):
+    """dA/dtau = A' M A + L A + H in df32 arithmetic.
+
+    ``ar``/``ai`` are DF panels (N, n); ``Mdf`` a real DF (n, n, n);
+    ``Ldf``/``Hdf`` complex DF pairs ((re, im) of DF) with shapes
+    (N, n, n) / (N, n).  All contractions are unrolled elementwise
+    df_mul/df_add chains — no jnp.dot/einsum (MXU would downcast to
+    bf16, destroying the error-free transformations).
+    """
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    # Ma[n,k,i] = sum_j M[k,i,j] a[n,j]  (M real, a complex)
+    def m_contract(av):
+        out = None
+        for j in range(n):
+            mj = dd.DF(Mdf.hi[:, :, j], Mdf.lo[:, :, j])          # (n, n)
+            aj = dd.DF(av.hi[:, j, None, None], av.lo[:, j, None, None])
+            t = dd.mul(mj, aj)                                    # (N, n, n)
+            out = t if out is None else dd.add(out, t)
+        return out
+
+    Mar, Mai = m_contract(ar), m_contract(ai)
+
+    # quad_re = sum_i Ma[.,k,i] a_re[.,i] - Mb[.,k,i] a_im[.,i]
+    # quad_im = 2 sum_i Ma[.,k,i] a_im[.,i]
+    quad_re = quad_im = None
+    for i in range(n):
+        mar_i = dd.DF(Mar.hi[:, :, i], Mar.lo[:, :, i])           # (N, n)
+        mai_i = dd.DF(Mai.hi[:, :, i], Mai.lo[:, :, i])
+        ar_i = dd.DF(ar.hi[:, i, None], ar.lo[:, i, None])        # (N, 1)
+        ai_i = dd.DF(ai.hi[:, i, None], ai.lo[:, i, None])
+        tr = dd.sub(dd.mul(mar_i, ar_i), dd.mul(mai_i, ai_i))
+        ti = dd.mul(mar_i, ai_i)
+        quad_re = tr if quad_re is None else dd.add(quad_re, tr)
+        quad_im = ti if quad_im is None else dd.add(quad_im, ti)
+    quad_im = dd.scale_pow2(quad_im, 2.0)
+
+    # lin[.,i] = sum_j L[.,i,j] a[.,j]   (L complex)
+    Lre, Lim = Ldf
+    lin_re = lin_im = None
+    for j in range(n):
+        lre_j = dd.DF(Lre.hi[:, :, j], Lre.lo[:, :, j])           # (N, n)
+        lim_j = dd.DF(Lim.hi[:, :, j], Lim.lo[:, :, j])
+        ar_j = dd.DF(ar.hi[:, j, None], ar.lo[:, j, None])        # (N, 1)
+        ai_j = dd.DF(ai.hi[:, j, None], ai.lo[:, j, None])
+        tr = dd.sub(dd.mul(lre_j, ar_j), dd.mul(lim_j, ai_j))
+        ti = dd.add(dd.mul(lre_j, ai_j), dd.mul(lim_j, ar_j))
+        lin_re = tr if lin_re is None else dd.add(lin_re, tr)
+        lin_im = ti if lin_im is None else dd.add(lin_im, ti)
+
+    Hre, Him = Hdf
+    out_re = dd.add(dd.add(quad_re, lin_re), Hre)
+    out_im = dd.add(dd.add(quad_im, lin_im), Him)
+    return out_re, out_im
+
+
+def solve_a_ode_grid_df32(phi_grid: Cplx,
+                          psi_grid: Cplx,
+                          ttm: float,
+                          theta,
+                          kappa1,
+                          kappa2,
+                          beta,
+                          volvol,
+                          is_spot_measure: bool = True,
+                          a_t0: Cplx = None,
+                          expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
+                          vol_backbone_eta=1.0,
+                          nb_steps: Optional[int] = None,
+                          year_steps: int = 720,
+                          ) -> Cplx:
+    """``solve_a_ode_grid`` (uniform-step path) in double-float32.
+
+    f64 in, f64 out, ~1e-13-accurate arithmetic — but the scan body is
+    pure f32, so on the axon TPU backend it runs on the fused f32 scan
+    path instead of the ~6 us/HLO-op f64 path (PARITY.md "Tunnel health
+    and the f64-scan regression": the f64 exact reprice is entirely
+    scan-latency-bound).  The RK4 scheme, step count and divergence-freeze
+    semantics match solve_a_ode_grid exactly; only the arithmetic carrier
+    differs (error ~2^-48 per op vs the ~1e-9 discretization floor at the
+    240 steps/yr default).  Graded-warmup (non-zero A(0)) schedules are
+    not implemented — callers with warmup needs use the f64 path.
+    """
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    n = get_expansion_n(expansion_order)
+    if a_t0 is None:
+        a_t0 = Cplx(jnp.zeros((phi_grid.shape[0], n)),
+                    jnp.zeros((phi_grid.shape[0], n)))
+    if nb_steps is None:
+        nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
+    dt = float(ttm) / nb_steps
+
+    M, L0, L1, h = func_a_ode_quadratic_terms(
+        theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
+        is_spot_measure=is_spot_measure, expansion_order=expansion_order,
+        vol_backbone_eta=vol_backbone_eta)
+    L, H = build_grid_ode_terms(M, L0, L1, h, phi_grid, psi_grid,
+                                is_spot_measure)
+    Mdf = dd.from_f64(jnp.asarray(M, jnp.float64))
+    Ldf = (dd.from_f64(L.re), dd.from_f64(L.im))
+    Hdf = (dd.from_f64(H.re), dd.from_f64(H.im))
+    # exact df32 images of the step constants (dt is f64 on host)
+    dt_half = dd.from_f64(jnp.asarray(0.5 * dt))
+    dt_full = dd.from_f64(jnp.asarray(dt))
+    dt_sixth = dd.from_f64(jnp.asarray(dt / 6.0))
+
+    cap = jnp.float32(1e6)
+
+    def mul_add(a, k, dtc):
+        """a + k * dtc, componentwise complex DF."""
+        return (dd.add(a[0], dd.mul(k[0], dtc)),
+                dd.add(a[1], dd.mul(k[1], dtc)))
+
+    def rk4_step(carry, _):
+        (rh, rl, ih, il, dead) = carry
+        A = (dd.DF(rh, rl), dd.DF(ih, il))
+        k1 = _df_rhs(A[0], A[1], Mdf, Ldf, Hdf, n)
+        k2 = _df_rhs(*mul_add(A, k1, dt_half), Mdf, Ldf, Hdf, n)
+        k3 = _df_rhs(*mul_add(A, k2, dt_half), Mdf, Ldf, Hdf, n)
+        k4 = _df_rhs(*mul_add(A, k3, dt_full), Mdf, Ldf, Hdf, n)
+        ksum = (dd.add(dd.add(k1[0], dd.scale_pow2(dd.add(k2[0], k3[0]), 2.0)),
+                       k4[0]),
+                dd.add(dd.add(k1[1], dd.scale_pow2(dd.add(k2[1], k3[1]), 2.0)),
+                       k4[1]))
+        A1 = mul_add(A, ksum, dt_sixth)
+        bad = dead | ~(jnp.abs(A1[0].hi) < cap) | ~(jnp.abs(A1[1].hi) < cap)
+        zero = jnp.zeros_like(rh)
+        rh1 = jnp.where(bad, cap, A1[0].hi)
+        rl1 = jnp.where(bad, zero, A1[0].lo)
+        ih1 = jnp.where(bad, zero, A1[1].hi)
+        il1 = jnp.where(bad, zero, A1[1].lo)
+        return (rh1, rl1, ih1, il1, bad), None
+
+    r0 = dd.from_f64(a_t0.re)
+    i0 = dd.from_f64(a_t0.im)
+    dead0 = ~(jnp.abs(r0.hi) < cap) | ~(jnp.abs(i0.hi) < cap)
+    zero = jnp.zeros_like(r0.hi)
+    carry0 = (jnp.where(dead0, cap, r0.hi), jnp.where(dead0, zero, r0.lo),
+              jnp.where(dead0, zero, i0.hi), jnp.where(dead0, zero, i0.lo),
+              dead0)
+    (rh, rl, ih, il, _), _ = jax.lax.scan(rk4_step, carry0, None,
+                                          length=nb_steps)
+    return Cplx(dd.to_f64(dd.DF(rh, rl)), dd.to_f64(dd.DF(ih, il)))
+
+
+# ----------------------------------------------------------------------------
 # semi-analytic exponential-Euler solver (the reference's "analytic" path)
 # ----------------------------------------------------------------------------
 

@@ -114,7 +114,8 @@ def logsv_chain_price_grid(grid: ChainGrid,
                            year_steps: int = 720,
                            unroll: int = 4,
                            solve_f32: bool = False,
-                           mixed_quad: bool = False
+                           mixed_quad: bool = False,
+                           solve_df32: bool = False
                            ) -> Array:
     """price the padded chain panel; returns (n_ttm, max_strikes) prices.
 
@@ -170,13 +171,26 @@ def logsv_chain_price_grid(grid: ChainGrid,
     ttm0 = 0.0
     prices = []
     for i, ttm in enumerate(ttms_static):
-        a_t = afe.solve_a_ode_grid(
-            ttm=ttm - ttm0, theta=theta_p, kappa1=kappa1_p, kappa2=kappa2_p,
-            beta=beta_p, volvol=volvol_p, phi_grid=phi_s, psi_grid=psi_s,
-            a_t0=a_t, is_spot_measure=is_spot_measure,
-            expansion_order=expansion_order,
-            vol_backbone_eta=etas_p[i], year_steps=year_steps,
-            unroll=unroll)
+        if solve_df32:
+            # f64-class accuracy on the fast f32 scan path (see
+            # solve_a_ode_grid_df32; the f64 scan is per-op-latency-bound
+            # on the axon backend)
+            a_t = afe.solve_a_ode_grid_df32(
+                ttm=ttm - ttm0, theta=theta_p, kappa1=kappa1_p,
+                kappa2=kappa2_p, beta=beta_p, volvol=volvol_p,
+                phi_grid=phi_s, psi_grid=psi_s, a_t0=a_t,
+                is_spot_measure=is_spot_measure,
+                expansion_order=expansion_order,
+                vol_backbone_eta=etas_p[i], year_steps=year_steps)
+        else:
+            a_t = afe.solve_a_ode_grid(
+                ttm=ttm - ttm0, theta=theta_p, kappa1=kappa1_p,
+                kappa2=kappa2_p, beta=beta_p, volvol=volvol_p,
+                phi_grid=phi_s, psi_grid=psi_s, a_t0=a_t,
+                is_spot_measure=is_spot_measure,
+                expansion_order=expansion_order,
+                vol_backbone_eta=etas_p[i], year_steps=year_steps,
+                unroll=unroll)
         a_q = Cplx(a_t.re.astype(dt_q), a_t.im.astype(dt_q))
         y = sigma0 - theta
         y2 = y * y
@@ -826,20 +840,40 @@ class LogSVPricer(ModelPricer):
         in its convergence plateau — 240 steps/yr agrees with 2880 steps/yr
         to 4e-9 rel at the reference-parity params and 2e-7 at an extreme
         (volvol=3, kappa=5, 2y) corner, while the warm TPU reprice drops
-        1116 -> 419 ms (the scan is per-step-latency-bound, so wall-clock
-        is linear in steps).  720 steps/yr before this study; pass
-        ``year_steps=`` to override."""
+        1116 -> 419 ms (the f64 scan is per-step-latency-bound, so
+        wall-clock is linear in steps).  720 steps/yr before this study;
+        pass ``year_steps=`` to override.
+
+        Exact-path ENGINE: on TPU the vanilla exact path defaults to the
+        double-float32 RK4 (``exact_engine='df32'``; affine.py
+        solve_a_ode_grid_df32) — same scheme and step count, f32-pair
+        arithmetic, 8.2e-9 max relative price agreement with the f64
+        engine on the BTC chain, and 34 ms instead of 429 ms warm because
+        f64 scan bodies execute per-op-latency-bound on the axon backend
+        while f32 bodies run fused (PARITY.md "Double-float32 exact
+        engine").  Pass ``exact_engine='f64'`` to force the plain-f64
+        scans (the CPU default, where f64 scans are fast and the df32
+        trace compiles slowly)."""
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))
         grid = option_chain.to_grid()
         etas = params.get_vol_backbone_etas(ttms=option_chain.ttms)
+        exact_engine = kwargs.pop("exact_engine", "auto")
+        solve_df32 = False
         if precision == "fast":
             year_steps = kwargs.pop("year_steps", 360)
             solve_f32 = True
         elif precision == "exact":
             year_steps = kwargs.pop("year_steps", 240)
             solve_f32 = False
+            if exact_engine == "auto":
+                exact_engine = ("df32" if jax.devices()[0].platform != "cpu"
+                                else "f64")
+            # df32 is implemented for the vanilla (1000-lane) grid; the
+            # 40k-lane QVAR and SIGMA paths keep the f64 engine
+            solve_df32 = (exact_engine == "df32"
+                          and variable_type == VariableType.LOG_RETURN)
         else:
             raise NotImplementedError(f"precision={precision}")
         prices = _logsv_chain_price_grid_jit(
@@ -848,7 +882,7 @@ class LogSVPricer(ModelPricer):
             tuple(float(e) for e in etas),
             float(vol_scaler), tuple(float(t) for t in option_chain.ttms),
             variable_type, expansion_order, is_spot_measure, year_steps,
-            solve_f32)
+            solve_f32, solve_df32)
         return option_chain.unpad_panel(prices)
 
     def compute_model_ivols_for_chain(self, option_chain: OptionChain,
@@ -1410,12 +1444,12 @@ def _logsv_chain_ivols_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
     return grid.masked(vols)
 
 
-@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13, 14))
+@partial(jax.jit, static_argnums=(7, 9, 10, 11, 12, 13, 14, 15))
 def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                 volvol, vol_backbone_etas, vol_scaler,
                                 ttms_static, variable_type, expansion_order,
                                 is_spot_measure, year_steps=720,
-                                solve_f32=False):
+                                solve_f32=False, solve_df32=False):
     return logsv_chain_price_grid(grid, sigma0=sigma0, theta=theta,
                                   kappa1=kappa1, kappa2=kappa2, beta=beta,
                                   volvol=volvol,
@@ -1426,4 +1460,5 @@ def _logsv_chain_price_grid_jit(grid, sigma0, theta, kappa1, kappa2, beta,
                                   expansion_order=expansion_order,
                                   is_spot_measure=is_spot_measure,
                                   year_steps=year_steps,
-                                  solve_f32=solve_f32)
+                                  solve_f32=solve_f32,
+                                  solve_df32=solve_df32)
