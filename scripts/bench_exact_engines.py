@@ -85,14 +85,33 @@ def main():
     def fetch(x):
         return float(np.asarray(x).ravel()[0])
 
-    # shipping exact engine (f64 RK4 @ 240 steps/yr)
+    # f64 RK4 @ 240 steps/yr (the CPU default / reference-parity anchor)
     def run_rk4():
-        return pricer.price_chain(option_chain=chain, params=p)
+        return pricer.price_chain(option_chain=chain, params=p,
+                                  exact_engine="f64")
 
     rk4_px = run_rk4()
     best_rk4 = min((lambda: (lambda t0: (run_rk4(), time.perf_counter() - t0))(
         time.perf_counter()))()[1] for _ in range(3))
-    print(f"exact RK4 @ 240/yr        : {best_rk4 * 1e3:8.1f} ms (warm best-of-3)")
+    print(f"exact RK4 f64  @ 240/yr   : {best_rk4 * 1e3:8.1f} ms (warm best-of-3)")
+
+    # df32 RK4 @ 240 steps/yr (the TPU exact default since r04: identical
+    # scheme/steps, double-float32 carrier so the scan body runs on the
+    # fused f32 path instead of the ~6 us/HLO-op f64 path)
+    def run_df32():
+        return pricer.price_chain(option_chain=chain, params=p,
+                                  exact_engine="df32")
+
+    df32_px = run_df32()
+    best_df32 = min((lambda: (lambda t0: (run_df32(), time.perf_counter() - t0))(
+        time.perf_counter()))()[1] for _ in range(3))
+    err = 0.0
+    for a, b in zip(rk4_px, df32_px):
+        a, b = np.asarray(a), np.asarray(b)
+        m = np.abs(a) > 1e-8
+        err = max(err, float(np.max(np.abs(a[m] - b[m]) / np.abs(a[m]))))
+    print(f"exact RK4 df32 @ 240/yr   : {best_df32 * 1e3:8.1f} ms, "
+          f"max rel err vs f64 {err:.2e}")
 
     for nfp in (10, 4):
         fn, grid = analytic_chain_prices_fn(chain, nfp=nfp)

@@ -205,6 +205,17 @@ def calibrate_rate_logsv_cube_lm_on_device(
     segments = list(segments)
     n_free = len(segments)
 
+    # the two cube builders accept different path-specific kwargs (the frozen
+    # builder's host solve_ivp takes panel_rtol/panel_atol; the traced builder
+    # replaces that solve with an on-device scan controlled by n_sub) — strip
+    # whichever set does not apply so toggling fit_A with otherwise-valid
+    # kwargs never raises TypeError.
+    cube_kwargs = dict(cube_kwargs)
+    if fit_A:
+        for k in ("panel_rtol", "panel_atol"):
+            cube_kwargs.pop(k, None)
+    else:
+        cube_kwargs.pop("n_sub", None)
     if fit_A:
         from stochvolmodels_tpu.models.factor_hjm.rate_logsv_pricer import (
             make_swaption_cube_fn_traced)

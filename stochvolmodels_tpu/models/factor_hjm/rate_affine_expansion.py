@@ -410,3 +410,172 @@ def solve_a_ode_grid_batch(phi_grid: Cplx,
 
     a_re, a_im = jax.vmap(solve_one)(jnp.asarray(dts), stage_coeffs)
     return Cplx(a_re, a_im)
+
+
+# ----------------------------------------------------------------------------
+# double-float32 batch solver (f64-class accuracy on the fast f32 scan path)
+# ----------------------------------------------------------------------------
+
+def _df_rates_rhs(ar, ai, c, phi_re, phi_im, tmpl, n: int):
+    """rhs of one RK4 stage in df32 arithmetic — the double-float32 image of
+    :func:`_ode_rhs_from_templates`.
+
+    ``ar``/``ai``: DF panels (N, n); ``c``: tuple of 7 DF stage scalars
+    [kappa0, kappa1, kappa2, vartheta2, apb, apa, b]; ``phi_re``/``phi_im``:
+    DF (N,); ``tmpl``: the static template tensors as DFs.  Contractions are
+    broadcast-muls + tree-sums (no einsum — MXU would downcast to bf16 and
+    destroy the error-free transforms; no per-index loops — they blow up
+    the scan-body HLO count and XLA compile time, see
+    models/logsv/affine._df_tree_sum).
+    """
+    from stochvolmodels_tpu.models.logsv.affine import _df_tree_sum
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    TM, K0, K1, K2, V, P_, h = tmpl
+    kappa0, kappa1, kappa2, vartheta2, apb, apa, b = c
+
+    # L0 = kappa0 K0 + kappa1 K1 + kappa2 K2 + vartheta2 V;  L1 = apb P
+    L0 = dd.add(dd.add(dd.mul(K0, kappa0), dd.mul(K1, kappa1)),
+                dd.add(dd.mul(K2, kappa2), dd.mul(V, vartheta2)))
+    L1 = dd.mul(P_, apb)
+
+    # quadratic term: vartheta2 * sum_ij TM[k,i,j] O[i,j] with the complex
+    # outer products O_re = ar_i ar_j - ai_i ai_j, O_im = ar_i ai_j
+    # (TM is symmetric in its trailing axes)
+    arr = dd.DF(ar.hi[:, :, None], ar.lo[:, :, None])
+    arc = dd.DF(ar.hi[:, None, :], ar.lo[:, None, :])
+    air = dd.DF(ai.hi[:, :, None], ai.lo[:, :, None])
+    aic = dd.DF(ai.hi[:, None, :], ai.lo[:, None, :])
+    O_re = dd.sub(dd.mul(arr, arc), dd.mul(air, aic))
+    O_im = dd.mul(arr, aic)
+    TMk = dd.DF(TM.hi[None, :, :, :], TM.lo[None, :, :, :])
+
+    def qcontract(O):
+        t = dd.mul(TMk, dd.DF(O.hi[:, None, :, :], O.lo[:, None, :, :]))
+        N = t.hi.shape[0]
+        t = dd.DF(t.hi.reshape(N, n, n * n), t.lo.reshape(N, n, n * n))
+        return _df_tree_sum(t, axis=2)                            # (N, n)
+
+    quad_re = dd.mul(qcontract(O_re), vartheta2)
+    quad_im = dd.scale_pow2(dd.mul(qcontract(O_im), vartheta2), 2.0)
+
+    # linear term: A @ L0' + phi * (A @ L1')   (L0, L1 real)
+    ar_b = dd.DF(ar.hi[:, None, :], ar.lo[:, None, :])            # (N, 1, n)
+    ai_b = dd.DF(ai.hi[:, None, :], ai.lo[:, None, :])
+    r0_re = _df_tree_sum(dd.mul(L0, ar_b), axis=2)
+    r0_im = _df_tree_sum(dd.mul(L0, ai_b), axis=2)
+    b_re = _df_tree_sum(dd.mul(L1, ar_b), axis=2)
+    b_im = _df_tree_sum(dd.mul(L1, ai_b), axis=2)
+    pr = dd.DF(phi_re.hi[:, None], phi_re.lo[:, None])            # (N, 1)
+    pi = dd.DF(phi_im.hi[:, None], phi_im.lo[:, None])
+    lin_re = dd.add(r0_re, dd.sub(dd.mul(pr, b_re), dd.mul(pi, b_im)))
+    lin_im = dd.add(r0_im, dd.add(dd.mul(pr, b_im), dd.mul(pi, b_re)))
+
+    # forcing: H = h * (phi * (apa phi + 2 b)) per lane
+    inner_re = dd.add(dd.mul(phi_re, apa), dd.scale_pow2(b, 2.0))
+    inner_im = dd.mul(phi_im, apa)
+    hphi_re = dd.sub(dd.mul(phi_re, inner_re), dd.mul(phi_im, inner_im))
+    hphi_im = dd.add(dd.mul(phi_re, inner_im), dd.mul(phi_im, inner_re))
+    H_re = dd.mul(h, dd.DF(hphi_re.hi[:, None], hphi_re.lo[:, None]))
+    H_im = dd.mul(h, dd.DF(hphi_im.hi[:, None], hphi_im.lo[:, None]))
+
+    out_re = dd.add(dd.add(quad_re, lin_re), H_re)
+    out_im = dd.add(dd.add(quad_im, lin_im), H_im)
+    return out_re, out_im
+
+
+def solve_a_ode_grid_batch_df32(phi_grid: Cplx,
+                                dts: Array,
+                                stage_coeffs: Array,
+                                q: float,
+                                expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
+                                ) -> Cplx:
+    """:func:`solve_a_ode_grid_batch` in double-float32 arithmetic.
+
+    f64 in, f64 out, ~1e-13-accurate — but the scan body is pure f32, so
+    on the axon TPU backend it runs on the fused f32 scan path instead of
+    the per-op-latency-bound f64 path that made the warm 12-slice cube
+    reprice cost 672 ms at year_steps=48 (~2.8 ms/RK4-step; PARITY.md
+    "Swaption-cube latency study" / "Double-float32 exact engine").  The
+    RK4 scheme, shared step count, per-slice dt, and sticky
+    divergence-freeze semantics match the f64 batch solver exactly; only
+    the arithmetic carrier differs.  Differentiable: df32 primitives are
+    plain f32 adds/muls whose composite is the exactly-rounded value, so
+    AD tangents equal the mathematical derivatives to f32 accuracy (the
+    LM cube calibration tolerates that Jacobian noise).
+    """
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    n = get_expansion_n(expansion_order)
+    n_grid = phi_grid.shape[0]
+    CLAMP = jnp.float32(1.0e3)
+    DEAD_RE = jnp.float32(-1.0e4)
+
+    tmpl = tuple(dd.from_f64(jnp.asarray(t, jnp.float64))
+                 for t in _rates_ode_templates(q, n))
+    phi_re = dd.from_f64(phi_grid.re)
+    phi_im = dd.from_f64(phi_grid.im)
+
+    def mul_add(a, k, dtc):
+        """a + k * dtc, componentwise complex DF."""
+        return (dd.add(a[0], dd.mul(k[0], dtc)),
+                dd.add(a[1], dd.mul(k[1], dtc)))
+
+    def solve_one(dt, c_hi, c_lo):
+        dt_half = dd.from_f64(0.5 * dt)
+        dt_full = dd.from_f64(dt)
+        dt_sixth = dd.from_f64(dt / 6.0)
+
+        def stage_scalars(ch, cl, col):
+            return tuple(dd.DF(ch[i, col], cl[i, col]) for i in range(7))
+
+        def rk4_step(carry, cx):
+            ch, cl = cx
+            (rh, rl, ih, il, dead) = carry
+            A = (dd.DF(rh, rl), dd.DF(ih, il))
+            c0 = stage_scalars(ch, cl, 0)
+            c1 = stage_scalars(ch, cl, 1)
+            c2 = stage_scalars(ch, cl, 2)
+            k1 = _df_rates_rhs(A[0], A[1], c0, phi_re, phi_im, tmpl, n)
+            k2 = _df_rates_rhs(*mul_add(A, k1, dt_half), c1, phi_re, phi_im,
+                               tmpl, n)
+            k3 = _df_rates_rhs(*mul_add(A, k2, dt_half), c1, phi_re, phi_im,
+                               tmpl, n)
+            k4 = _df_rates_rhs(*mul_add(A, k3, dt_full), c2, phi_re, phi_im,
+                               tmpl, n)
+            ksum = (dd.add(dd.add(k1[0], dd.scale_pow2(dd.add(k2[0], k3[0]),
+                                                       2.0)), k4[0]),
+                    dd.add(dd.add(k1[1], dd.scale_pow2(dd.add(k2[1], k3[1]),
+                                                       2.0)), k4[1]))
+            A1 = mul_add(A, ksum, dt_sixth)
+            bad_elem = (~(jnp.abs(A1[0].hi) < CLAMP)
+                        | ~(jnp.abs(A1[1].hi) < CLAMP)
+                        | ~jnp.isfinite(A1[0].hi) | ~jnp.isfinite(A1[1].hi))
+            dead = dead | jnp.any(bad_elem, axis=-1)
+            zero = jnp.zeros_like(rh)
+            dead_re = jnp.concatenate(
+                [jnp.full_like(rh[:, :1], DEAD_RE),
+                 jnp.zeros_like(rh[:, 1:])], axis=1)
+            rh1 = jnp.where(dead[:, None], dead_re,
+                            jnp.clip(A1[0].hi, -CLAMP, CLAMP))
+            rl1 = jnp.where(dead[:, None] | (jnp.abs(A1[0].hi) >= CLAMP),
+                            zero, A1[0].lo)
+            ih1 = jnp.where(dead[:, None], zero,
+                            jnp.clip(A1[1].hi, -CLAMP, CLAMP))
+            il1 = jnp.where(dead[:, None] | (jnp.abs(A1[1].hi) >= CLAMP),
+                            zero, A1[1].lo)
+            return (rh1, rl1, ih1, il1, dead), None
+
+        z32 = jnp.zeros((n_grid, n), jnp.float32)
+        init = (z32, z32, z32, z32, jnp.zeros(n_grid, dtype=bool))
+        (rh, rl, ih, il, _), _ = jax.lax.scan(rk4_step, init, (c_hi, c_lo))
+        return rh, rl, ih, il
+
+    # split the f64 stage coefficients into exact (hi, lo) f32 pairs OUTSIDE
+    # the scan so the body stays pure f32
+    sc = jnp.asarray(stage_coeffs)
+    sc_hi = sc.astype(jnp.float32)
+    sc_lo = (sc - sc_hi.astype(jnp.float64)).astype(jnp.float32)
+    rh, rl, ih, il = jax.vmap(solve_one)(jnp.asarray(dts), sc_hi, sc_lo)
+    from stochvolmodels_tpu.utils.df32 import DF, to_f64
+    return Cplx(to_f64(DF(rh, rl)), to_f64(DF(ih, il)))

@@ -366,9 +366,17 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
                           y0: Optional[np.ndarray] = None,
                           mesh=None,
                           panel_rtol: float = 1e-3,
-                          panel_atol: float = 1e-6):
+                          panel_atol: float = 1e-6,
+                          engine: str = "auto"):
     """jitted whole-cube swaption pricer: every (expiry, tenor) slice in ONE
     device program.
+
+    ``engine`` selects the Riccati-scan arithmetic: ``'f64'`` (plain f64
+    scans — the CPU default), ``'df32'`` (double-float32 carrier,
+    ~1e-13-accurate, runs on the fused f32 scan path that is ~200x cheaper
+    per step on the axon TPU backend), or ``'auto'`` (df32 on TPU, f64 on
+    CPU).  See rate_affine_expansion.solve_a_ode_grid_batch_df32 and
+    PARITY.md "Double-float32 exact engine".
 
     ``panel_rtol``/``panel_atol`` control the host solve_ivp that freezes
     the QA structural panels (defaults = scipy defaults, like the
@@ -414,8 +422,14 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
         _scalar_series,
         get_expansion_n,
         solve_a_ode_grid_batch,
+        solve_a_ode_grid_batch_df32,
     )
     from stochvolmodels_tpu.utils.rate_core import generate_ttms_grid
+
+    if engine == "auto":
+        engine = "df32" if jax.devices()[0].platform != "cpu" else "f64"
+    solve_batch = (solve_a_ode_grid_batch_df32 if engine == "df32"
+                   else solve_a_ode_grid_batch)
 
     P = len(slices)
     assert len(forwards) == P and len(strikes_slices) == P
@@ -490,8 +504,8 @@ def make_swaption_cube_fn(params: MultiFactRateLogSvParams,
                 stage_coeffs, slice_sharding)
 
         phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
-        a_t1 = solve_a_ode_grid_batch(phi, dts, stage_coeffs, q=theta,
-                                      expansion_order=expansion_order)
+        a_t1 = solve_batch(phi, dts, stage_coeffs, q=theta,
+                           expansion_order=expansion_order)
         y = sigma0 - theta
         if n == 3:
             ys = jnp.stack([jnp.ones_like(y), y, y * y])
@@ -528,8 +542,12 @@ def make_swaption_cube_fn_traced(params: MultiFactRateLogSvParams,
                                  x0: Optional[np.ndarray] = None,
                                  y0: Optional[np.ndarray] = None,
                                  mesh=None,
-                                 n_sub: int = 2):
+                                 n_sub: int = 2,
+                                 engine: str = "auto"):
     """whole-cube swaption pricer with the QA structural panels TRACED.
+
+    ``engine``: Riccati-scan arithmetic — 'f64' / 'df32' / 'auto' (df32 on
+    TPU); see :func:`make_swaption_cube_fn`.
 
     Same inversion engine as :func:`make_swaption_cube_fn`, but the
     annuity-measure structural pipeline — factor vols C(A), the frozen-drift
@@ -560,7 +578,13 @@ def make_swaption_cube_fn_traced(params: MultiFactRateLogSvParams,
     from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
         get_expansion_n,
         solve_a_ode_grid_batch,
+        solve_a_ode_grid_batch_df32,
     )
+
+    if engine == "auto":
+        engine = "df32" if jax.devices()[0].platform != "cpu" else "f64"
+    solve_batch = (solve_a_ode_grid_batch_df32 if engine == "df32"
+                   else solve_a_ode_grid_batch)
 
     P = len(slices)
     assert len(forwards) == P and len(strikes_slices) == P
@@ -632,8 +656,8 @@ def make_swaption_cube_fn_traced(params: MultiFactRateLogSvParams,
                 stage_coeffs, slice_sharding)
 
         phi = Cplx(jnp.full(p_nodes_j.shape, -0.5), p_nodes_j)
-        a_t1 = solve_a_ode_grid_batch(phi, dts_j, stage_coeffs, q=theta,
-                                      expansion_order=expansion_order)
+        a_t1 = solve_batch(phi, dts_j, stage_coeffs, q=theta,
+                           expansion_order=expansion_order)
         y = sigma0 - theta
         if n == 3:
             ys = jnp.stack([jnp.ones_like(y), y, y * y])

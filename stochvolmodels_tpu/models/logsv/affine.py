@@ -348,55 +348,78 @@ def _solve_a_ode_grid_dts(dts: np.ndarray, theta, kappa1, kappa2, beta,
 # double-float32 RK4 (f64-class accuracy on the fast f32 scan path)
 # ----------------------------------------------------------------------------
 
+def _df_tree_sum(a, axis: int):
+    """df32 reduction along ``axis`` by sequential halving (zero-padded to a
+    power of two) — log2(size) dd.adds of shrinking tensors instead of a
+    size-long chain of per-slice ops.  Compile-surface matters: the df32
+    scan bodies are the largest programs in the package and XLA's pass
+    pipeline is superlinear in body size (an early per-index-loop df32
+    trace cost ~850 s of XLA:CPU compile for one 2-maturity chain)."""
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    size = a.hi.shape[axis]
+    p = 1
+    while p < size:
+        p *= 2
+    if p != size:
+        pad = [(0, 0)] * a.hi.ndim
+        pad[axis] = (0, p - size)
+        a = dd.DF(jnp.pad(a.hi, pad), jnp.pad(a.lo, pad))
+    while p > 1:
+        p //= 2
+        lo = dd.DF(jax.lax.slice_in_dim(a.hi, 0, p, axis=axis),
+                   jax.lax.slice_in_dim(a.lo, 0, p, axis=axis))
+        hi = dd.DF(jax.lax.slice_in_dim(a.hi, p, 2 * p, axis=axis),
+                   jax.lax.slice_in_dim(a.lo, p, 2 * p, axis=axis))
+        a = dd.add(lo, hi)
+    return dd.DF(jnp.squeeze(a.hi, axis), jnp.squeeze(a.lo, axis))
+
+
 def _df_rhs(ar, ai, Mdf, Ldf, Hdf, n: int):
     """dA/dtau = A' M A + L A + H in df32 arithmetic.
 
-    ``ar``/``ai`` are DF panels (N, n); ``Mdf`` a real DF (n, n, n);
-    ``Ldf``/``Hdf`` complex DF pairs ((re, im) of DF) with shapes
-    (N, n, n) / (N, n).  All contractions are unrolled elementwise
-    df_mul/df_add chains — no jnp.dot/einsum (MXU would downcast to
-    bf16, destroying the error-free transformations).
+    ``ar``/``ai`` are DF panels (N, n); ``Mdf`` a real DF (n, n, n),
+    symmetric in its trailing axes; ``Ldf``/``Hdf`` complex DF pairs
+    ((re, im) of DF) with shapes (N, n, n) / (N, n).  All contractions are
+    elementwise df_mul broadcasts + tree-sum reductions — no jnp.dot/einsum
+    (MXU would downcast to bf16, destroying the error-free
+    transformations), and no per-index Python loops (each dd op is ~15-25
+    HLOs, so loop-built contractions blow up the scan body and XLA compile
+    time; see :func:`_df_tree_sum`).
     """
     from stochvolmodels_tpu.utils import df32 as dd
 
-    # Ma[n,k,i] = sum_j M[k,i,j] a[n,j]  (M real, a complex)
-    def m_contract(av):
-        out = None
-        for j in range(n):
-            mj = dd.DF(Mdf.hi[:, :, j], Mdf.lo[:, :, j])          # (n, n)
-            aj = dd.DF(av.hi[:, j, None, None], av.lo[:, j, None, None])
-            t = dd.mul(mj, aj)                                    # (N, n, n)
-            out = t if out is None else dd.add(out, t)
-        return out
+    # complex outer products (N, n, n): O_re = ar_i ar_j - ai_i ai_j,
+    # O_im = ar_i ai_j (M's trailing-axes symmetry makes the i<->j
+    # orientation irrelevant for the 2*sum(M O_im) imaginary part)
+    arr = dd.DF(ar.hi[:, :, None], ar.lo[:, :, None])
+    arc = dd.DF(ar.hi[:, None, :], ar.lo[:, None, :])
+    air = dd.DF(ai.hi[:, :, None], ai.lo[:, :, None])
+    aic = dd.DF(ai.hi[:, None, :], ai.lo[:, None, :])
+    O_re = dd.sub(dd.mul(arr, arc), dd.mul(air, aic))
+    O_im = dd.mul(arr, aic)
 
-    Mar, Mai = m_contract(ar), m_contract(ai)
+    # quad[k] = sum_ij M[k,i,j] O[i,j]: broadcast-mul to (N, n, n, n),
+    # flatten (i, j), tree-sum
+    Mk = dd.DF(Mdf.hi[None, :, :, :], Mdf.lo[None, :, :, :])
 
-    # quad_re = sum_i Ma[.,k,i] a_re[.,i] - Mb[.,k,i] a_im[.,i]
-    # quad_im = 2 sum_i Ma[.,k,i] a_im[.,i]
-    quad_re = quad_im = None
-    for i in range(n):
-        mar_i = dd.DF(Mar.hi[:, :, i], Mar.lo[:, :, i])           # (N, n)
-        mai_i = dd.DF(Mai.hi[:, :, i], Mai.lo[:, :, i])
-        ar_i = dd.DF(ar.hi[:, i, None], ar.lo[:, i, None])        # (N, 1)
-        ai_i = dd.DF(ai.hi[:, i, None], ai.lo[:, i, None])
-        tr = dd.sub(dd.mul(mar_i, ar_i), dd.mul(mai_i, ai_i))
-        ti = dd.mul(mar_i, ai_i)
-        quad_re = tr if quad_re is None else dd.add(quad_re, tr)
-        quad_im = ti if quad_im is None else dd.add(quad_im, ti)
-    quad_im = dd.scale_pow2(quad_im, 2.0)
+    def qcontract(O):
+        t = dd.mul(Mk, dd.DF(O.hi[:, None, :, :], O.lo[:, None, :, :]))
+        N = t.hi.shape[0]
+        t = dd.DF(t.hi.reshape(N, n, n * n), t.lo.reshape(N, n, n * n))
+        return _df_tree_sum(t, axis=2)                            # (N, n)
 
-    # lin[.,i] = sum_j L[.,i,j] a[.,j]   (L complex)
+    quad_re = qcontract(O_re)
+    quad_im = dd.scale_pow2(qcontract(O_im), 2.0)
+
+    # lin[i] = sum_j L[i,j] a[j]   (L complex, (N, n, n))
     Lre, Lim = Ldf
-    lin_re = lin_im = None
-    for j in range(n):
-        lre_j = dd.DF(Lre.hi[:, :, j], Lre.lo[:, :, j])           # (N, n)
-        lim_j = dd.DF(Lim.hi[:, :, j], Lim.lo[:, :, j])
-        ar_j = dd.DF(ar.hi[:, j, None], ar.lo[:, j, None])        # (N, 1)
-        ai_j = dd.DF(ai.hi[:, j, None], ai.lo[:, j, None])
-        tr = dd.sub(dd.mul(lre_j, ar_j), dd.mul(lim_j, ai_j))
-        ti = dd.add(dd.mul(lre_j, ai_j), dd.mul(lim_j, ar_j))
-        lin_re = tr if lin_re is None else dd.add(lin_re, tr)
-        lin_im = ti if lin_im is None else dd.add(lin_im, ti)
+    ar_b = dd.DF(ar.hi[:, None, :], ar.lo[:, None, :])            # (N, 1, n)
+    ai_b = dd.DF(ai.hi[:, None, :], ai.lo[:, None, :])
+    lin_re = _df_tree_sum(dd.sub(dd.mul(Lre, ar_b), dd.mul(Lim, ai_b)),
+                          axis=2)
+    lin_im = _df_tree_sum(dd.add(dd.mul(Lre, ai_b), dd.mul(Lim, ar_b)),
+                          axis=2)
 
     Hre, Him = Hdf
     out_re = dd.add(dd.add(quad_re, lin_re), Hre)

@@ -847,13 +847,14 @@ class LogSVPricer(ModelPricer):
         Exact-path ENGINE: on TPU the vanilla exact path defaults to the
         double-float32 RK4 (``exact_engine='df32'``; affine.py
         solve_a_ode_grid_df32) — same scheme and step count, f32-pair
-        arithmetic, 8.2e-9 max relative price agreement with the f64
-        engine on the BTC chain, and 34 ms instead of 429 ms warm because
-        f64 scan bodies execute per-op-latency-bound on the axon backend
-        while f32 bodies run fused (PARITY.md "Double-float32 exact
-        engine").  Pass ``exact_engine='f64'`` to force the plain-f64
-        scans (the CPU default, where f64 scans are fast and the df32
-        trace compiles slowly)."""
+        arithmetic, 5.5e-14 max relative price agreement with the f64
+        engine on the BTC chain measured on-device, and 35 ms instead of
+        ~420 ms warm because f64 scan bodies execute per-op-latency-bound
+        on the axon backend while f32 bodies run fused (PARITY.md
+        "Double-float32 exact engine", incl. the FP-contraction hazard
+        the engine is hardened against).  Pass ``exact_engine='f64'`` to
+        force the plain-f64 scans (the CPU default, where f64 scans are
+        fast and the df32 trace compiles slowly)."""
         if vol_scaler is None:
             vol_scaler = set_vol_scaler(sigma0=params.sigma0,
                                         ttm=np.min(option_chain.ttms))

@@ -169,7 +169,11 @@ def _nansum_re_mixed(weights: Cplx, exponent: Cplx, axis: int = -1) -> Array:
     """
     f32 = jnp.float32
     re, im = exponent.re, exponent.im
-    cap = 0.98 * jnp.log(jnp.finfo(jnp.result_type(re)).max)
+    # exp() runs in f32 below, so the overflow cap must be the f32 one (~87):
+    # capping at the incoming f64 exponent's ~695 would let exponents in
+    # (88.7, 695) produce inf terms that bypass the NaN filter (inf*finite
+    # stays inf) and poison prices/gradients.
+    cap = 0.98 * jnp.log(jnp.finfo(f32).max)
     bad = jnp.isnan(re) | jnp.isnan(im) | (re > cap)
     two_pi = 2.0 * jnp.pi
     im_red = jnp.where(bad, 0.0, im)

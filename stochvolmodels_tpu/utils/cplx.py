@@ -118,8 +118,11 @@ def cexpm1(z: Cplx) -> Cplx:
     crosses zero inside the transform grid (models/hawkes_jd.py).
     """
     em = jnp.expm1(z.re)
-    cos_v = jnp.cos(z.im)
-    return Cplx(em * cos_v - (1.0 - cos_v), (em + 1.0) * jnp.sin(z.im))
+    # 1 - cos(v) via the cancellation-free half-angle identity so the term's
+    # rounding error scales with |v|^2 (the naive difference carries a flat
+    # ~ulp(1)/2 absolute error independent of |v|).
+    one_m_cos = 2.0 * jnp.square(jnp.sin(0.5 * z.im))
+    return Cplx(em * (1.0 - one_m_cos) - one_m_cos, (em + 1.0) * jnp.sin(z.im))
 
 
 def clog(z: Cplx) -> Cplx:

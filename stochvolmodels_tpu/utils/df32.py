@@ -14,12 +14,28 @@ truncation error still dominates (df32 roundoff ~2^-48 per op vs the
 ~1e-9 discretization floor of the 240 steps/yr default).
 
 Algorithms are the classical error-free transformations (Dekker 1971,
-Knuth TAOCP v2): TwoSum / Split / TwoProd, FMA-free (XLA does not expose
-a guaranteed-fused multiply-add).  Requires IEEE round-to-nearest f32
-mul/add — true of the TPU VPU and of XLA:CPU, but NOT of MXU matmuls
-(which downcast to bf16), so df32 code must stay elementwise/VPU:
-contract small tensors with unrolled loops of df_add/df_mul, never
-jnp.dot/einsum.
+Knuth TAOCP v2) made CONTRACTION-INVARIANT.  They require IEEE
+round-to-nearest f32 add/sub — true of the TPU VPU and of XLA:CPU — but
+deliberately do NOT require uncontracted multiplies: XLA:CPU's backend
+emits machine FMAs for fmul+fadd pairs even with no fast-math flags in
+the LLVM IR (observed vfmadd/vfmsub in the dumped fusion kernel objects),
+which silently destroys any EFT that anchors on a ROUNDED product —
+classic Dekker TwoProd degraded jitted df32 scan bodies to plain-f32
+accuracy (~4e-8) while tiny probe programs stayed exact.  Two design
+rules restore invariance:
+
+* Split is MANTISSA BIT-MASKING (not the 2^12+1 multiply trick), so it
+  contains no fmul a compiler could fuse;
+* TwoProd multiplies only the <= 12-bit-mantissa split halves — all four
+  partial products are exactly representable, so ``fma(ah, bh, x)`` and
+  ``ah * bh + x`` round the identical value — and combines them with
+  add-only TwoSum/FastTwoSum.  Every mul-feeding-add in the module is
+  either an exact product or a correction-level term whose contraction
+  shifts the result by ~2^-48 only.
+
+MXU matmuls still downcast to bf16, so df32 code must stay
+elementwise/VPU: contract small tensors with broadcast mul + tree-sum,
+never jnp.dot/einsum.
 
 All functions broadcast elementwise over arrays.  A df32 number is a
 ``DF`` namedtuple-like pair; complex df32 values pair two DFs (see
@@ -29,9 +45,12 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for binary32 (24-bit mantissa)
+# keep sign(1) + exponent(8) + 11 explicit mantissa bits -> 12 significant
+# bits incl. the implicit leading 1 (Dekker split target for binary32)
+_SPLIT_MASK = jnp.uint32(0xFFFFF000)
 
 
 class DF(NamedTuple):
@@ -56,19 +75,49 @@ def _quick_two_sum(a, b):
 
 
 def _split(a):
-    """a == hi + lo with hi, lo 12-bit mantissas (Dekker Split)."""
-    t = _SPLITTER * a
-    hi = t - (t - a)
+    """a == hi + lo with hi, lo <= 12-bit mantissas (bit-mask Split).
+
+    Masking the low 12 explicit mantissa bits is EXACT (hi carries a's top
+    bits, lo = a - hi is a Sterbenz-exact difference holding the masked-off
+    bits) and, unlike Dekker's ``t = (2^12+1)*a; hi = t - (t - a)``, has no
+    fmul-feeding-fadd pattern an FP-contracting compiler can corrupt —
+    XLA:CPU's LLVM JIT does exactly that inside large fused scan bodies
+    (module docstring)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & _SPLIT_MASK, jnp.float32)
     lo = a - hi
     return hi, lo
 
 
 def _two_prod(a, b):
-    """p + e == a * b exactly (Dekker TwoProd, FMA-free, 17 flops)."""
-    p = a * b
+    """p + e == a * b to ~2^-47 relative, CONTRACTION-INVARIANT.
+
+    Classic Dekker TwoProd anchors on the rounded full product
+    ``p = fl(a*b)`` and reconstructs its rounding error — which an
+    FP-contracting compiler silently destroys: XLA:CPU's backend emits
+    machine FMAs for fmul+fadd pairs even with no fast-math flags in the
+    IR (observed vfmadd/vfmsub in the fusion kernels), so a consumer
+    computing ``s - p`` or ``p + e`` gets the UNROUNDED product and the
+    compensation absorbs p's rounding error (~ulp(p)) as garbage.
+
+    This variant only ever multiplies the <= 12-bit-mantissa split halves,
+    so all four partial products are EXACT — ``fma(ah, bh, x)`` and
+    ``ah * bh + x`` round the identical value, making the whole expression
+    invariant under contraction.  The partials combine through add-only
+    error-free transforms (TwoSum / FastTwoSum, which contain no multiply
+    a compiler could fuse), so the only rounding is the final
+    correction-level add at ~2^-48*|ab|.  |p| >= |e| holds, as
+    _quick_two_sum callers need.
+    """
     ah, al = _split(a)
     bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    p0 = ah * bh                           # all four partials exact
+    p1 = ah * bl
+    p2 = al * bh
+    p3 = al * bl
+    s1, e1 = _two_sum(p1, p2)              # exact (add-only EFT)
+    p, e_a = _quick_two_sum(p0, s1)        # exact; |p0| >= |s1|
+    e = (e_a + p3) + e1                    # ~2^-48|ab| rounding only
     return p, e
 
 
@@ -123,7 +172,10 @@ def mul(a: DF, b: DF) -> DF:
 
 
 def mul_f(a: DF, b) -> DF:
-    """df32 * f32 scalar/array (~21 flops)."""
+    """df32 * f32 scalar/array (~21 flops).
+
+    Routed through the contraction-invariant _two_prod (exact dominant
+    product), same as :func:`mul` — see _two_prod's docstring."""
     b = jnp.asarray(b, jnp.float32)
     p, e = _two_prod(a.hi, b)
     e = e + a.lo * b

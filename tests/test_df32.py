@@ -56,9 +56,123 @@ class TestDf32Arithmetic:
         np.testing.assert_array_equal(np.asarray(dd.to_f64(y)),
                                       2.0 * np.asarray(dd.to_f64(x)))
 
+    def test_two_prod_two_sum_exact(self):
+        """error-free-transform contract: TwoSum is bit-exact, TwoProd's
+        p + e equals the exact product to ~2^-45 relative (the dominant
+        split-product is exact; only correction-level adds round).  The
+        TPU-backend twin lives in
+        tests/test_tpu_perf.py::test_two_prod_exact_on_device."""
+        import jax
 
-@pytest.mark.slow
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal(4096).astype(np.float32)
+        b = (rng.standard_normal(4096) * np.exp(
+            rng.uniform(-20, 20, 4096))).astype(np.float32)
+
+        @jax.jit
+        def probe(a32, b32):
+            p, e = dd._two_prod(a32, b32)
+            s, f = dd._two_sum(a32, b32)
+            return p, e, s, f
+
+        with jax.enable_x64(False):
+            p, e, s, f = probe(jnp.asarray(a), jnp.asarray(b))
+        prod = a.astype(np.float64) * b.astype(np.float64)
+        err = np.abs(np.asarray(p, np.float64) + np.asarray(e, np.float64)
+                     - prod) / np.abs(prod)
+        assert np.max(err) < 2.0 ** -45, f"two_prod rel err {np.max(err):.2e}"
+        np.testing.assert_array_equal(
+            np.asarray(s, np.float64) + np.asarray(f, np.float64),
+            a.astype(np.float64) + b.astype(np.float64))
+
+    def test_fused_broadcast_mul_accuracy(self):
+        """regression for the XLA:CPU machine-level FMA contraction that
+        silently degraded jitted df32 fusions to plain-f32 accuracy
+        (PARITY.md "Double-float32 exact engine" — the backend emits
+        vfmadd for fmul+fadd pairs even with no fast-math flags in the
+        IR).  A broadcast outer-product mul inside ONE fused program must
+        keep df32 accuracy; with a rounded dominant product it measured
+        6.3e-7, with the exact-split-partials TwoProd it is ~1e-13."""
+        import jax
+
+        rng = np.random.default_rng(0)
+        ar = dd.from_f64(jnp.asarray(rng.standard_normal((16, 5)) * 2))
+
+        @jax.jit
+        def outer(arh, arl):
+            a = dd.DF(arh, arl)
+            arr = dd.DF(a.hi[:, :, None], a.lo[:, :, None])
+            arc = dd.DF(a.hi[:, None, :], a.lo[:, None, :])
+            O = dd.mul(arr, arc)
+            return O.hi, O.lo
+
+        with jax.enable_x64(False):
+            oh, ol = outer(ar.hi, ar.lo)
+        a64 = np.asarray(dd.to_f64(ar))
+        exact = a64[:, :, None] * a64[:, None, :]
+        got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+        err = np.max(np.abs(got - exact))
+        assert err < 1e-12, f"fused broadcast mul err {err:.2e}"
+
+
+class TestDf32ChainParity:
+    """end-to-end `price_chain(precision='exact', exact_engine='df32')`
+    vs the f64 engine — the contract the TPU exact default ships on
+    (PARITY.md "Double-float32 exact engine"): SECOND-order expansion
+    (n=5, the production default), chained maturities, full 1000-lane
+    transform grid and quadrature.
+
+    Deliberately runs the FULL BTC chain at default settings so the f64
+    side is the exact program other fast-tier tests already compile
+    (in-process jit cache); only the df32 scans compile fresh.  Measured
+    agreement: ~0 on CPU and 5.5e-14 on the real TPU (the ~1e-13 A-panel
+    differences sit in quadrature-dead high-|phi| lanes); the on-device
+    twin (tests/test_tpu_perf.py::test_exact_df32_matches_f64_on_device)
+    asserts < 1e-7 there."""
+
+    def test_full_btc_chain_matches_f64(self):
+        from stochvolmodels_tpu.data.sample_chains import get_btc_test_chain_data
+        from stochvolmodels_tpu.models.logsv.pricer import (
+            LOGSV_BTC_PARAMS,
+            LogSVPricer,
+        )
+
+        chain = get_btc_test_chain_data()
+        pricer = LogSVPricer()
+        p64 = pricer.price_chain(option_chain=chain, params=LOGSV_BTC_PARAMS,
+                                 exact_engine="f64")
+        pdd = pricer.price_chain(option_chain=chain, params=LOGSV_BTC_PARAMS,
+                                 exact_engine="df32")
+        err = 0.0
+        for a, b in zip(p64, pdd):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(a) > 1e-8
+            err = max(err, float(np.max(np.abs(a[m] - b[m]) / np.abs(a[m]))))
+        assert err < 5e-8, f"df32 vs f64 BTC chain rel diff {err:.2e}"
+
+
 class TestDf32Rk4Engine:
+    def test_solver_second_order_matches_f64(self):
+        """SECOND-order expansion (n=5 — the production default the slow
+        FIRST-order tests below do not touch), 16 lanes, same steps:
+        arithmetic agreement ~1e-10."""
+        import stochvolmodels_tpu.models.logsv.affine as afe
+        from stochvolmodels_tpu.utils.cplx import Cplx
+
+        N = 16
+        phi = Cplx(jnp.full((N,), -0.5), jnp.linspace(0.0, 10.0, N))
+        psi = Cplx(jnp.zeros((N,)), jnp.zeros((N,)))
+        kw = dict(ttm=0.25, theta=1.0, kappa1=2.21, kappa2=2.18, beta=0.15,
+                  volvol=1.85, phi_grid=phi, psi_grid=psi,
+                  expansion_order=afe.ExpansionOrder.SECOND, nb_steps=16)
+        a64 = afe.solve_a_ode_grid(**kw)
+        add_ = afe.solve_a_ode_grid_df32(**kw)
+        np.testing.assert_allclose(np.asarray(add_.re), np.asarray(a64.re),
+                                   rtol=0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(add_.im), np.asarray(a64.im),
+                                   rtol=0, atol=1e-10)
+
+    @pytest.mark.slow
     def test_solver_matches_f64(self):
         """df32 RK4 vs the f64 RK4 on a small grid: same scheme, same
         steps, arithmetic agreement to ~1e-10 on well-conditioned lanes

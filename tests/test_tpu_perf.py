@@ -105,12 +105,15 @@ def test_warm_analytic_chain_reprice_under_200ms(btc_chain, healthy_tunnel):
     assert np.isfinite(p00) and p00 > 0.0
 
 
-def test_warm_exact_chain_reprice_under_700ms(btc_chain, healthy_tunnel):
-    """the f64 reference-parity default path.  The round-2 verdict flagged
-    it at 1164 ms warm; the step-refinement study (scripts/
-    bench_exact_path.py — the scan is per-step-latency-bound, error flat
-    down to 120 steps/yr) cut the default to 240 steps/yr, measured 419 ms
-    warm.  700 ms bound absorbs tunnel variance."""
+def test_warm_exact_f64_chain_reprice_under_700ms(btc_chain, healthy_tunnel):
+    """the f64 reference-parity engine (still the CPU default and the
+    QVAR/SIGMA/graded-warmup engine).  The round-2 verdict flagged it at
+    1164 ms warm; the step-refinement study (scripts/bench_exact_path.py —
+    the scan is per-step-latency-bound, error flat down to 120 steps/yr)
+    cut the default to 240 steps/yr, measured 419 ms warm.  700 ms bound
+    absorbs tunnel variance.  ``exact_engine='f64'`` pins the engine: since
+    r04 the TPU exact default is df32 (own gate below), and this gate must
+    keep covering the f64 scans."""
     from stochvolmodels_tpu.models.logsv.params import LogSvParams
     from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
 
@@ -119,7 +122,8 @@ def test_warm_exact_chain_reprice_under_700ms(btc_chain, healthy_tunnel):
                          beta=0.15, volvol=1.85)
 
     def reprice():
-        prices = pricer.price_chain(option_chain=btc_chain, params=params)
+        prices = pricer.price_chain(option_chain=btc_chain, params=params,
+                                    exact_engine="f64")
         return float(np.asarray(prices[0])[0])
 
     p00 = reprice()  # compile + first run
@@ -130,6 +134,114 @@ def test_warm_exact_chain_reprice_under_700ms(btc_chain, healthy_tunnel):
         best = min(best, time.perf_counter() - t0)
     assert best < 0.7, f"warm exact reprice took {best * 1e3:.0f}ms (target < 700ms)"
     assert np.isfinite(p00) and p00 > 0.0
+
+
+def test_warm_exact_df32_chain_reprice_under_150ms(btc_chain, healthy_tunnel):
+    """the df32 exact engine — the TPU `precision='exact'` default since
+    r04 (PARITY.md "Double-float32 exact engine": 35 ms warm vs 419 ms for
+    the f64 scans, identical RK4 scheme and step count).  150 ms bound
+    absorbs tunnel variance while still failing if the df32 trace ever
+    falls back onto the latency-bound f64 scan path."""
+    from stochvolmodels_tpu.models.logsv.params import LogSvParams
+    from stochvolmodels_tpu.models.logsv.pricer import LogSVPricer
+
+    pricer = LogSVPricer()
+    params = LogSvParams(sigma0=0.88, theta=1.0, kappa1=2.21, kappa2=2.18,
+                         beta=0.15, volvol=1.85)
+
+    def reprice():
+        prices = pricer.price_chain(option_chain=btc_chain, params=params,
+                                    exact_engine="df32")
+        return float(np.asarray(prices[0])[0])
+
+    p00 = reprice()  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        reprice()
+        best = min(best, time.perf_counter() - t0)
+    assert best < 0.15, f"warm df32 exact reprice took {best * 1e3:.0f}ms (target < 150ms)"
+    assert np.isfinite(p00) and p00 > 0.0
+
+
+def test_exact_df32_matches_f64_on_device(btc_chain):
+    """NUMERIC gate for the shipping TPU exact default: full-chain df32
+    prices agree with the f64 engine to < 1e-7 max relative ON DEVICE.
+
+    df32 correctness rests on IEEE round-to-nearest f32 mul/add with no
+    FP contraction (utils/df32.py) — exactly the property a TPU compiler
+    change can silently break while CPU tests stay green, so this must run
+    on the real backend.  No healthy_tunnel fixture: accuracy does not
+    care about tunnel weather."""
+    from stochvolmodels_tpu.models.logsv.pricer import (
+        LOGSV_BTC_PARAMS,
+        LogSVPricer,
+    )
+
+    pricer = LogSVPricer()
+    p64 = pricer.price_chain(option_chain=btc_chain, params=LOGSV_BTC_PARAMS,
+                             exact_engine="f64")
+    pdd = pricer.price_chain(option_chain=btc_chain, params=LOGSV_BTC_PARAMS,
+                             exact_engine="df32")
+    err = 0.0
+    for a, b in zip(p64, pdd):
+        a, b = np.asarray(a), np.asarray(b)
+        m = np.abs(a) > 1e-8
+        err = max(err, float(np.max(np.abs(a[m] - b[m]) / np.abs(a[m]))))
+    assert err < 1e-7, f"df32 vs f64 on-device max rel diff {err:.2e}"
+
+
+def test_two_prod_exact_on_device():
+    """error-free-transform probe on the real backend: TwoSum bit-exact,
+    TwoProd p + e within ~2^-45 of the exact product, and a FUSED
+    broadcast outer-product mul at full df32 accuracy.  The fused case is
+    the one a contraction-happy backend corrupts (XLA:CPU emitted machine
+    FMAs for fmul+fadd pairs with no fast-math flags in the IR and
+    silently degraded jitted df32 bodies to plain f32 — PARITY.md
+    "Double-float32 exact engine"); if XLA:TPU ever grows the same
+    behavior beyond what the exact-split-partials TwoProd tolerates, this
+    fails loudly instead of corrupting every df32 price."""
+    from stochvolmodels_tpu.utils import df32 as dd
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(4096).astype(np.float32)
+    b = (rng.standard_normal(4096) * np.exp(
+        rng.uniform(-20, 20, 4096))).astype(np.float32)
+
+    @jax.jit
+    def probe(a32, b32):
+        p, e = dd._two_prod(a32, b32)
+        s, f = dd._two_sum(a32, b32)
+        return p, e, s, f
+
+    with jax.enable_x64(False):
+        p, e, s, f = probe(jnp.asarray(a), jnp.asarray(b))
+    exact_prod = a.astype(np.float64) * b.astype(np.float64)
+    got_prod = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    err = np.max(np.abs(got_prod - exact_prod) / np.abs(exact_prod))
+    assert err < 2.0 ** -45, f"two_prod rel err {err:.2e}"
+    exact_sum = a.astype(np.float64) + b.astype(np.float64)
+    got_sum = np.asarray(s, np.float64) + np.asarray(f, np.float64)
+    # TwoSum is exact whenever a+b does not round beyond f64 (always here)
+    np.testing.assert_array_equal(got_sum, exact_sum)
+
+    ar = dd.from_f64(jnp.asarray(rng.standard_normal((16, 5)) * 2))
+
+    @jax.jit
+    def outer(arh, arl):
+        av = dd.DF(arh, arl)
+        arr = dd.DF(av.hi[:, :, None], av.lo[:, :, None])
+        arc = dd.DF(av.hi[:, None, :], av.lo[:, None, :])
+        O = dd.mul(arr, arc)
+        return O.hi, O.lo
+
+    with jax.enable_x64(False):
+        oh, ol = outer(ar.hi, ar.lo)
+    a64 = np.asarray(dd.to_f64(ar))
+    exact = a64[:, :, None] * a64[:, None, :]
+    got = np.asarray(oh, np.float64) + np.asarray(ol, np.float64)
+    ferr = np.max(np.abs(got - exact))
+    assert ferr < 1e-12, f"fused broadcast mul err {ferr:.2e}"
 
 
 def test_warm_fast_chain_ivols_under_500ms(btc_chain, healthy_tunnel):
