@@ -43,12 +43,24 @@ except ImportError:
     HAS_OCA = False
 
 
-def _require_oca() -> None:
-    if not HAS_OCA:
+def _oca_create_chain():
+    """resolve OCA's chain constructor LAZILY (at call time, not import
+    time) so the optional dependency gates only the import: a test (or a
+    late install) that provides an ``option_chain_analytics`` module in
+    ``sys.modules`` flows through the full adapter without reloading this
+    module (reference wiring: fetch_option_chain.py:77-101)."""
+    try:
+        from option_chain_analytics import create_chain_from_from_options_dfs
+        return create_chain_from_from_options_dfs
+    except ImportError:
         raise ImportError(
             "live chain fetching needs the optional 'option-chain-analytics' "
             "package; install it or use the bundled sample chains in "
             "stochvolmodels_tpu.data.sample_chains")
+
+
+def _require_oca() -> None:
+    _oca_create_chain()
 
 
 def _col(df: pd.DataFrame, name: str) -> np.ndarray:
@@ -226,11 +238,14 @@ def load_option_chain(options_data_dfs,
                       is_filtered: bool = True,
                       ) -> Optional[OptionChain]:
     """build an OptionChain from an OCA ``OptionsDataDFs`` at ``value_time``
-    (reference fetch_option_chain.py:77-101).  Thin guarded fetch: requires
-    the optional dependency; the transformation itself lives in
-    :func:`generate_vol_chain_np` and needs nothing beyond pandas."""
-    _require_oca()
-    chain = create_chain_from_from_options_dfs(
+    (reference fetch_option_chain.py:77-101).  The optional dependency is
+    resolved lazily and gates ONLY the ``create_chain_from_from_options_dfs``
+    constructor; the transformation itself lives in
+    :func:`generate_vol_chain_np` and needs nothing beyond pandas — tested
+    end-to-end against an injected fake OCA module
+    (tests/test_chain_data.py)."""
+    create_chain = _oca_create_chain()
+    chain = create_chain(
         options_data_dfs=options_data_dfs, value_time=value_time)
     if chain is None:
         return None

@@ -188,3 +188,57 @@ def test_make_joint_slice_df_no_delta_filter():
     assert len(df) == 7
     assert df.loc[100.0, 'optiontype'] == 'C'
     assert df.loc[90.0, 'optiontype'] == 'P'
+
+
+def test_load_option_chain_through_mocked_oca(monkeypatch):
+    """full OptionsDataDFs -> OptionChain adapter path through an injected
+    fake ``option_chain_analytics`` module (reference wiring:
+    fetch_option_chain.py:77-101).  The OCA guard gates only the lazy
+    constructor import; the construction logic is the tested
+    dependency-free pipeline."""
+    import sys
+    import types
+
+    from stochvolmodels_tpu.data import fetch_option_chain as fc
+
+    value_time = pd.Timestamp('2021-11-01 08:00:00+00:00')
+    calls = {}
+
+    def fake_create_chain(options_data_dfs, value_time):
+        calls['args'] = (options_data_dfs, value_time)
+        return _synthetic_chain(value_time)
+
+    fake = types.ModuleType('option_chain_analytics')
+    fake.create_chain_from_from_options_dfs = fake_create_chain
+    fake.OptionsDataDFs = object
+    monkeypatch.setitem(sys.modules, 'option_chain_analytics', fake)
+
+    sentinel_dfs = object()
+    oc = fc.load_option_chain(options_data_dfs=sentinel_dfs,
+                              value_time=value_time,
+                              days_map={'1w': 7, '1m': 21})
+    # the adapter forwarded the OCA inputs verbatim ...
+    assert calls['args'] == (sentinel_dfs, value_time)
+    # ... and the frames flowed through the real construction pipeline
+    assert list(oc.ids) == ['1w: 09NOV', '1m: 23NOV']
+    np.testing.assert_allclose(oc.forwards, [100.0, 101.0])
+    np.testing.assert_allclose(oc.strikes_ttms[0], [70.0, 90.0, 100.0, 110.0])
+
+    # returning None from OCA propagates (reference :97-101 returns None)
+    fake.create_chain_from_from_options_dfs = \
+        lambda options_data_dfs, value_time: None
+    assert fc.load_option_chain(options_data_dfs=sentinel_dfs,
+                                value_time=value_time) is None
+
+
+def test_load_option_chain_guard_without_oca():
+    """without the optional dependency the adapter raises the documented
+    ImportError — and only the import is gated, not the module load."""
+    import pytest
+
+    from stochvolmodels_tpu.data import fetch_option_chain as fc
+
+    if fc.HAS_OCA:  # pragma: no cover - environment has the optional dep
+        pytest.skip("option_chain_analytics installed")
+    with pytest.raises(ImportError, match="option-chain-analytics"):
+        fc.load_option_chain(options_data_dfs=object())

@@ -151,6 +151,48 @@ class TestDf32ChainParity:
         assert err < 5e-8, f"df32 vs f64 BTC chain rel diff {err:.2e}"
 
 
+class TestDf32RatesBatchSolver:
+    """df32 image of the factor-HJM batched Riccati solver — the TPU cube
+    default since r05 (PARITY.md "Double-float32 swaption cube": warm USD
+    cube reprice 560 ms (f64 scans) -> 32 ms on-device, CPU price parity
+    7.9e-15, gradient parity 1.6e-8)."""
+
+    @pytest.mark.slow
+    def test_batch_solver_matches_f64(self):
+        """small (P=2 slices, 16 phi nodes, 16 shared steps) batch solve
+        with time-dependent stage coefficients: df32 vs f64 A panels to
+        ~1e-11 absolute (|A| stays O(1))."""
+        import jax
+
+        from stochvolmodels_tpu.models.factor_hjm.rate_affine_expansion import (
+            ExpansionOrder,
+            solve_a_ode_grid_batch,
+            solve_a_ode_grid_batch_df32,
+        )
+        from stochvolmodels_tpu.utils.cplx import Cplx
+
+        N, S, P = 16, 16, 2
+        phi = Cplx(jnp.full((N,), -0.5), jnp.linspace(0.0, 8.0, N))
+        rng = np.random.default_rng(5)
+        # plausible stage scalars: [kappa0, kappa1, kappa2, vartheta2,
+        # apb, apa, b], mildly time-varying, repeated per RK4 stage column
+        base = np.array([0.05, 1.2, 0.8, 0.9, 0.02, 0.01, 0.0])
+        wiggle = 1.0 + 0.1 * rng.standard_normal((P, S, 7))
+        coeffs = np.repeat((base[None, None, :] * wiggle)[..., None], 3,
+                           axis=3)                               # (P,S,7,3)
+        dts = np.array([0.5 / S, 1.0 / S])
+        a64 = solve_a_ode_grid_batch(
+            phi, jnp.asarray(dts), jnp.asarray(coeffs), q=1.0,
+            expansion_order=ExpansionOrder.FIRST)
+        add_ = solve_a_ode_grid_batch_df32(
+            phi, jnp.asarray(dts), jnp.asarray(coeffs), q=1.0,
+            expansion_order=ExpansionOrder.FIRST)
+        np.testing.assert_allclose(np.asarray(add_.re), np.asarray(a64.re),
+                                   rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(add_.im), np.asarray(a64.im),
+                                   rtol=0, atol=1e-11)
+
+
 class TestDf32Rk4Engine:
     def test_solver_second_order_matches_f64(self):
         """SECOND-order expansion (n=5 — the production default the slow

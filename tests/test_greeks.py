@@ -31,7 +31,15 @@ HESTON = HestonParams(v0=0.7, theta=0.9, kappa=3.0, rho=-0.4, volvol=1.5)
 
 
 class TestLogSVGreeks:
-    YEAR_STEPS = 360
+    # 240 (not the 360 fast-mode default): the FD comparisons hold at any
+    # step count as long as both sides share it, and the suite's top
+    # offenders were these tests' 7+ chain evaluations per FD on one CPU
+    # core (r04 verdict item 5).  NOT coarser: 120 steps/yr landed a
+    # moment-exploding phi-lane mid-divergence on the bumped params (huge
+    # finite Re log-MGF below the nansum drop cap -> 1e280 "prices" — the
+    # same failure mode the exact-path step study documents at 180/yr;
+    # 240 is the coarsest setting with a clean margin, PARITY.md).
+    YEAR_STEPS = 240
 
     def greeks(self, chain, params, greeks):
         return logsv_chain_greeks(chain, params, greeks=greeks,

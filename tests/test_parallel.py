@@ -207,17 +207,21 @@ def test_sharded_cube_lm_matches_single():
         A=np.array([0.01, 0.01, 0.01]), R=np.eye(3),
         basis=NelsonSiegel(meanrev=0.25, key_terms=np.array([1.0, 5.0, 10.0])),
         ccy="USD")
-    slices = [(1.0, 1.0), (1.0, 5.0), (2.0, 1.0), (2.0, 5.0)]
-    strikes = [np.array([-0.01, 0.0, 0.01])] * 4
-    fwds = [0.0] * 4
-    ivols = [np.array([0.011, 0.010, 0.0105])] * 4
+    # 3 slices x 3 strikes, 3 LM iterations: the sharded==single assertion
+    # is shape-independent, and each extra iteration/slice only inflates
+    # the two whole-cube vjp compiles this test pays on one CPU core
+    # (r04 verdict item 5 — this test was a top-5 suite offender)
+    slices = [(1.0, 1.0), (1.0, 5.0), (2.0, 5.0)]
+    strikes = [np.array([-0.01, 0.0, 0.01])] * 3
+    fwds = [0.0] * 3
+    ivols = [np.array([0.011, 0.010, 0.0105])] * 3
 
     mesh = make_path_mesh()
     fit_sharded, cost_sharded = calibrate_rate_logsv_cube_lm_on_device(
-        params, slices, fwds, strikes, ivols, nb_iters=4, year_steps=24,
+        params, slices, fwds, strikes, ivols, nb_iters=3, year_steps=24,
         mesh=mesh)
     fit_single, cost_single = calibrate_rate_logsv_cube_lm_on_device(
-        params, slices, fwds, strikes, ivols, nb_iters=4, year_steps=24)
+        params, slices, fwds, strikes, ivols, nb_iters=3, year_steps=24)
     np.testing.assert_allclose(cost_sharded, cost_single, rtol=1e-9)
     np.testing.assert_allclose(fit_sharded.beta.xs, fit_single.beta.xs,
                                rtol=1e-7, atol=1e-10)

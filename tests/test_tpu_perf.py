@@ -320,24 +320,31 @@ def test_warm_hawkes_lm_calibration_under_5s(btc_chain, healthy_tunnel):
     assert np.isfinite(cost) and cost < 0.05
 
 
-def test_warm_swaption_cube_reprice_under_1s(healthy_tunnel):
-    """the batched USD swaption cube (12 slices, 108 quotes, 240 shared RK4
-    steps at the default year_steps=48 — max|dP| 5.9e-12 vs a 600-step run,
-    scripts/bench_cube_breakdown.py) repriced warm in under a second — the
-    reference's host DE-refinement loop needs minutes for the same cube."""
+def _usd_cube():
     from papers.sv_for_factor_hjm.calibration_fig_5_6_7 import (
         get_calib_rate_logsv_params,
         get_swaption_data,
     )
-    from stochvolmodels_tpu.models.factor_hjm import (
-        make_swaption_cube_fn,
-        swaption_chain_to_cube,
-    )
+    from stochvolmodels_tpu.models.factor_hjm import swaption_chain_to_cube
 
     chain = get_swaption_data("USD")
     params = get_calib_rate_logsv_params()["USD"]
     slices, fwds, strikes, _ = swaption_chain_to_cube(chain, max_expiry=5.0)
-    fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes)
+    return params, slices, fwds, strikes
+
+
+def test_warm_swaption_cube_f64_reprice_under_1s(healthy_tunnel):
+    """the batched USD swaption cube (12 slices, 108 quotes, 240 shared RK4
+    steps at the default year_steps=48 — max|dP| 5.9e-12 vs a 600-step run,
+    scripts/bench_cube_breakdown.py) repriced warm in under a second on the
+    f64 Riccati scans — the reference's host DE-refinement loop needs
+    minutes for the same cube.  ``engine='f64'`` pins the engine: the TPU
+    default is df32 since r05 (own, tighter gate below)."""
+    from stochvolmodels_tpu.models.factor_hjm import make_swaption_cube_fn
+
+    params, slices, fwds, strikes = _usd_cube()
+    fn, _ = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                  engine="f64")
     args = (jnp.asarray(params.sigma0), jnp.asarray(params.beta.xs),
             jnp.asarray(params.volvol.xs))
     float(jnp.sum(fn(*args)))  # compile + first run
@@ -349,3 +356,36 @@ def test_warm_swaption_cube_reprice_under_1s(healthy_tunnel):
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(s)
     assert best < 1.0, f"warm cube reprice took {best:.2f}s (target < 1 s)"
+
+
+def test_warm_swaption_cube_df32_reprice_under_150ms(healthy_tunnel):
+    """the df32 cube engine (the TPU default since r05): same RK4 scheme
+    on double-float32 carriers, warm 32 ms measured vs 560 ms for the f64
+    scans (PARITY.md "Double-float32 swaption cube").  150 ms bound
+    absorbs tunnel variance while failing if the trace ever falls back on
+    the latency-bound f64 scan path.  Also asserts the on-device numeric
+    agreement with the f64 engine on vega-weighted scale."""
+    from stochvolmodels_tpu.models.factor_hjm import make_swaption_cube_fn
+
+    params, slices, fwds, strikes = _usd_cube()
+    args = (jnp.asarray(params.sigma0), jnp.asarray(params.beta.xs),
+            jnp.asarray(params.volvol.xs))
+    fn64, mask = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                       engine="f64")
+    fndd, _ = make_swaption_cube_fn(params, slices, fwds, strikes,
+                                    engine="df32")
+    p64 = np.asarray(fn64(*args))
+    pdd = np.asarray(fndd(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(jnp.sum(fndd(*args)))
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(s)
+    assert best < 0.15, f"warm df32 cube reprice took {best * 1e3:.0f}ms"
+    # numeric gate: absolute agreement at the price scale that matters
+    # (annuity-normalized prices O(1e-3); far-wing lanes are ~1e-10 where
+    # relative error is quadrature noise)
+    m = np.asarray(mask)
+    aerr = np.max(np.abs(p64[m] - pdd[m]))
+    assert aerr < 1e-9, f"df32 vs f64 cube max abs diff {aerr:.2e}"
