@@ -34,7 +34,16 @@ if not os.environ.get("SVMTPU_NO_X64"):
 # and it cuts the dryrun's per-round XLA recompiles (the round-3 MULTICHIP
 # timeout was almost pure repeated CPU compile on the 1-core box).
 if not os.environ.get("SVMTPU_NO_COMPILE_CACHE"):
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # decide by the RESOLVED platform, not the env var alone: the image's
+    # sitecustomize registers the axon backend via jax.config, which WINS
+    # over a JAX_PLATFORMS=cpu env var — a session with the env var set
+    # but the config not updated runs on the TPU and would write
+    # remote-machine AOT artifacts into the local-only CPU dir (observed:
+    # cross-machine-feature XLA:CPU artifacts loaded with a SIGILL-risk
+    # warning AND silently-corrupt f32 numerics)
+    _platforms = str(getattr(jax.config, "jax_platforms", None)
+                     or os.environ.get("JAX_PLATFORMS", ""))
+    if _platforms.startswith("cpu"):
         _cache_dir = os.environ.get("SVMTPU_CPU_COMPILE_CACHE_DIR",
                                     os.path.expanduser("~/.cache/svmtpu_jax_cpu"))
     else:

@@ -290,6 +290,13 @@ def solve_a_ode_grid(phi_grid: Cplx,
 
 
 _DTS_CHUNK = 16384
+# df32 lane chunk: the tree-sum quad contraction holds (N, n, n, n) f32
+# hi/lo temporaries — 8192 lanes keeps them ~4 MB each, inside VMEM, and
+# the 1k/5k-lane vanilla/SIGMA grids run as single programs.  (Chunk size
+# does NOT influence the 40k-lane QVAR compile-after-run tunnel hazard —
+# measured identically at 4096/8192/unchunked; see PARITY.md "QVAR df32
+# and the compile-after-run hazard".)
+_DF32_CHUNK = 8192
 
 
 def _solve_a_ode_grid_dts(dts: np.ndarray, theta, kappa1, kappa2, beta,
@@ -441,8 +448,10 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
                           vol_backbone_eta=1.0,
                           nb_steps: Optional[int] = None,
                           year_steps: int = 720,
+                          dts: Optional[np.ndarray] = None,
+                          warmup_scale: Optional[float] = None,
                           ) -> Cplx:
-    """``solve_a_ode_grid`` (uniform-step path) in double-float32.
+    """``solve_a_ode_grid`` in double-float32.
 
     f64 in, f64 out, ~1e-13-accurate arithmetic — but the scan body is
     pure f32, so on the axon TPU backend it runs on the fused f32 scan
@@ -451,8 +460,20 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
     scan-latency-bound).  The RK4 scheme, step count and divergence-freeze
     semantics match solve_a_ode_grid exactly; only the arithmetic carrier
     differs (error ~2^-48 per op vs the ~1e-9 discretization floor at the
-    240 steps/yr default).  Graded-warmup (non-zero A(0)) schedules are
-    not implemented — callers with warmup needs use the f64 path.
+    240 steps/yr default).
+
+    ``dts``: explicit (possibly non-uniform) step schedule — overrides
+    ``nb_steps``/``year_steps``.  ``warmup_scale``: stiffness scale of the
+    initial transient; when ``warmup_scale * dt > 0.2`` the same graded
+    schedule as :func:`solve_a_ode_grid` is prepended (dt ramping from
+    0.01/warmup_scale as 0.05·t), so SIGMA-seeded (A¹(0) = -Θ) and QVAR
+    workloads can run on the df32 engine too.
+
+    Grids beyond ~8k lanes are chunked host-side (the 40k-lane Ψ/QVAR
+    grid): the quad contraction materializes (N, n, n, n) hi/lo
+    temporaries whose footprint must stay within VMEM, and large single
+    scan programs have crashed the TPU worker before (the f64 16384-lane
+    chunking note on _solve_a_ode_grid_dts).
     """
     from stochvolmodels_tpu.utils import df32 as dd
 
@@ -460,9 +481,58 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
     if a_t0 is None:
         a_t0 = Cplx(jnp.zeros((phi_grid.shape[0], n)),
                     jnp.zeros((phi_grid.shape[0], n)))
-    if nb_steps is None:
-        nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
-    dt = float(ttm) / nb_steps
+
+    n_lanes = phi_grid.re.shape[0]
+    if n_lanes > _DF32_CHUNK:
+        # lanes are independent: zero-pad to a chunk multiple, reshape to
+        # (C, chunk, ...) and lax.map the single-chunk solver — ONE
+        # compiled scan body executed sequentially per chunk (a Python
+        # chunk loop compiles C separate programs: ~170 s apiece on
+        # XLA:CPU for this body), with one chunk's VMEM footprint
+        c = _DF32_CHUNK
+        n_pad = (-n_lanes) % c
+        C = (n_lanes + n_pad) // c
+
+        def prep(x):
+            x = jnp.pad(x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1))
+            return x.reshape((C, c) + x.shape[1:])
+
+        xs = (prep(phi_grid.re), prep(phi_grid.im),
+              prep(psi_grid.re), prep(psi_grid.im),
+              prep(a_t0.re), prep(a_t0.im))
+
+        def one_chunk(args):
+            pr, pi, sr, si, ar, ai = args
+            out = solve_a_ode_grid_df32(
+                phi_grid=Cplx(pr, pi), psi_grid=Cplx(sr, si), ttm=ttm,
+                theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta,
+                volvol=volvol, is_spot_measure=is_spot_measure,
+                a_t0=Cplx(ar, ai), expansion_order=expansion_order,
+                vol_backbone_eta=vol_backbone_eta, nb_steps=nb_steps,
+                year_steps=year_steps, dts=dts, warmup_scale=warmup_scale)
+            return out.re, out.im
+
+        o_re, o_im = jax.lax.map(one_chunk, xs)
+        o_re = o_re.reshape(C * c, n)[:n_lanes]
+        o_im = o_im.reshape(C * c, n)[:n_lanes]
+        return Cplx(o_re, o_im)
+    if dts is None:
+        if nb_steps is None:
+            nb_steps = max(int(np.ceil(year_steps * float(ttm))), 16)
+        dt = float(ttm) / nb_steps
+        if warmup_scale is not None and warmup_scale * dt > 0.2:
+            # same graded ramp as solve_a_ode_grid (dt ∝ elapsed time
+            # tracks the 1/t decay of the Riccati transient's stiffness)
+            warmup_dts = []
+            d, t_acc = 0.01 / warmup_scale, 0.0
+            while d < dt and t_acc + d < 0.5 * float(ttm):
+                warmup_dts.append(d)
+                t_acc += d
+                d = max(d, 0.05 * t_acc)
+            rem = float(ttm) - t_acc
+            nb_uniform = max(int(np.ceil(rem / dt)), 16)
+            dts = np.concatenate([np.asarray(warmup_dts),
+                                  np.full(nb_uniform, rem / nb_uniform)])
 
     M, L0, L1, h = func_a_ode_quadratic_terms(
         theta=theta, kappa1=kappa1, kappa2=kappa2, beta=beta, volvol=volvol,
@@ -473,10 +543,6 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
     Mdf = dd.from_f64(jnp.asarray(M, jnp.float64))
     Ldf = (dd.from_f64(L.re), dd.from_f64(L.im))
     Hdf = (dd.from_f64(H.re), dd.from_f64(H.im))
-    # exact df32 images of the step constants (dt is f64 on host)
-    dt_half = dd.from_f64(jnp.asarray(0.5 * dt))
-    dt_full = dd.from_f64(jnp.asarray(dt))
-    dt_sixth = dd.from_f64(jnp.asarray(dt / 6.0))
 
     cap = jnp.float32(1e6)
 
@@ -485,7 +551,7 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
         return (dd.add(a[0], dd.mul(k[0], dtc)),
                 dd.add(a[1], dd.mul(k[1], dtc)))
 
-    def rk4_step(carry, _):
+    def rk4_step_with(carry, dt_half, dt_full, dt_sixth):
         (rh, rl, ih, il, dead) = carry
         A = (dd.DF(rh, rl), dd.DF(ih, il))
         k1 = _df_rhs(A[0], A[1], Mdf, Ldf, Hdf, n)
@@ -512,8 +578,41 @@ def solve_a_ode_grid_df32(phi_grid: Cplx,
     carry0 = (jnp.where(dead0, cap, r0.hi), jnp.where(dead0, zero, r0.lo),
               jnp.where(dead0, zero, i0.hi), jnp.where(dead0, zero, i0.lo),
               dead0)
-    (rh, rl, ih, il, _), _ = jax.lax.scan(rk4_step, carry0, None,
-                                          length=nb_steps)
+    if dts is not None:
+        # per-step dt constants split to exact (hi, lo) pairs OUTSIDE the
+        # scan; the body stays pure f32 (same physics as the uniform path).
+        # The schedule is indexed from a CONSTANT inside the body (carry
+        # counter + dynamic_index) instead of scanned xs: axon xs-scan
+        # executables have repeatedly proven fragile (the f64 40k-lane
+        # xs-scan worker crash, and an xs-scan pdf program whose
+        # re-execution failed with INVALID_ARGUMENT after large programs
+        # ran in the same process)
+        dts64 = np.asarray(dts, dtype=np.float64)
+        stacked = np.stack([0.5 * dts64, dts64, dts64 / 6.0])    # (3, S)
+        c_hi = jnp.asarray(stacked.astype(np.float32))
+        c_lo = jnp.asarray((stacked - stacked.astype(np.float32)
+                            .astype(np.float64)).astype(np.float32))
+
+        def step_idx(carry, _):
+            state, i = carry
+            dt_half = dd.DF(c_hi[0, i], c_lo[0, i])
+            dt_full = dd.DF(c_hi[1, i], c_lo[1, i])
+            dt_sixth = dd.DF(c_hi[2, i], c_lo[2, i])
+            state1, _ = rk4_step_with(state, dt_half, dt_full, dt_sixth)
+            return (state1, i + 1), None
+
+        (st, _), _ = jax.lax.scan(step_idx,
+                                  (carry0, jnp.int32(0)), None,
+                                  length=dts64.shape[0])
+        rh, rl, ih, il, _ = st
+    else:
+        # exact df32 images of the uniform step constants (dt f64 on host)
+        dt_half = dd.from_f64(jnp.asarray(0.5 * dt))
+        dt_full = dd.from_f64(jnp.asarray(dt))
+        dt_sixth = dd.from_f64(jnp.asarray(dt / 6.0))
+        (rh, rl, ih, il, _), _ = jax.lax.scan(
+            lambda c, _: rk4_step_with(c, dt_half, dt_full, dt_sixth),
+            carry0, None, length=nb_steps)
     return Cplx(dd.to_f64(dd.DF(rh, rl)), dd.to_f64(dd.DF(ih, il)))
 
 
@@ -855,6 +954,7 @@ def compute_logsv_a_mgf_grid(ttm: float,
                              is_spot_measure: bool = True,
                              vol_backbone_eta=1.0,
                              nb_steps: Optional[int] = None,
+                             engine: str = "f64",
                              **kwargs
                              ) -> Tuple[Cplx, Cplx]:
     """solve the coefficient ODEs and contract against powers of
@@ -865,7 +965,10 @@ def compute_logsv_a_mgf_grid(ttm: float,
     (:func:`solve_analytic_ode_grid`, the reference's cheaper daily-stepped
     alternative, affine_expansion.py:306-384); the default is the batched
     RK4 with graded stiff warmup.  ``is_stiff_solver`` selects the
-    conservative RK4 schedule (see solve_a_ode_grid).
+    conservative RK4 schedule (see solve_a_ode_grid).  ``engine='df32'``
+    runs the RK4 on the double-float32 carrier (fused f32 scan path on the
+    axon TPU backend — PARITY.md "Double-float32 exact engine"); graded
+    warmup and lane chunking carry over.
     """
     n_terms = get_expansion_n(expansion_order)
     if a_t0 is None:
@@ -881,9 +984,16 @@ def compute_logsv_a_mgf_grid(ttm: float,
         # pdf/QVAR pricing paths pass concrete floats).
         grid_span = theta_grid.im if variable_type == VariableType.SIGMA \
             else psi_grid.im
-        # the transform grids are static constants, concrete even under a jit
-        # trace of the params
-        span = float(np.max(np.abs(np.asarray(grid_span))) + 1.0)
+        try:
+            span = float(np.max(np.abs(np.asarray(grid_span))) + 1.0)
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            # grid built INSIDE a jit trace (the jitted pdf path): fall
+            # back to the reference grid extents — Θ in [0, 600]
+            # (mgf_pricer.py:50-58), Ψ in [0, 4000] (:37-47) — so the
+            # warmup/step schedules match the eager path exactly for the
+            # standard grids
+            span = 601.0 if variable_type == VariableType.SIGMA else 4001.0
         try:
             vartheta2 = float(beta) ** 2 + float(volvol) ** 2
             rate = max(vartheta2, float(kappa1) + float(kappa2))
@@ -909,6 +1019,14 @@ def compute_logsv_a_mgf_grid(ttm: float,
             a_t0=a_t0, is_spot_measure=is_spot_measure,
             expansion_order=expansion_order,
             vol_backbone_eta=vol_backbone_eta)
+    elif engine == "df32":
+        a_t1 = solve_a_ode_grid_df32(
+            ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
+            beta=beta, volvol=volvol, phi_grid=phi_grid, psi_grid=psi_grid,
+            a_t0=a_t0, is_spot_measure=is_spot_measure,
+            expansion_order=expansion_order,
+            vol_backbone_eta=vol_backbone_eta, nb_steps=nb_steps,
+            warmup_scale=warmup_scale)
     else:
         a_t1 = solve_a_ode_grid(ttm=ttm, theta=theta, kappa1=kappa1, kappa2=kappa2,
                                 beta=beta, volvol=volvol,

@@ -869,12 +869,22 @@ class LogSVPricer(ModelPricer):
             year_steps = kwargs.pop("year_steps", 240)
             solve_f32 = False
             if exact_engine == "auto":
-                exact_engine = ("df32" if jax.devices()[0].platform != "cpu"
+                on_tpu = jax.devices()[0].platform != "cpu"
+                # Q_VAR deliberately stays f64 under 'auto': the 40k-lane
+                # df32 QVAR program is correct (3.8e-12 vs f64) and 60x
+                # faster warm (36.6 s -> 0.6 s), but running it leaves the
+                # axon tunnel in a state where executables compiled
+                # AFTERWARD in the same process fail on re-execution with
+                # INVALID_ARGUMENT (reproduced 7x, chunked and unchunked;
+                # pre-compiled programs are unaffected — PARITY.md "df32
+                # compile-after-run hazard").  Users can opt in with
+                # exact_engine='df32' for batch QVAR workloads.
+                exact_engine = ("df32" if on_tpu
+                                and variable_type == VariableType.LOG_RETURN
                                 else "f64")
-            # df32 is implemented for the vanilla (1000-lane) grid; the
-            # 40k-lane QVAR and SIGMA paths keep the f64 engine
             solve_df32 = (exact_engine == "df32"
-                          and variable_type == VariableType.LOG_RETURN)
+                          and variable_type in (VariableType.LOG_RETURN,
+                                                VariableType.Q_VAR))
         else:
             raise NotImplementedError(f"precision={precision}")
         prices = _logsv_chain_price_grid_jit(
@@ -1338,6 +1348,33 @@ def logsv_chain_pricer(params: LogSvParams,
                                      vol_scaler=vol_scaler)
 
 
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def _logsv_pdfs_jit(sigma0, theta, kappa1, kappa2, beta, volvol,
+                    ttm, vol_scaler, variable_type, expansion_order,
+                    is_spot_measure, engine, space_grid):
+    phi_grid, psi_grid, theta_grid = mgf.get_transform_var_grid(
+        variable_type=variable_type, is_spot_measure=is_spot_measure,
+        vol_scaler=vol_scaler)
+    _, log_mgf = afe.compute_logsv_a_mgf_grid(
+        ttm=ttm, phi_grid=phi_grid, psi_grid=psi_grid, theta_grid=theta_grid,
+        sigma0=sigma0, theta=theta, kappa1=kappa1,
+        kappa2=kappa2, beta=beta, volvol=volvol,
+        variable_type=variable_type, expansion_order=expansion_order,
+        is_spot_measure=is_spot_measure, engine=engine)
+    if variable_type == VariableType.LOG_RETURN:
+        transform_var_grid, shift, scale = phi_grid, 0.0, 1.0
+    elif variable_type == VariableType.Q_VAR:
+        transform_var_grid, shift, scale = psi_grid, 0.0, 1.0 / ttm
+    elif variable_type == VariableType.SIGMA:
+        transform_var_grid, shift, scale = theta_grid, theta, 1.0
+    else:
+        raise NotImplementedError(f"variable_type={variable_type}")
+    pdf = mgf.pdf_with_mgf_grid(log_mgf_grid=log_mgf,
+                                transform_var_grid=transform_var_grid,
+                                space_grid=space_grid, shift=shift, scale=scale)
+    return pdf / scale
+
+
 def logsv_pdfs(params: LogSvParams,
                ttm: float,
                space_grid: np.ndarray,
@@ -1345,32 +1382,40 @@ def logsv_pdfs(params: LogSvParams,
                expansion_order: ExpansionOrder = ExpansionOrder.SECOND,
                variable_type: VariableType = VariableType.LOG_RETURN,
                vol_scaler: Optional[float] = None,
+               engine: str = "auto",
                **kwargs) -> np.ndarray:
     """model density of X / QV / sigma by transform inversion
-    (logsv_pricer.py:635-696)."""
+    (logsv_pricer.py:635-696).
+
+    One jitted program per (ttm, variable_type, grid) — the former eager
+    assembly dispatched every op through the remote-TPU tunnel and cost
+    10-27 s per density (measured r05; PARITY.md "Exact f64 surfaces").
+    ``engine='auto'`` runs the transform-ODE solve on the df32 carrier on
+    TPU (graded warmup included — the SIGMA seed A^(1)(0) = -Θ and the
+    QVAR forcing both carry over); 'f64' forces the plain scans (the CPU
+    default)."""
     if vol_scaler is None:
         vol_scaler = set_vol_scaler(sigma0=params.sigma0, ttm=ttm)
-    phi_grid, psi_grid, theta_grid = mgf.get_transform_var_grid(
-        variable_type=variable_type, is_spot_measure=is_spot_measure,
-        vol_scaler=vol_scaler)
-    _, log_mgf = afe.compute_logsv_a_mgf_grid(
-        ttm=ttm, phi_grid=phi_grid, psi_grid=psi_grid, theta_grid=theta_grid,
-        sigma0=params.sigma0, theta=params.theta, kappa1=params.kappa1,
-        kappa2=params.kappa2, beta=params.beta, volvol=params.volvol,
-        variable_type=variable_type, expansion_order=expansion_order,
-        is_spot_measure=is_spot_measure)
-    if variable_type == VariableType.LOG_RETURN:
-        transform_var_grid, shift, scale = phi_grid, 0.0, 1.0
-    elif variable_type == VariableType.Q_VAR:
-        transform_var_grid, shift, scale = psi_grid, 0.0, 1.0 / ttm
-    elif variable_type == VariableType.SIGMA:
-        transform_var_grid, shift, scale = theta_grid, params.theta, 1.0
-    else:
-        raise NotImplementedError
-    pdf = mgf.pdf_with_mgf_grid(log_mgf_grid=log_mgf,
-                                transform_var_grid=transform_var_grid,
-                                space_grid=space_grid, shift=shift, scale=scale)
-    return np.asarray(pdf) / scale
+    if engine == "auto":
+        # pdfs default to jitted f64 even on TPU: a SECOND distinct df32
+        # program compiled after another df32 program has executed fails
+        # on re-execution (axon tunnel bug, PARITY.md "df32
+        # compile-after-run hazard"), and the exact vanilla chain — the
+        # hot path — already holds the process's df32 slot.  Jitted f64
+        # pdfs are still 4.7-20x faster than the old eager assembly
+        # (SIGMA 5.8 s vs 27.4 s; LOG_RETURN ~0.5 s vs 10.1 s warm);
+        # ``engine='df32'`` opts in to ~0.1 s densities for batch
+        # workloads that dedicate a process to them.
+        engine = "f64"
+    # warmup-schedule construction (SIGMA/QVAR) needs concrete params
+    # host-side; the pdf paths always pass concrete floats
+    pdf = _logsv_pdfs_jit(float(params.sigma0), float(params.theta),
+                          float(params.kappa1), float(params.kappa2),
+                          float(params.beta), float(params.volvol),
+                          float(ttm), float(vol_scaler), variable_type,
+                          expansion_order, is_spot_measure, engine,
+                          jnp.asarray(space_grid))
+    return np.asarray(pdf)
 
 
 def use_float32_default() -> bool:

@@ -215,6 +215,32 @@ class TestDf32Rk4Engine:
                                    rtol=0, atol=1e-10)
 
     @pytest.mark.slow
+    def test_graded_warmup_matches_f64(self):
+        """SIGMA-style stiff seed (A^(1)(0) = -Theta with |Theta| up to
+        ~60 on this mini-grid) through the graded-warmup schedule: df32
+        and f64 build the SAME dt ramp and agree to ~1e-9 absolute."""
+        import stochvolmodels_tpu.models.logsv.affine as afe
+        from stochvolmodels_tpu.utils.cplx import Cplx
+
+        N = 16
+        theta_grid = Cplx(jnp.full((N,), -0.5), jnp.linspace(0.0, 60.0, N))
+        phi = Cplx(jnp.zeros((N,)), jnp.zeros((N,)))
+        psi = Cplx(jnp.zeros((N,)), jnp.zeros((N,)))
+        a0 = afe.get_init_conditions_a(phi_grid=phi, psi_grid=psi,
+                                       theta_grid=theta_grid, n_terms=5,
+                                       variable_type=afe.VariableType.SIGMA)
+        kw = dict(ttm=0.25, theta=1.0, kappa1=2.21, kappa2=2.18, beta=0.15,
+                  volvol=1.85, phi_grid=phi, psi_grid=psi, a_t0=a0,
+                  expansion_order=afe.ExpansionOrder.SECOND, nb_steps=32,
+                  warmup_scale=float((0.15 ** 2 + 1.85 ** 2) * 61.0))
+        a64 = afe.solve_a_ode_grid(**kw)
+        add_ = afe.solve_a_ode_grid_df32(**kw)
+        np.testing.assert_allclose(np.asarray(add_.re), np.asarray(a64.re),
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(add_.im), np.asarray(a64.im),
+                                   rtol=0, atol=1e-9)
+
+    @pytest.mark.slow
     def test_solver_matches_f64(self):
         """df32 RK4 vs the f64 RK4 on a small grid: same scheme, same
         steps, arithmetic agreement to ~1e-10 on well-conditioned lanes
