@@ -240,11 +240,18 @@ def solve_a_ode_grid(phi_grid: Cplx,
                      a_t0: Optional[Cplx] = None,
                      expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
                      underlying_type: UnderlyingType = UnderlyingType.SWAP,
-                     year_steps: int = 360
+                     year_steps: int = 360,
+                     engine: str = "f64"
                      ) -> Cplx:
-    """batched RK4 for the time-dependent Riccati system over the Phi grid."""
+    """batched RK4 for the time-dependent Riccati system over the Phi grid.
+
+    ``engine='df32'`` routes through the double-float32 batch solver
+    (P=1) — the fused f32 scan path on the axon backend; requires a zero
+    initial condition (the batch solver's contract; every swaption/rates
+    slice starts from A(0)=0)."""
     n = get_expansion_n(expansion_order)
     n_grid = phi_grid.shape[0]
+    use_df32 = engine == "df32" and a_t0 is None
     if a_t0 is None:
         a_t0 = Cplx(jnp.zeros((n_grid, n)), jnp.zeros((n_grid, n)))
     if b is None:
@@ -262,6 +269,12 @@ def solve_a_ode_grid(phi_grid: Cplx,
     coeffs = jax.vmap(
         lambda s: jnp.interp(t_eval.ravel(), times_f, s))(series)
     coeffs = jnp.moveaxis(coeffs.reshape(7, nb_steps, 3), 0, 1)  # (S, 7, 3)
+
+    if use_df32:
+        out = solve_a_ode_grid_batch_df32(
+            phi_grid, jnp.asarray([dt]), coeffs[None], q=q,
+            expansion_order=expansion_order)
+        return Cplx(out.re[0], out.im[0])
 
     # Sticky divergence-freeze (same policy as models/logsv/affine.py): the
     # RK4 is only stable while |A| stays moderate; at extreme |phi| (the far
@@ -325,6 +338,7 @@ def compute_logsv_a_mgf_grid(ttm: float,
                              expansion_order: ExpansionOrder = ExpansionOrder.FIRST,
                              underlying_type: UnderlyingType = UnderlyingType.SWAP,
                              a_t0: Optional[Cplx] = None,
+                             engine: str = "f64",
                              **kwargs
                              ) -> Tuple[Cplx, Cplx]:
     """(A(tau) panel, log MGF) for the rates model
@@ -333,7 +347,7 @@ def compute_logsv_a_mgf_grid(ttm: float,
                             a0=a0, a1=a1, kappa0=kappa0, kappa1=kappa1,
                             kappa2=kappa2, beta=beta, volvol=volvol, b=b,
                             a_t0=a_t0, expansion_order=expansion_order,
-                            underlying_type=underlying_type)
+                            underlying_type=underlying_type, engine=engine)
     y = sigma0 - q
     if expansion_order == ExpansionOrder.FIRST:
         ys = jnp.array([1.0, y, y * y])

@@ -298,8 +298,13 @@ def make_swaption_slice_fn(params: MultiFactRateLogSvParams,
                            x0: Optional[np.ndarray] = None,
                            y0: Optional[np.ndarray] = None,
                            h: float = 0.125,
-                           x_max: float = 2.75):
+                           x_max: float = 2.75,
+                           engine: str = "auto"):
     """jitted, end-to-end differentiable swaption slice pricer.
+
+    ``engine``: Riccati-scan arithmetic — 'f64' / 'df32' / 'auto' (df32 on
+    TPU; the 45-lane rates df32 family is measured exempt from the tunnel
+    compile-after-run hazard — PARITY.md "Double-float32 swaption cube").
 
     Returns ``price(sigma0, beta_xs, volvol_xs) -> (n_strikes,)`` jnp prices,
     with gradient support w.r.t. all three arguments — the reference's
@@ -314,6 +319,8 @@ def make_swaption_slice_fn(params: MultiFactRateLogSvParams,
     from stochvolmodels_tpu.models.factor_hjm.double_exp_pricer import (
         tanh_sinh_nodes,
     )
+    if engine == "auto":
+        engine = "df32" if jax.devices()[0].platform != "cpu" else "f64"
     t_grid_cut, _, idx_t, swap_gr, loga_der, C_panel = \
         params.qa_structural_panels(expiry=float(ttm), tenor=tenor,
                                     t_grid=t_grid, x0=x0, y0=y0)
@@ -341,7 +348,7 @@ def make_swaption_slice_fn(params: MultiFactRateLogSvParams,
             kappa0=kappa0_s, kappa1=kappa1_s, kappa2=kappa2_s,
             beta=beta_interp, volvol=volvol_interp,
             b=jnp.zeros_like(kappa0_s), underlying_type=UnderlyingType.SWAP,
-            expansion_order=expansion_order)
+            expansion_order=expansion_order, engine=engine)
         p_payoff = (phi * phi).__rtruediv__(1.0 / np.pi)   # 1/(pi phi^2)
         z = Cplx(moneyness[None, :] * phi.re[:, None] + log_mgf.re[:, None],
                  moneyness[None, :] * phi.im[:, None] + log_mgf.im[:, None])

@@ -32,11 +32,13 @@ jax.config.update("jax_enable_x64", True)
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
 
-# no persistent compile cache under tests: jax 0.9's cache serialization
-# (zstandard path) segfaults reproducibly on some of the large CPU
-# executables (e.g. jacfwd through the unrolled RK4 scan); the cache is a
-# TPU-side optimization and CPU test compiles are fast enough without it
-os.environ.setdefault("SVMTPU_NO_COMPILE_CACHE", "1")
+# persistent compile cache ENABLED for tests (r05): the suite is almost
+# pure single-core XLA:CPU compile — a warm cache cuts "not slow" from
+# 16:05 to 7:44 measured.  An earlier round disabled it because jax 0.9's
+# cache serialization segfaulted on some large CPU executables (jacfwd
+# through the then-unrolled RK4 scan); those programs are gone (unroll
+# dropped) and two full cache-writing suite runs completed clean.  Escape
+# hatch if it ever regresses: SVMTPU_NO_COMPILE_CACHE=1.
 
 
 # XLA:CPU JIT code mappings accumulate per compiled executable; a full-suite
